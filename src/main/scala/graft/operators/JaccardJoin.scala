@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Set-similarity join under a Jaccard threshold, prefix-filtering family
+ * (length filter + prefix filter + positional filter + exact verification).
+ *
+ * Semantics mirror the reference pipeline
+ * (reference: py_duckdb/similarity_join/join/jaccard_join.py:9-469) re-expressed as
+ * lazy Spark DataFrame stages so Catalyst plans the physical join/agg strategy:
+ *
+ *   tokenize -> document frequency -> rarest-first position -> prefix selection
+ *            -> candidate generation (equi-join on token + theta filters)
+ *            -> verification (suffix overlap count + exact threshold test)
+ *
+ * Where the reference materializes every stage as a DuckDB temp table, we keep the
+ * plan declarative and only `persist()` the one intermediate every variant reads
+ * multiple times (`tkdf`, read by both candidate generation and verification —
+ * reference jaccard_join.py:154,176). Everything else pipelines inside whole-stage
+ * codegen.
+ *
+ * Scale notes (target: 1000-executor cluster, ~100 TB):
+ *   - The candidate join is an equi-join on `token` with theta post-filters; Catalyst
+ *     picks shuffled-hash/sort-merge on the equi key and evaluates the length/prefix/
+ *     positional conditions as join residuals — no custom strategy needed.
+ *   - Token skew (very frequent tokens) is the known hot spot; the rarest-first
+ *     prefix ordering already removes the most frequent tokens from indexing
+ *     prefixes, and AQE skew-join splitting handles the residue. Enable
+ *     `spark.sql.adaptive.skewJoin.enabled` (on by default in Spark 4).
+ *   - Document-frequency tables are `groupBy(token).count()` — map-side partial
+ *     aggregation keeps the shuffle proportional to distinct tokens, not token rows.
+ *   - The two driver-side `count()` actions in the R×S variant (widow placeholder and
+ *     index-side choice) are the reference's manual adaptive planning
+ *     (jaccard_join.py:238-245,341-353); they run over persisted token tables so the
+ *     data is scanned once.
+ *
+ * Float semantics: all threshold comparisons keep the reference's exact operand
+ * order, e.g. `count(*) + pfxOverlap - 1 >= ((L.len + R.len) * t / (1+t))`
+ * (reference jaccard_join.py:183 and the float-sensitivity note in test.ipynb
+ * cell 23), so results hash-match a DuckDB oracle computing in DOUBLE.
+ */
+object JaccardJoin {
+
+  /** J1: entry-point dispatch — self-join iff `right` is empty or the same table
+    * (reference jaccard_join.py:9-33). */
+  def join(
+      left: DataFrame, lKey: String, lJoin: String,
+      right: Option[DataFrame], rKey: String, rJoin: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame =
+    right match {
+      case None => selfJoin(left, lKey, lJoin, tokenizer, threshold, lOutPrefix, rOutPrefix)
+      case Some(r) => rsJoin(left, lKey, lJoin, r, rKey, rJoin, tokenizer, threshold, lOutPrefix, rOutPrefix)
+    }
+
+  /** J2: brute-force dispatch (reference jaccard_join.py:36-60). */
+  def bruteForce(
+      left: DataFrame, lKey: String, lJoin: String,
+      right: Option[DataFrame], rKey: String, rJoin: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame =
+    right match {
+      case None => bruteForceSelf(left, lKey, lJoin, tokenizer, threshold, lOutPrefix, rOutPrefix)
+      case Some(r) => bruteForceRs(left, lKey, lJoin, r, rKey, rJoin, tokenizer, threshold, lOutPrefix, rOutPrefix)
+    }
+
+  // ---------------------------------------------------------------------------
+  // Self-join (reference jaccard_join.py:111-209)
+  // ---------------------------------------------------------------------------
+
+  /**
+   * Filtered self-join. Output: `(<lOutPrefix><keyAttr>, <rOutPrefix><keyAttr>)`,
+   * pair orientation given by the canonical composite key `concat(len,'_',id)`
+   * compared as a STRING (reference jaccard_join.py:135,155 — deliberately
+   * lexicographic, replicated exactly so oracle output orientation matches).
+   */
+  def selfJoin(
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+
+    val tokens = tokenizer.tokenize(table, keyAttr, joinAttr)
+
+    // J4: document frequency (jaccard_join.py:126-130)
+    val dfreq = tokens.groupBy("token").agg(count(lit(1)).as("df"))
+
+    // J5-J7: rarest-first position + composite canonical key (jaccard_join.py:131-137)
+    val w = Window.partitionBy("id").orderBy("df", "token")
+    val tkdf = tokens.join(dfreq, "token")
+      .select(
+        col("id"), col("len"), col("token"),
+        row_number().over(w).cast("long").as("pos"),
+        concat(col("len").cast("string"), lit("_"), col("id").cast("string")).as("l_id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val L = tkdf.alias("L")
+    val R = tkdf.alias("R")
+
+    // J10/J11/J13: candidate generation with inlined prefix selections
+    // (jaccard_join.py:147-166)
+    val candCond =
+      col("L.l_id") < col("R.l_id") &&
+      col("L.token") === col("R.token") &&
+      // length filter (one-sided, as the reference)
+      col("L.len") >= col("R.len") * t &&
+      // indexing prefix on L
+      (col("L.len") - col("L.pos") + lit(1)) >= (col("L.len") * lit(2) * t / onePlusT) &&
+      // probing prefix on R
+      (col("R.len") - col("R.pos") + lit(1)) >= (col("R.len") * t) &&
+      // positional filter
+      least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
+        ((col("L.len") + col("R.len")) * t / onePlusT)
+
+    val cand = L.join(R, candCond)
+      .groupBy(col("L.id").as("Lid"), col("R.id").as("Rid"))
+      .agg(
+        max(col("L.pos")).as("LmaxPos"),
+        max(col("R.pos")).as("RmaxPos"),
+        count(lit(1)).as("pfxOverlap"))
+
+    // J14: verification — count suffix overlap from the last prefix match onward
+    // (inclusive, hence the `- 1`; reference jaccard_join.py:168-188)
+    val c = cand.alias("c")
+    L.join(c, col("c.Lid") === col("L.id") && col("L.pos") >= col("c.LmaxPos"))
+      .join(R,
+        col("c.Rid") === col("R.id") &&
+        col("L.token") === col("R.token") &&
+        col("R.pos") >= col("c.RmaxPos"))
+      .select(
+        col("L.id").as("lid"), col("R.id").as("rid"),
+        col("L.len").as("llen"), col("R.len").as("rlen"),
+        col("c.pfxOverlap").as("pfxOverlap"))
+      .groupBy("lid", "rid", "llen", "rlen", "pfxOverlap")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") + col("pfxOverlap") - lit(1) >=
+        ((col("llen") + col("rlen")) * t / onePlusT))
+      .select(
+        col("lid").as(lOutPrefix + keyAttr),
+        col("rid").as(rOutPrefix + keyAttr))
+  }
+
+  /** J15: brute-force self-join oracle (reference jaccard_join.py:190-201). */
+  def bruteForceSelf(
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+    val tokens = tokenizer.tokenize(table, keyAttr, joinAttr)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val L = tokens.alias("L")
+    val R = tokens.alias("R")
+    L.join(R, col("L.token") === col("R.token") && col("L.id") < col("R.id"))
+      .select(col("L.id").as("lid"), col("L.len").as("llen"),
+        col("R.id").as("rid"), col("R.len").as("rlen"))
+      .groupBy("lid", "llen", "rid", "rlen")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= ((col("llen") + col("rlen")) * t / onePlusT))
+      .select(
+        col("lid").as(lOutPrefix + keyAttr),
+        col("rid").as(rOutPrefix + keyAttr))
+  }
+
+  // ---------------------------------------------------------------------------
+  // R×S (two-table) join (reference jaccard_join.py:235-433)
+  // ---------------------------------------------------------------------------
+
+  /**
+   * Filtered R×S join. Mirrors the reference's two driver-side adaptive decisions:
+   *
+   *   1. widow placeholder = |L| * |R| + 1 — the max possible df product + 1, so
+   *      tokens appearing on only one side sort last and never become prefix
+   *      witnesses (jaccard_join.py:266-268,292-294);
+   *   2. index-side selection — the side with MORE widow prefix rows becomes the
+   *      indexing side R with the tighter 2t/(1+t) prefix (jaccard_join.py:341-353).
+   *
+   * Output columns follow the reference exactly: `<R.outPrefix><lKeyAttr>,
+   * <S.outPrefix><rKeyAttr>` (jaccard_join.py:391) — i.e. the *prefixes* swap with
+   * the R/S choice while the key-attr names stay in l,r order.
+   *
+   * ⚠ Known recall edge in the reference algorithm (replicated by default for
+   * oracle parity): the indexing side R uses the `2t/(1+t)` prefix
+   * (jaccard_join.py:331,338) even when the indexed record is LONGER than its
+   * partner. For |R| > |S| the required overlap `(|R|+|S|)·t/(1+t)` is smaller
+   * than `2t/(1+t)·|R|`, so a qualifying pair's only witness tokens can sit
+   * beyond R's indexing prefix and the pair is silently dropped (e.g. lens 6 vs 4
+   * at t=0.4, common tokens ranked last). `exactRecall = true` widens the
+   * indexing prefix to the always-safe probing bound `len·t` — with the two-sided
+   * length filter, required overlap ≥ t·|R|, so a `len - ceil(t·len) + 1` prefix
+   * always contains a witness and filtered == brute force.
+   */
+  def rsJoin(
+      lTable: DataFrame, lKey: String, lJoin: String,
+      rTable: DataFrame, rKey: String, rJoin: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_",
+      exactRecall: Boolean = false): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+
+    // Driver-side counts sizing the widow placeholder (jaccard_join.py:238-245)
+    val lCount = lTable.count()
+    val rCount = rTable.count()
+    val widowPlaceholder = lCount * rCount + 1
+
+    val lTokens = tokenizer.tokenize(lTable, lKey, lJoin).persist(StorageLevel.MEMORY_AND_DISK)
+    val rTokens = tokenizer.tokenize(rTable, rKey, rJoin).persist(StorageLevel.MEMORY_AND_DISK)
+
+    // J8/J9: full-outer df merge with widow placeholder (jaccard_join.py:270-295)
+    val lDf = lTokens.groupBy("token").agg(count(lit(1)).as("l_df"))
+    val rDf = rTokens.groupBy("token").agg(count(lit(1)).as("r_df"))
+    val dfreq = lDf.join(rDf, Seq("token"), "full_outer")
+      .select(col("token"),
+        coalesce(col("l_df") * col("r_df"), lit(widowPlaceholder)).as("df"))
+
+    def tkdfOf(tokens: DataFrame): DataFrame = {
+      val w = Window.partitionBy("id").orderBy("df", "token")
+      tokens.join(dfreq, "token")
+        .select(col("id"), col("len"), col("token"), col("df"),
+          row_number().over(w).cast("long").as("pos"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val lTkdf = tkdfOf(lTokens)
+    val rTkdf = tkdfOf(rTokens)
+
+    // J10: indexing prefixes on both sides, then J12: widow-count side choice
+    def indexingPrefix(tkdf: DataFrame): DataFrame =
+      tkdf.where(col("len") - col("pos") + lit(1) >= (col("len") * lit(2) * t / onePlusT))
+    def probingPrefix(tkdf: DataFrame): DataFrame =
+      tkdf.where(col("len") - col("pos") + lit(1) >= (col("len") * t))
+
+    val lWidows = indexingPrefix(lTkdf).where(col("df") === widowPlaceholder).count()
+    val rWidows = indexingPrefix(rTkdf).where(col("df") === widowPlaceholder).count()
+
+    // R = indexing side (more widows), S = probing side (jaccard_join.py:353)
+    val lIsIndexing = lWidows > rWidows
+    val (idxTkdf, idxPrefixName) = if (lIsIndexing) (lTkdf, lOutPrefix) else (rTkdf, rOutPrefix)
+    val (prbTkdf, prbPrefixName) = if (lIsIndexing) (rTkdf, rOutPrefix) else (lTkdf, lOutPrefix)
+
+    val rPfx = (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf)).alias("Rpfx")
+    val sPfx = probingPrefix(prbTkdf).alias("Spfx")
+
+    // J13: candidates, two-sided length filter (jaccard_join.py:364-384)
+    val candCond =
+      col("Rpfx.token") === col("Spfx.token") &&
+      col("Rpfx.len") >= col("Spfx.len") * t &&
+      col("Spfx.len") >= col("Rpfx.len") * t &&
+      least(col("Rpfx.len") - col("Rpfx.pos") + lit(1), col("Spfx.len") - col("Spfx.pos") + lit(1)) >=
+        ((col("Rpfx.len") + col("Spfx.len")) * t / onePlusT)
+
+    val cand = rPfx.join(sPfx, candCond)
+      .groupBy(col("Rpfx.id").as("Rid"), col("Spfx.id").as("Sid"))
+      .agg(
+        max(col("Rpfx.pos")).as("RmaxPos"),
+        max(col("Spfx.pos")).as("SmaxPos"),
+        count(lit(1)).as("pfxOverlap"))
+      .alias("c")
+
+    // J14: verification (jaccard_join.py:386-405)
+    val Rt = idxTkdf.alias("R")
+    val St = prbTkdf.alias("S")
+    Rt.join(cand, col("c.Rid") === col("R.id") && col("R.pos") >= col("c.RmaxPos"))
+      .join(St,
+        col("c.Sid") === col("S.id") &&
+        col("R.token") === col("S.token") &&
+        col("S.pos") >= col("c.SmaxPos"))
+      .select(
+        col("R.id").as("rid_"), col("S.id").as("sid_"),
+        col("R.len").as("rlen"), col("S.len").as("slen"),
+        col("c.pfxOverlap").as("pfxOverlap"))
+      .groupBy("rid_", "sid_", "rlen", "slen", "pfxOverlap")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") + col("pfxOverlap") - lit(1) >=
+        ((col("rlen") + col("slen")) * t / onePlusT))
+      .select(
+        col("rid_").as(idxPrefixName + lKey),
+        col("sid_").as(prbPrefixName + rKey))
+  }
+
+  /** J15 (R×S): brute-force oracle (reference jaccard_join.py:407-420). */
+  def bruteForceRs(
+      lTable: DataFrame, lKey: String, lJoin: String,
+      rTable: DataFrame, rKey: String, rJoin: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+    val L = tokenizer.tokenize(lTable, lKey, lJoin).alias("L")
+    val R = tokenizer.tokenize(rTable, rKey, rJoin).alias("R")
+    L.join(R, col("L.token") === col("R.token"))
+      .select(col("L.id").as("lid"), col("L.len").as("llen"),
+        col("R.id").as("rid"), col("R.len").as("rlen"))
+      .groupBy("lid", "llen", "rid", "rlen")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= ((col("llen") + col("rlen")) * t / onePlusT))
+      .select(
+        col("lid").as(lOutPrefix + lKey),
+        col("rid").as(rOutPrefix + rKey))
+  }
+}
