@@ -160,4 +160,126 @@ SELECT coalesce(sum(CASE WHEN sk1 IS NOT NULL AND sk2 IS NOT NULL THEN 1 END), 0
        coalesce(sum(CASE WHEN gk1 IS NULL THEN 1 END), 0)::BIGINT AS fp,
        coalesce(sum(CASE WHEN sk1 IS NULL THEN 1 END), 0)::BIGINT AS fn
 FROM cm"""
+
+  // -------------------------------------------------------------------------
+  // Text-analysis / dedup / multimodal / ANN oracles (graft.operators.*)
+  // -------------------------------------------------------------------------
+
+  /** Whitespace bag tokens as a list expression over `$text` (case kept). */
+  private def wsBagExpr(text: String): String =
+    s"list_filter(str_split_regex($text, '$wsClass'), x -> trim(x) != '')"
+
+  private def sqlList(xs: Seq[String]): String =
+    xs.map(x => s"'$x'").mkString("[", ", ", "]")
+
+  val stopEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val stopEs = Seq("el", "la", "de", "y", "en", "es", "los", "que", "un", "por")
+  val stopFr = Seq("le", "la", "de", "et", "en", "est", "les", "que", "un", "pour")
+  val stopDe = Seq("der", "die", "das", "und", "in", "ist", "von", "den", "mit", "zu")
+
+  /** Mirrors TextAnalysis.stats. */
+  def textStats(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id,
+  CAST(length($text) AS BIGINT) AS n_chars,
+  CAST(len(tks) AS BIGINT) AS n_tokens,
+  CAST(len(list_distinct(list_transform(tks, x -> lower(x)))) AS BIGINT) AS n_distinct_tokens,
+  CASE WHEN len(tks) != 0 THEN list_sum(list_transform(tks, x -> len(x))) / len(tks) END AS avg_token_len,
+  CASE WHEN length($text) != 0 THEN CAST(length(regexp_replace($text, '[a-zA-Z0-9\\s]', '', 'g')) AS BIGINT) / CAST(length($text) AS BIGINT) END AS punct_ratio,
+  CASE WHEN len(tks) != 0 THEN len(list_filter(tks, x -> list_contains(${sqlList(stopEn)}, lower(x)))) / len(tks) END AS stopword_ratio
+FROM (SELECT $key, $text, ${wsBagExpr(text)} AS tks FROM $table)"""
+
+  /** Mirrors TextAnalysis.languageId. */
+  def langId(table: String, key: String, text: String): String =
+    s"""SELECT id, s_en, s_es, s_fr, s_de,
+  CASE WHEN greatest(s_en, s_es, s_fr, s_de) = 0 THEN 'und'
+       WHEN s_en = greatest(s_en, s_es, s_fr, s_de) THEN 'en'
+       WHEN s_es = greatest(s_en, s_es, s_fr, s_de) THEN 'es'
+       WHEN s_fr = greatest(s_en, s_es, s_fr, s_de) THEN 'fr'
+       ELSE 'de' END AS lang_pred
+FROM (
+  SELECT $key AS id,
+    CAST(len(list_intersect(tks, ${sqlList(stopEn)})) AS BIGINT) AS s_en,
+    CAST(len(list_intersect(tks, ${sqlList(stopEs)})) AS BIGINT) AS s_es,
+    CAST(len(list_intersect(tks, ${sqlList(stopFr)})) AS BIGINT) AS s_fr,
+    CAST(len(list_intersect(tks, ${sqlList(stopDe)})) AS BIGINT) AS s_de
+  FROM (SELECT $key, list_distinct(list_transform(${wsBagExpr(text)}, x -> lower(x))) AS tks FROM $table))"""
+
+  /** Mirrors TextAnalysis.tokenCounts. */
+  def tokenCounts(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id,
+  CAST(len(${wsBagExpr(text)}) AS BIGINT) AS n_ws_tokens,
+  CAST(len(regexp_extract_all(lower($text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
+FROM $table"""
+
+  /** Mirrors TextAnalysis.fingerprint. */
+  def fingerprint(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id, md5(trim(regexp_replace(lower($text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM $table"""
+
+  /** Mirrors Dedup.exact. */
+  def dedupExact(table: String, key: String, content: String): String =
+    s"""SELECT md5($content) AS content_hash, count(*) AS n_copies, min($key) AS keep_id
+FROM $table GROUP BY md5($content)"""
+
+  /** Mirrors Dedup.nearDuplicateDropIds over a self-join result. */
+  def nearDropIds(selfJoinSql: String, keyAttr: String): String =
+    s"""SELECT DISTINCT greatest(l_$keyAttr, r_$keyAttr) AS drop_id FROM ($selfJoinSql)"""
+
+  /** Mirrors Multimodal.withPayload + extractMeta (payload = utf8 bytes of text). */
+  def mmMeta(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id,
+  CAST(octet_length(encode($text)) AS BIGINT) AS n_bytes,
+  lower(hex(encode(substring($text, 1, 4)))) AS magic,
+  md5($text) AS content_md5
+FROM $table"""
+
+  /** Mirrors Multimodal.decode's deterministic stub (n = payload byte count). */
+  def mmDecode(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id,
+  CAST(16 + (n % 640) AS BIGINT) AS width,
+  CAST(16 + ((n // 7) % 480) AS BIGINT) AS height,
+  CAST(1 + (n % 24) AS BIGINT) AS frames,
+  CASE WHEN n % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END AS codec
+FROM (SELECT $key, octet_length(encode($text)) AS n FROM $table)"""
+
+  /** Mirrors Multimodal.sampleFrameIndexes over the decode stub. */
+  def mmFrames(table: String, key: String, text: String, everyK: Int): String =
+    s"""SELECT id, CAST(unnest(generate_series(0, frames - 1, $everyK)) AS BIGINT) AS frame_idx
+FROM (${mmDecode(table, key, text)})"""
+
+  /** Double-precision sequential-fold cosine between two embedding columns
+    * (matches Spark's zip_with + aggregate fold). */
+  private def cosExpr(a: String, b: String): String =
+    s"""(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))
+ / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
+  * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
+
+  /** Mirrors Similarity.topKExact (rank-only output). */
+  def annTopKExact(table: String, key: String, vec: String,
+                   queryPred: String, k: Int): String =
+    s"""WITH q AS (SELECT $key AS query_id, $vec AS qv FROM $table WHERE $queryPred),
+sims AS (
+  SELECT q.query_id, e.$key AS neighbor_id, ${cosExpr("q.qv", s"e.$vec")} AS sim
+  FROM q, $table e WHERE e.$key != q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+WHERE rank <= $k"""
+
+  /** Mirrors Similarity.nearDuplicatesExact. */
+  def embNearDupExact(table: String, key: String, vec: String, minCosine: Double): String =
+    s"""SELECT a.$key AS lid, b.$key AS rid, ${cosExpr(s"a.$vec", s"b.$vec")} AS sim
+FROM $table a, $table b
+WHERE a.$key < b.$key AND ${cosExpr(s"a.$vec", s"b.$vec")} >= ${d(minCosine)}"""
+
+  /** Manual per-pair Jaccard aggregation over a tokens CTE
+    * (reference test.ipynb cell 29's N7 shape). */
+  def manualJaccard(tokensSql: String): String =
+    s"""WITH tokens AS ($tokensSql)
+SELECT L.id AS l_id, R.id AS r_id, count(*) AS overlap,
+       (count(*) * 100) / (L.len + R.len - count(*)) AS jac_pct
+FROM tokens L, tokens R
+WHERE L.token = R.token AND L.id < R.id
+GROUP BY L.id, L.len, R.id, R.len"""
 }

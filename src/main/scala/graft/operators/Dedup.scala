@@ -1,0 +1,147 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Deduplication operators for training-data pipelines, from cheap to expensive:
+ *
+ *   1. [[exact]] — hash-groupBy on content (one shuffle on the hash).
+ *   2. [[nearDuplicateDropIds]] — exact n-gram/word Jaccard via the
+ *      prefix-filtered [[JaccardJoin]] (never all-pairs).
+ *   3. [[minHashPairs]] — MinHash signatures + LSH banding: candidates only
+ *      form inside equal (band, chunk) buckets, then exact set-Jaccard
+ *      verification. The scale path for corpora where even prefix-filtering
+ *      fans out too wide.
+ *   4. [[simHashPairs]] — 64-bit SimHash with pigeonhole band blocking for
+ *      Hamming-distance near-dup detection.
+ *
+ * Scale notes: every candidate generator here is BUCKETED — work is
+ * proportional to Σ bucket² within LSH buckets, never |corpus|². Signatures
+ * are one groupBy over the token stream (map-side combined). Band buckets are
+ * hash-partitionable; skewed buckets (boilerplate docs) are split by AQE skew
+ * join. All hashes are Spark's codegen'd xxhash64 — no UDFs.
+ */
+object Dedup {
+
+  /** Exact dedup: group by content hash, count copies, keep the min key.
+    * `SELECT md5(content), count(*), min(key) GROUP BY 1` — one shuffle. */
+  def exact(df: DataFrame, key: String, content: String): DataFrame =
+    df.groupBy(md5(col(content)).as("content_hash"))
+      .agg(count(lit(1)).as("n_copies"), min(col(key)).as("keep_id"))
+
+  /** Near-dup drop list via exact Jaccard: every id that appears as the
+    * `greatest` member of a qualifying pair (keep-least policy). */
+  def nearDuplicateDropIds(df: DataFrame, key: String, value: String,
+                           tokenizer: Tokenizer, threshold: Double): DataFrame = {
+    val pairs = JaccardJoin.selfJoin(df, key, value, tokenizer, threshold)
+    val (l, r) = (col("l_" + key), col("r_" + key))
+    pairs.select(greatest(l, r).as("drop_id")).distinct()
+  }
+
+  /** MinHash signature per record: sig[i] = min over tokens of xxhash64(i, token).
+    * One groupBy over (id, token) rows; numHashes columns fused by codegen. */
+  def minHashSignatures(tokens: DataFrame, numHashes: Int): DataFrame =
+    tokens.groupBy("id").agg(
+      array((0 until numHashes).map(i => min(xxhash64(lit(i), col("token")))): _*).as("sig"))
+
+  /**
+   * MinHash + LSH near-duplicate pairs with exact verification.
+   *
+   * bands × rowsPerBand hashes; two records collide iff some band's signature
+   * chunk is equal (P[collide] = 1-(1-s^r)^b for Jaccard s). Collisions are
+   * then verified with EXACT set Jaccard from the token table, so the output
+   * has no false positives — only LSH-missed recall (tunable via b, r).
+   *
+   * Output: (lid, rid, jaccard) with lid < rid.
+   */
+  def minHashPairs(df: DataFrame, key: String, value: String, tokenizer: Tokenizer,
+                   threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val tokens = tokenizer.tokenize(df, key, value).persist(StorageLevel.MEMORY_AND_DISK)
+    val sigs = minHashSignatures(tokens, numHashes)
+
+    val banded = sigs.select(col("id"), explode(
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => struct(b.as("band"), slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)).as("chunk"))))
+      .as("bd"))
+      .select(col("id"), col("bd.band").as("band"), col("bd.chunk").as("chunk"))
+
+    val cand = banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"))
+      .distinct()
+
+    verifyJaccard(cand, tokens, threshold)
+  }
+
+  /** Exact set-Jaccard check of candidate (lid, rid) pairs against the token
+    * table; emits (lid, rid, jaccard) for pairs meeting the threshold.
+    *
+    * The threshold test uses the join pipeline's exact operand order
+    * `overlap >= ((llen + rlen) * t / (1+t))` rather than `jaccard >= t`: the
+    * two differ on true-boundary pairs (e.g. J = 27/30 at t = 0.9, where the
+    * reference form computes a bound of 27.000000000000004 and drops the
+    * pair). Matching the reference keeps the dedup cascade consistent with
+    * [[JaccardJoin]] results on the same data. */
+  private[operators] def verifyJaccard(cand: DataFrame, tokens: DataFrame,
+                                       threshold: Double): DataFrame = {
+    val lens = tokens.select(col("id"), col("len")).distinct()
+    val overlap = cand
+      .join(tokens.select(col("id").as("lid"), col("token")), "lid")
+      .join(tokens.select(col("id").as("rid"), col("token")), Seq("rid", "token"))
+      .groupBy("lid", "rid").agg(count(lit(1)).as("overlap"))
+    overlap
+      .join(lens.select(col("id").as("lid"), col("len").as("llen")), "lid")
+      .join(lens.select(col("id").as("rid"), col("len").as("rlen")), "rid")
+      .where(col("overlap") >=
+        ((col("llen") + col("rlen")) * lit(threshold) / lit(1d + threshold)))
+      .select(col("lid"), col("rid"),
+        (col("overlap").cast("double") /
+          (col("llen") + col("rlen") - col("overlap"))).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per record: bit i of the signature is the sign of
+    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
+  def simHash64(tokens: DataFrame): DataFrame = {
+    val h = tokens.select(col("id"), xxhash64(col("token")).as("h"))
+    val bitSums = (0 until 64).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
+    h.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+          .reduce(_ bitwiseOR _).as("simhash"))
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16 bits of
+   * the 4×16 banding). Pigeonhole: distance ≤ 3 ⇒ at least one of the 4
+   * 16-bit bands is identical, so candidates only form on equal band values —
+   * a plain equi-join, no all-pairs.
+   */
+  def simHashPairs(df: DataFrame, key: String, value: String, tokenizer: Tokenizer,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val tokens = tokenizer.tokenize(df, key, value)
+    val sigs = simHash64(tokens)
+    // band value: 16-bit window b of the signature (b is a Scala literal)
+    val withBand = sigs.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bandval"))): _*)).as("bd"))
+      .select(col("id"), col("simhash"),
+        col("bd.band").as("band"), col("bd.bandval").as("bandval"))
+    withBand.alias("a")
+      .join(withBand.alias("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: per-document
+ * statistics, quality signals, language identification, token counting and
+ * content fingerprinting. All pure Column expressions (codegen-friendly, no
+ * UDFs) — at 100 TB these run embarrassingly parallel inside the parquet scan
+ * stage with zero shuffles.
+ *
+ * These extend the reference's capability surface (its tokenizers stop at
+ * (id, len, token) emission — py_duckdb/similarity_join/tokenizers/__init__.py);
+ * the building blocks reuse the same whitespace-split semantics so document
+ * stats agree with what the join pipeline sees.
+ */
+object TextAnalysis {
+
+  /** Whitespace bag tokens of a string column (blank tokens dropped, case kept).
+    * Same char class as WhitespaceTokenizer. */
+  private def wsBag(c: Column): Column =
+    filter(split(c, "[\t\n\r ]"), x => trim(x) =!= "")
+
+  private val stopwordsEn = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  private val stopwordsEs = Seq("el", "la", "de", "y", "en", "es", "los", "que", "un", "por")
+  private val stopwordsFr = Seq("le", "la", "de", "et", "en", "est", "les", "que", "un", "pour")
+  private val stopwordsDe = Seq("der", "die", "das", "und", "in", "ist", "von", "den", "mit", "zu")
+
+  private def litArray(xs: Seq[String]): Column = array(xs.map(lit): _*)
+
+  /**
+   * Per-document statistics and quality signals:
+   * (id, n_chars, n_tokens, n_distinct_tokens, avg_token_len, punct_ratio,
+   * stopword_ratio). Ratios are NULL when the denominator is zero.
+   */
+  def stats(df: DataFrame, key: String, text: String): DataFrame = {
+    val bag = wsBag(col(text))
+    val nTokens = size(bag).cast("long")
+    val sumLen = aggregate(bag, lit(0L), (acc, x) => acc + length(x))
+    val punct = length(regexp_replace(col(text), "[a-zA-Z0-9\\s]", ""))
+    val stops = size(filter(bag, x => array_contains(litArray(stopwordsEn), lower(x)))).cast("long")
+    df.select(
+      col(key).as("id"),
+      length(col(text)).cast("long").as("n_chars"),
+      nTokens.as("n_tokens"),
+      size(array_distinct(transform(bag, lower(_)))).cast("long").as("n_distinct_tokens"),
+      when(nTokens =!= 0, sumLen / nTokens).as("avg_token_len"),
+      when(length(col(text)) =!= 0, punct.cast("long") / length(col(text)).cast("long")).as("punct_ratio"),
+      when(nTokens =!= 0, stops / nTokens).as("stopword_ratio"))
+  }
+
+  /**
+   * Language identification by stopword voting: count distinct tokens hitting
+   * each language's stopword list; highest count wins with a fixed tie-break
+   * order (en, es, fr, de); no hits → 'und'. A deliberately deterministic
+   * n-gram-free heuristic, exactly replicable in the SQL oracle.
+   */
+  def languageId(df: DataFrame, key: String, text: String): DataFrame = {
+    val tks = array_distinct(transform(wsBag(col(text)), lower(_)))
+    def score(sw: Seq[String]): Column = size(array_intersect(tks, litArray(sw)))
+    val (en, es, fr, de) = (score(stopwordsEn), score(stopwordsEs), score(stopwordsFr), score(stopwordsDe))
+    val mx = greatest(en, es, fr, de)
+    df.select(
+      col(key).as("id"),
+      en.cast("long").as("s_en"), es.cast("long").as("s_es"),
+      fr.cast("long").as("s_fr"), de.cast("long").as("s_de"),
+      when(mx === 0, "und")
+        .when(en === mx, "en")
+        .when(es === mx, "es")
+        .when(fr === mx, "fr")
+        .otherwise("de").as("lang_pred"))
+  }
+
+  /**
+   * Token counting: whitespace tokens plus a BPE-ish segmentation count
+   * (letter runs, digit runs, single punctuation marks — the usual pre-tokenizer
+   * regex shape).
+   */
+  def tokenCounts(df: DataFrame, key: String, text: String): DataFrame =
+    df.select(
+      col(key).as("id"),
+      size(wsBag(col(text))).cast("long").as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col(text)), lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0)))
+        .cast("long").as("n_bpeish_tokens"))
+
+  /**
+   * Content fingerprint: md5 over the whitespace-normalized lowercased text.
+   * Identical fingerprints ⇒ near-identical content modulo spacing/case — the
+   * cheap first pass before MinHash in a dedup cascade.
+   */
+  def fingerprint(df: DataFrame, key: String, text: String): DataFrame =
+    df.select(
+      col(key).as("id"),
+      md5(trim(regexp_replace(lower(col(text)), "\\s+", " "))).as("fingerprint"))
+}

@@ -1,0 +1,83 @@
+package graft
+
+import graft.operators._
+import scala.util.Random
+
+/** Dedup cascade tests: exact, MinHash+LSH (recall vs exact Jaccard), SimHash. */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ws = WhitespaceTokenizer()
+
+  /** Docs with engineered near-duplicates: base docs + copies with k words swapped. */
+  private def corpus(seed: Int, nBase: Int, nDup: Int): Seq[(Long, String)] = {
+    val rnd = new Random(seed)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val base = (0 until nBase).map { i =>
+      i.toLong -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val dups = (0 until nDup).map { i =>
+      val (srcId, text) = base(rnd.nextInt(nBase))
+      val words = text.split(" ")
+      words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+      (1000L + i) -> words.distinct.mkString(" ")
+    }
+    base ++ dups
+  }
+
+  test("exact dedup groups identical content and keeps the min key") {
+    val df = Seq(1L -> "same text", 2L -> "same text", 3L -> "other").toDF("id", "txt")
+    val out = Dedup.exact(df, "id", "txt").collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((2L, 1L), (1L, 3L)))
+  }
+
+  test("minhash LSH pairs are a subset of exact pairs and recall is high") {
+    val df = corpus(5, 40, 20).toDF("id", "txt")
+    val exact = unorderedPairSet(JaccardJoin.bruteForceSelf(df, "id", "txt", ws, 0.8))
+    val mh = Dedup.minHashPairs(df, "id", "txt", ws, 0.8, bands = 16, rowsPerBand = 8)
+    val mhPairs = mh.select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (a, b) => if (a <= b) (a, b) else (b, a) }.toSet
+    assert(exact.nonEmpty, "corpus must contain engineered near-dups")
+    assert(mhPairs.subsetOf(exact), "verification must kill all false positives")
+    assert(mhPairs.size >= (exact.size * 0.9).toInt,
+      s"LSH recall too low: ${mhPairs.size}/${exact.size}")
+  }
+
+  test("minhash verification uses the reference threshold operand order") {
+    // true J = 27/30 = 0.9 exactly; the reference form computes a bound of
+    // 27.000000000000004 and must DROP the pair (consistent with JaccardJoin)
+    val common = (1 to 27).map(i => s"c$i")
+    val a = (common ++ Seq("a1", "a2")).mkString(" ")        // len 29
+    val b = (common ++ Seq("b1")).mkString(" ")              // len 28
+    val df = Seq(1L -> a, 2L -> b).toDF("id", "txt")
+    val mh = Dedup.minHashPairs(df, "id", "txt", ws, 0.9, bands = 32, rowsPerBand = 2)
+    assert(mh.count() === 0L)
+    val brute = JaccardJoin.bruteForceSelf(df, "id", "txt", ws, 0.9)
+    assert(brute.count() === 0L, "join pipeline drops the same boundary pair")
+  }
+
+  test("simhash pairs detect near-identical docs within hamming bound") {
+    val df = corpus(9, 30, 15).toDF("id", "txt")
+    val out = Dedup.simHashPairs(df, "id", "txt", ws, maxHamming = 3)
+    val rows = out.collect()
+    assert(rows.forall(_.getInt(2) <= 3))
+    // single-word-changed dups of 30-word docs should mostly land within 3 bits
+    assert(rows.nonEmpty)
+  }
+
+  test("simhash of identical content is identical (hamming 0)") {
+    val df = Seq(1L -> "alpha beta gamma", 2L -> "alpha beta gamma").toDF("id", "txt")
+    val sigs = Dedup.simHash64(ws.tokenize(df, "id", "txt"))
+      .collect().map(_.getLong(1)).toSet
+    assert(sigs.size === 1)
+  }
+
+  test("near-duplicate drop ids: greatest of each qualifying pair") {
+    val df = Seq(1L -> "a b c d", 2L -> "a b c d", 3L -> "x y z w").toDF("id", "txt")
+    val drops = Dedup.nearDuplicateDropIds(df, "id", "txt", ws, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops === Set(2L))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import graft.operators._
+import scala.util.Random
+
+/** ANN tests: exact top-k semantics, LSH recall on clustered vectors. */
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Clustered corpus: nClusters centers, members = center + small noise.
+    * LSH on random vectors is useless (no structure); near-dup / ANN workloads
+    * presuppose clustered embeddings, so the recall test builds them. */
+  private def clustered(seed: Int, nClusters: Int, perCluster: Int, dim: Int)
+      : Seq[(Long, Array[Float])] = {
+    val rnd = new Random(seed)
+    val centers = Seq.fill(nClusters)(Array.fill(dim)(rnd.nextGaussian()))
+    (0 until nClusters * perCluster).map { i =>
+      val c = centers(i % nClusters)
+      val v = c.map(x => (x + 0.08 * rnd.nextGaussian()).toFloat)
+      i.toLong -> v
+    }
+  }
+
+  test("topKExact: k ranks per query, self excluded, rank ordered by cosine") {
+    val data = clustered(1, 4, 10, 16).toDF("vec_id", "embedding")
+    val out = Similarity.topKExact(data, data.where($"vec_id" < 3), "vec_id", "embedding", 5)
+    val rows = out.collect()
+    assert(rows.length === 15) // 3 queries x 5
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val ranks = rows.groupBy(_.getLong(0)).values.map(_.map(_.getLong(2)).sorted.toSeq)
+    assert(ranks.forall(_ == Seq(1L, 2L, 3L, 4L, 5L)))
+  }
+
+  test("topKExact: nearest neighbors come from the query's own cluster") {
+    val data = clustered(2, 4, 10, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val out = Similarity.topKExact(df, df.where($"vec_id" < 4), "vec_id", "embedding", 3)
+    // members of cluster c have ids ≡ c (mod 4)
+    assert(out.collect().forall(r => r.getLong(1) % 4 == r.getLong(0) % 4))
+  }
+
+  test("topKLsh recall vs exact on clustered vectors") {
+    val df = clustered(3, 6, 15, 32).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 6)
+    val exact = Similarity.topKExact(df, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.topKLsh(df, q, "vec_id", "embedding", 5, dim = 32, planes = 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & lsh).size.toDouble / exact.size
+    assert(recall >= 0.6, s"LSH recall too low: $recall")
+  }
+
+  test("nearDuplicatesExact finds same-cluster pairs above the cosine floor") {
+    val df = clustered(4, 3, 6, 16).toDF("vec_id", "embedding")
+    val out = Similarity.nearDuplicatesExact(df, "vec_id", "embedding", 0.95)
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(rows.forall(r => r.getDouble(2) >= 0.95))
+    // cluster ids ≡ (mod 3): near-dups must be same-cluster
+    assert(rows.forall(r => r.getLong(0) % 3 == r.getLong(1) % 3))
+  }
+
+  test("lshBucket is deterministic across invocations") {
+    val df = clustered(5, 2, 4, 8).toDF("vec_id", "embedding")
+    val b1 = df.select(Similarity.lshBucket($"embedding", 8, 12)).collect().map(_.getLong(0)).toSeq
+    val b2 = df.select(Similarity.lshBucket($"embedding", 8, 12)).collect().map(_.getLong(0)).toSeq
+    assert(b1 === b2)
+  }
+}

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators._
+
+/** Golden tests for text-analysis operators. */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("stats: counts and ratios on a hand-computed doc") {
+    // text: "The cat, the CAT!" -> bag [The, cat,, the, CAT!] (4 tokens)
+    val df = Seq(1L -> "The cat, the CAT!").toDF("id", "txt")
+    val r = TextAnalysis.stats(df, "id", "txt").head()
+    assert(r.getLong(1) === 17L)                   // n_chars
+    assert(r.getLong(2) === 4L)                    // n_tokens
+    assert(r.getLong(3) === 3L)                    // distinct lowered: the, cat,, cat!
+    assert(r.getDouble(4) === (3 + 4 + 3 + 4) / 4.0) // avg_token_len
+    assert(r.getDouble(5) === 2.0 / 17)            // punct: ',' '!'
+    assert(r.getDouble(6) === 2.0 / 4)             // stopwords: The, the
+  }
+
+  test("stats: empty string gives zero counts and NULL ratios") {
+    val r = TextAnalysis.stats(Seq(1L -> "").toDF("id", "txt"), "id", "txt").head()
+    assert(r.getLong(1) === 0L && r.getLong(2) === 0L)
+    assert(r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+  }
+
+  test("languageId: stopword voting with tie-break order") {
+    val df = Seq(
+      1L -> "the cat is in the house and it sleeps",
+      2L -> "el gato es de la casa y los perros",
+      3L -> "xyzzy qwerty asdf",
+      4L -> "le chat est les la de").toDF("id", "txt")
+    val out = TextAnalysis.languageId(df, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getString(5)).toMap
+    assert(out(1L) === "en")
+    assert(out(2L) === "es")
+    assert(out(3L) === "und")
+    assert(out(4L) === "fr")
+  }
+
+  test("languageId tie-break: 'la de en' hits es and fr equally -> es wins") {
+    val out = TextAnalysis.languageId(Seq(1L -> "la de").toDF("id", "txt"), "id", "txt").head()
+    assert(out.getString(5) === "es")
+  }
+
+  test("tokenCounts: ws vs BPE-ish segmentation") {
+    val r = TextAnalysis.tokenCounts(
+      Seq(1L -> "hello world42 x!y").toDF("id", "txt"), "id", "txt").head()
+    assert(r.getLong(1) === 3L)  // ws tokens
+    assert(r.getLong(2) === 6L)  // hello | world | 42 | x | ! | y
+  }
+
+  test("fingerprint: whitespace/case-insensitive equality") {
+    val df = Seq(
+      1L -> "Hello   World",
+      2L -> "hello world",
+      3L -> " hello\tworld ",
+      4L -> "hello worlds").toDF("id", "txt")
+    val fps = TextAnalysis.fingerprint(df, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(fps(1L) === fps(2L))
+    assert(fps(2L) === fps(3L))
+    assert(fps(1L) !== fps(4L))
+  }
+}
