@@ -35,7 +35,7 @@ object Dedup {
     * `greatest` member of a qualifying pair (keep-least policy). */
   def nearDuplicateDropIds(df: DataFrame, key: String, value: String,
                            tokenizer: Tokenizer, threshold: Double): DataFrame = {
-    val pairs = JaccardJoin.selfJoin(df, key, value, tokenizer, threshold)
+    val pairs = JaccardJoin.selfJoinDeduped(df, key, value, tokenizer, threshold)
     val (l, r) = (col("l_" + key), col("r_" + key))
     pairs.select(greatest(l, r).as("drop_id")).distinct()
   }

@@ -168,6 +168,147 @@ object JaccardJoin {
   }
 
   // ---------------------------------------------------------------------------
+  // Value-deduplicated variants — identical output, built for duplicated keys
+  // ---------------------------------------------------------------------------
+
+  /**
+   * Self-join with VALUE DEDUPLICATION: runs the whole pipeline over the
+   * DISTINCT join-attribute values, then expands value-level matches back to
+   * record pairs. Output is IDENTICAL to [[selfJoin]]:
+   *
+   *   - document frequency is weighted by value multiplicity (`sum(w)`), so df
+   *     and therefore per-record token order `(df, token)` match the
+   *     record-level pipeline exactly;
+   *   - every filter (length/prefix/positional) and the verification bound
+   *     depend only on value-level quantities (len, pos, token), so a record
+   *     pair qualifies iff its ORIENTED value pair qualifies;
+   *   - the reference's canonical gate `L.l_id < R.l_id` (string compare of
+   *     `concat(len,'_',id)`, jaccard_join.py:155) picks the orientation per
+   *     RECORD pair, so value-level candidates/matches are computed in BOTH
+   *     orientations (the one-sided prefix filters are asymmetric!) and the
+   *     gate is applied at expansion time.
+   *
+   * Cost collapses from O(Σ_token df_rec²) to O(Σ_token df_val²): corpora with
+   * heavy value duplication (the common case at 100 TB — urls, names, titles)
+   * see orders-of-magnitude smaller candidate joins; the expansion is two
+   * cheap value-equi joins.
+   */
+  def selfJoinDeduped(
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+
+    val vals = table.select(col(joinAttr).as("value"))
+      .groupBy("value").agg(count(lit(1)).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // value-level tokens: id column IS the value string
+    val vtokens = tokenizer.tokenize(vals, "value", "value")
+
+    // multiplicity-weighted document frequency == record-level df
+    val dfreq = vtokens
+      .join(vals.select(col("value").as("id"), col("w")), "id")
+      .groupBy("token").agg(sum("w").as("df"))
+
+    val w = Window.partitionBy("id").orderBy("df", "token")
+    val vtkdf = vtokens.join(dfreq, "token")
+      .select(col("id"), col("len"), col("token"), col("df"),
+        row_number().over(w).cast("long").as("pos"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def idxPfx(d: DataFrame) =
+      d.where(col("len") - col("pos") + lit(1) >= (col("len") * lit(2) * t / onePlusT))
+    def prbPfx(d: DataFrame) =
+      d.where(col("len") - col("pos") + lit(1) >= (col("len") * t))
+
+    // ordered value pairs, BOTH orientations, self pairs included — the record
+    // gate below decides which orientation applies to each record pair
+    val L = idxPfx(vtkdf).alias("L")
+    val R = prbPfx(vtkdf).alias("R")
+    val candCond =
+      col("L.token") === col("R.token") &&
+      col("L.len") >= col("R.len") * t &&
+      least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
+        ((col("L.len") + col("R.len")) * t / onePlusT)
+    val cand = L.join(R, candCond)
+      .groupBy(col("L.id").as("Lv"), col("R.id").as("Rv"))
+      .agg(max(col("L.pos")).as("LmaxPos"), max(col("R.pos")).as("RmaxPos"),
+        count(lit(1)).as("pfxOverlap"))
+      .alias("c")
+
+    val Lt = vtkdf.alias("Lt")
+    val Rt = vtkdf.alias("Rt")
+    val vm = Lt.join(cand, col("c.Lv") === col("Lt.id") && col("Lt.pos") >= col("c.LmaxPos"))
+      .join(Rt,
+        col("c.Rv") === col("Rt.id") &&
+        col("Lt.token") === col("Rt.token") &&
+        col("Rt.pos") >= col("c.RmaxPos"))
+      .select(col("Lt.id").as("lval"), col("Rt.id").as("rval"),
+        col("Lt.len").as("llen"), col("Rt.len").as("rlen"),
+        col("c.pfxOverlap").as("pfxOverlap"))
+      .groupBy("lval", "rval", "llen", "rlen", "pfxOverlap")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") + col("pfxOverlap") - lit(1) >=
+        ((col("llen") + col("rlen")) * t / onePlusT))
+      .select(col("lval"), col("rval"))
+
+    expandSelf(table, keyAttr, joinAttr, vtkdf, vm, lOutPrefix, rOutPrefix)
+  }
+
+  /** Brute-force self-join over deduplicated values; identical output to
+    * [[bruteForceSelf]] (the brute conditions factor through values entirely). */
+  def bruteForceSelfDeduped(
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      tokenizer: Tokenizer, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+    val vals = table.select(col(joinAttr).as("value")).distinct()
+    val vtokens = tokenizer.tokenize(vals, "value", "value")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val L = vtokens.alias("L")
+    val R = vtokens.alias("R")
+    // unordered value pairs incl. self pairs (record gate dedupes/orients below)
+    val vm = L.join(R, col("L.token") === col("R.token") && col("L.id") <= col("R.id"))
+      .select(col("L.id").as("lval"), col("L.len").as("llen"),
+        col("R.id").as("rval"), col("R.len").as("rlen"))
+      .groupBy("lval", "llen", "rval", "rlen")
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= ((col("llen") + col("rlen")) * t / onePlusT))
+      .select(col("lval"), col("rval"))
+    // brute force orients by raw id: emit both value orientations, gate id<id
+    val vmBoth = vm.union(
+      vm.where(col("lval") =!= col("rval"))
+        .select(col("rval").as("lval"), col("lval").as("rval")))
+    val recs = table.select(col(keyAttr).as("rid"), col(joinAttr).as("value"))
+    vmBoth.join(recs.select(col("rid").as("lid"), col("value").as("lval")), "lval")
+      .join(recs.select(col("rid").as("rid2"), col("value").as("rval")), "rval")
+      .where(col("lid") < col("rid2"))
+      .select(col("lid").as(lOutPrefix + keyAttr), col("rid2").as(rOutPrefix + keyAttr))
+  }
+
+  /** Expand oriented value-level matches to record pairs under the reference's
+    * `l_id` string gate. */
+  private def expandSelf(
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      vtkdf: DataFrame, vm: DataFrame,
+      lOutPrefix: String, rOutPrefix: String): DataFrame = {
+    val vlens = vtkdf.select(col("id").as("value"), col("len")).distinct()
+    val recs = table.select(col(keyAttr).as("rid"), col(joinAttr).as("value"))
+      .join(vlens, "value")
+      .select(col("rid"), col("value"),
+        concat(col("len").cast("string"), lit("_"), col("rid").cast("string")).as("lid_str"))
+    vm.join(recs.select(col("rid").as("lid"), col("value").as("lval"),
+        col("lid_str").as("l_lid")), "lval")
+      .join(recs.select(col("rid").as("rid2"), col("value").as("rval"),
+        col("lid_str").as("r_lid")), "rval")
+      .where(col("l_lid") < col("r_lid"))
+      .select(col("lid").as(lOutPrefix + keyAttr), col("rid2").as(rOutPrefix + keyAttr))
+  }
+
+  // ---------------------------------------------------------------------------
   // R×S (two-table) join (reference jaccard_join.py:235-433)
   // ---------------------------------------------------------------------------
 
