@@ -23,7 +23,7 @@ object Bench {
     "ann_topk_exact",           // brute-force cosine top-k baseline
     "ann_topk_lsh",             // bucketed scale path
     "text_stats_docs",
-    "eval_counts_part",
+    "eval_counts_norm_part",    // E1 scale path (equi-join on normalized pair key)
   )
 
   def main(args: Array[String]): Unit = {

@@ -356,9 +356,12 @@ object JaccardJoin {
     // J8/J9: full-outer df merge with widow placeholder (jaccard_join.py:270-295)
     val lDf = lTokens.groupBy("token").agg(count(lit(1)).as("l_df"))
     val rDf = rTokens.groupBy("token").agg(count(lit(1)).as("r_df"))
+    // persisted: consumed by BOTH sides' tkdf builds (would otherwise recompute
+    // the two groupBys + full-outer merge twice)
     val dfreq = lDf.join(rDf, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("l_df") * col("r_df"), lit(widowPlaceholder)).as("df"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     def tkdfOf(tokens: DataFrame): DataFrame = {
       val w = Window.partitionBy("id").orderBy("df", "token")
@@ -376,8 +379,17 @@ object JaccardJoin {
     def probingPrefix(tkdf: DataFrame): DataFrame =
       tkdf.where(col("len") - col("pos") + lit(1) >= (col("len") * t))
 
-    val lWidows = indexingPrefix(lTkdf).where(col("df") === widowPlaceholder).count()
-    val rWidows = indexingPrefix(rTkdf).where(col("df") === widowPlaceholder).count()
+    // one Spark job for both widow counts (the reference issues two scalar queries,
+    // jaccard_join.py:341-353; fusing them halves the driver round-trips and lets
+    // the two persisted tkdf scans run concurrently)
+    val widowRows = indexingPrefix(lTkdf).where(col("df") === widowPlaceholder)
+      .select(lit("l").as("side"))
+      .union(indexingPrefix(rTkdf).where(col("df") === widowPlaceholder)
+        .select(lit("r").as("side")))
+      .groupBy("side").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val lWidows = widowRows.getOrElse("l", 0L)
+    val rWidows = widowRows.getOrElse("r", 0L)
 
     // R = indexing side (more widows), S = probing side (jaccard_join.py:353)
     val lIsIndexing = lWidows > rWidows

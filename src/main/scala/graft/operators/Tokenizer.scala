@@ -70,6 +70,12 @@ final case class QGramsTokenizer(q: Int, returnSet: Boolean = true) extends Toke
  * ⚠ Faithful quirk: the reference applies `list_distinct` BEFORE lowercasing (lowering
  * happens at `lower(unnest(tks))`), so "Whisk whisk" yields len=2 and TWO identical
  * 'whisk' token rows. Replicated exactly — document frequencies depend on it.
+ *
+ * ⚠ Deliberate deviation: separators that are regex-class metacharacters (']', '-',
+ * '\', '^', '&') are ESCAPED here, whereas the reference interpolates them raw into
+ * `str_split_regex('[<seps>]')` and produces a broken or differently-interpreted
+ * character class. Splitting on the literal separator characters is the intended
+ * behavior; outputs diverge from the reference only for such separators.
  */
 final case class DelimiterTokenizer(separators: Set[Char], returnSet: Boolean = true)
     extends Tokenizer {

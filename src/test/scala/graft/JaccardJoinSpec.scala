@@ -103,6 +103,40 @@ class JaccardJoinSpec extends SparkSpec {
     assert((e -- p) === Set((28L, 2L)))
   }
 
+  // Value-deduped variants must be output-identical to the record-level pipeline,
+  // including orientation, on tables where many records share a join-attr value
+  // (ties exercise the string gate `concat(len,'_',id)` across same-value records).
+  private def dupHeavyTable(seed: Int, n: Int): Seq[(Long, String)] = {
+    val base = randomTable(seed, 12).map(_._2)
+    val rnd = new Random(seed * 31)
+    (1L to n.toLong).map(i => i -> base(rnd.nextInt(base.size)))
+  }
+
+  for (t <- Seq(0.3, 0.5, 0.8)) {
+    test(s"selfJoinDeduped == selfJoin on duplicate-heavy data (t=$t)") {
+      val df = dupHeavyTable(5, 60).toDF("id", "val")
+      val a = JaccardJoin.selfJoin(df, "id", "val", ws, t)
+      val b = JaccardJoin.selfJoinDeduped(df, "id", "val", ws, t)
+      assert(pairSet(a) === pairSet(b)) // oriented equality, not just unordered
+    }
+  }
+
+  test("bruteForceSelfDeduped == bruteForceSelf on duplicate-heavy data") {
+    val df = dupHeavyTable(9, 60).toDF("id", "val")
+    for (t <- Seq(0.4, 0.7)) {
+      val a = JaccardJoin.bruteForceSelf(df, "id", "val", ws, t)
+      val b = JaccardJoin.bruteForceSelfDeduped(df, "id", "val", ws, t)
+      assert(pairSet(a) === pairSet(b))
+    }
+  }
+
+  test("selfJoinDeduped == selfJoin with qgrams on all-unique values") {
+    val df = randomTable(21, 40).toDF("id", "val")
+    val tok = QGramsTokenizer(3)
+    assert(pairSet(JaccardJoin.selfJoin(df, "id", "val", tok, 0.5)) ===
+      pairSet(JaccardJoin.selfJoinDeduped(df, "id", "val", tok, 0.5)))
+  }
+
   test("bag semantics: multiset overlap counts duplicate tokens") {
     // sets: {a,b} vs {a,b} J=1; bags: [a,a,b] vs [a,b,b] overlap(count-min)=...
     // reference counts equal (token) row pairs: tokens L x R on token gives
