@@ -26,5 +26,7 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs everything in one JVM; the box has 128 GiB — size the heap
+  // so sf0.1 joins never die on heap instead of spilling
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "64g")}",
 )

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Plan/profiling harness: `runMain graft.Profile <queryName> [sfDir]`.
+ *
+ * Prints the formatted physical plan of a registered query, executes it, and
+ * leaves a Spark event log under /tmp/spark-events for stage-level analysis
+ * (durations, shuffle bytes, spills) — the local stand-in for a cluster UI.
+ */
+object Profile {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse(sys.error("usage: Profile <queryName> [sfDir]"))
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    new java.io.File("/tmp/spark-events").mkdirs()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName(s"profile-$name")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", true)
+      .config("spark.sql.adaptive.coalescePartitions.enabled", true)
+      .config("spark.sql.adaptive.skewJoin.enabled", true)
+      .config("spark.eventLog.enabled", true)
+      .config("spark.eventLog.dir", "/tmp/spark-events")
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    val df = fn(spark, sfDir)
+    df.explain("formatted")
+    val t0 = System.nanoTime()
+    val n = df.count()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"[profile] $name rows=$n time=$secs%.3f s appId=${spark.sparkContext.applicationId}")
+    spark.stop()
+  }
+}

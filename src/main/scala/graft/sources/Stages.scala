@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/**
+ * Stage materialization / cleanup (S4/S5 in SURVEY.md §2.1).
+ *
+ * The reference materializes every pipeline stage as a named temp table
+ * (`CREATE TABLE <name> AS SELECT …`) and drops predecessors as it goes
+ * (reference jaccard_join.py:113-142, clear() at :203-209). Spark's natural
+ * equivalents are persist() for reuse and temp views for a name-based surface;
+ * this helper packages the pair so pipelines that want the reference's
+ * explicit stage lifecycle can have it:
+ *
+ *   val tkdf = Stages.materialize(spark, "tkdf", buildTkdf(...))
+ *   ... use spark.table("tkdf") or the returned handle ...
+ *   Stages.drop(spark, "tkdf")
+ *
+ * At scale, persist(MEMORY_AND_DISK) spills per-executor instead of failing,
+ * and dropping eagerly frees block-manager memory between stages — the same
+ * reason the reference DROPs aggressively.
+ */
+object Stages {
+
+  /** S4: materialize a stage under a name — persisted + registered as a temp
+    * view; `eager = true` forces computation now (CTAS semantics). */
+  def materialize(spark: SparkSession, name: String, df: DataFrame,
+                  eager: Boolean = true): DataFrame = {
+    val p = df.persist(StorageLevel.MEMORY_AND_DISK)
+    p.createOrReplaceTempView(name)
+    if (eager) p.count()
+    p
+  }
+
+  /** S5: drop a named stage — unpersist + deregister (DROP TABLE IF EXISTS). */
+  def drop(spark: SparkSession, name: String, blocking: Boolean = false): Unit = {
+    if (spark.catalog.tableExists(name)) {
+      spark.table(name).unpersist(blocking)
+      spark.catalog.dropTempView(name)
+    }
+    ()
+  }
+
+  /** The reference's `finally: clear()` — drop a whole list of stage names
+    * (jaccard_join.py:203-209). */
+  def clear(spark: SparkSession, names: String*): Unit =
+    names.foreach(drop(spark, _))
+}

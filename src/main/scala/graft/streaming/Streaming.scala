@@ -1,0 +1,168 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/**
+ * Structured Streaming variants of the training-data pipeline operators.
+ *
+ * The reference is pure batch (no streaming surface anywhere in
+ * py_duckdb/similarity_join); these extend the same semantics to an ingestion
+ * stream, reusing the batch operators' token/hash definitions so streaming and
+ * batch results agree on the same data:
+ *
+ *   - [[exactDedup]]   — first-seen-fingerprint filter (state: seen hashes).
+ *   - [[nearDupPairs]] — MinHash+LSH near-dup pair detection with
+ *     `flatMapGroupsWithState` keyed by LSH bucket; per-bucket state holds the
+ *     docs seen so far, new docs are exact-verified against them on arrival.
+ *   - [[windowedStats]] — watermarked tumbling-window corpus quality
+ *     aggregates for ingestion monitoring.
+ *
+ * The stateless operators in [[graft.operators.TextAnalysis]] (stats,
+ * languageId, tokenCounts, fingerprint) are pure column transforms and work on
+ * streaming DataFrames unchanged — no streaming wrapper needed.
+ *
+ * Scale notes: state is partitioned by group key (fingerprint / LSH bucket /
+ * window), so it shards across executors like any shuffle. Near-dup bucket
+ * state holds token sets for the bucket's docs — bound it with `stateTtl` in
+ * production so cold buckets expire; LSH banding keeps buckets small (docs
+ * only share a bucket when a signature band matches exactly).
+ */
+object Streaming {
+
+  /** Per-doc MinHash signature as a pure column expression over a token-array
+    * column: sig[i] = min over tokens of xxhash64(i, token). Unlike the batch
+    * [[graft.operators.Dedup.minHashSignatures]] (a groupBy over token rows)
+    * this needs no aggregation state, so it runs identically on batch and
+    * streaming frames. Same hash family, so signatures agree with the batch op. */
+  def minHashSigCol(tokens: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(tokens, tk => xxhash64(lit(i), tk)))): _*)
+
+  /** Lowercased whitespace token SET of a text column (the batch
+    * WhitespaceTokenizer's char class). */
+  private def wsTokenSet(text: Column): Column =
+    array_distinct(filter(split(lower(text), "[\t\n\r ]"), x => trim(x) =!= ""))
+
+  /**
+   * Streaming exact dedup: keep only the first-seen row per content
+   * fingerprint (md5 over whitespace-normalized lowercased text — same
+   * fingerprint as [[graft.operators.TextAnalysis.fingerprint]]).
+   *
+   * `dropDuplicates` on a stream keeps every seen key in the state store
+   * forever; pass `withinWatermarkCol` (an event-time column that has a
+   * watermark set upstream) to use `dropDuplicatesWithinWatermark` so state
+   * expires — the production configuration for unbounded streams.
+   */
+  def exactDedup(stream: DataFrame, text: String,
+                 withinWatermarkCol: Option[String] = None): DataFrame = {
+    val fp = stream.withColumn("fingerprint",
+      md5(trim(regexp_replace(lower(col(text)), "\\s+", " "))))
+    withinWatermarkCol match {
+      case Some(_) => fp.dropDuplicatesWithinWatermark("fingerprint")
+      case None    => fp.dropDuplicates("fingerprint")
+    }
+  }
+
+  /** One doc in one LSH bucket (the flatMapGroupsWithState row type). */
+  final case class BucketDoc(bucket: String, id: String, tokens: Seq[String])
+  /** Per-bucket state: docs seen so far. */
+  final case class SeenDocs(docs: List[BucketDoc])
+  /** Emitted near-dup pair, oriented l < r. */
+  final case class DupPair(l_id: String, r_id: String, jaccard: Double)
+
+  /**
+   * Streaming near-duplicate detection: MinHash signatures (stateless column
+   * expression) → LSH band buckets → `flatMapGroupsWithState` keyed by bucket,
+   * where each arriving doc is exact-verified (set Jaccard, the join
+   * pipeline's operand order `overlap >= (l+r)*t/(1+t)`) against the bucket's
+   * previously-seen docs, then added to the bucket state.
+   *
+   * Output: `DupPair(l_id, r_id, jaccard)` with l < r, emitted in the
+   * micro-batch where the LATER doc of the pair arrives. A pair colliding in
+   * several buckets is emitted once per bucket — dedupe downstream with
+   * `dropDuplicates` if exact-once pairs matter (kept out of this operator so
+   * it stays append-mode composable).
+   *
+   * `stateTtl` (e.g. "30 minutes") expires buckets idle longer than the TTL —
+   * docs arriving after their bucket expired simply can't pair with the
+   * expired docs, the standard recall/state tradeoff for unbounded streams.
+   */
+  def nearDupPairs(stream: DataFrame, key: String, text: String,
+                   threshold: Double, bands: Int = 8, rowsPerBand: Int = 4,
+                   stateTtl: Option[String] = None): Dataset[DupPair] = {
+    import stream.sparkSession.implicits._
+    val numHashes = bands * rowsPerBand
+
+    val banded = stream
+      .select(col(key).cast("string").as("id"), wsTokenSet(col(text)).as("tokens"))
+      .withColumn("sig", minHashSigCol(col("tokens"), numHashes))
+      .select(col("id"), col("tokens"), explode(
+        transform(sequence(lit(0), lit(bands - 1)), b =>
+          concat_ws("_", b.cast("string"),
+            hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))).cast("string"))))
+        .as("bucket"))
+      .as[(String, Seq[String], String)]
+      .map { case (id, tokens, bucket) => BucketDoc(bucket, id, tokens) }
+
+    val timeout =
+      if (stateTtl.isDefined) GroupStateTimeout.ProcessingTimeTimeout
+      else GroupStateTimeout.NoTimeout
+
+    banded.groupByKey(_.bucket)
+      .flatMapGroupsWithState[SeenDocs, DupPair](OutputMode.Append, timeout) {
+        (_, docs, state: GroupState[SeenDocs]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.map(_.docs).getOrElse(Nil)
+            val out = List.newBuilder[DupPair]
+            for (d <- docs) {
+              val dSet = d.tokens.toSet
+              for (s <- seen if s.id != d.id) {
+                val sSet = s.tokens.toSet
+                val overlap = dSet.count(sSet.contains)
+                // reference operand order (jaccard_join.py:183) so the stream
+                // agrees with batch JaccardJoin/Dedup on boundary pairs
+                if (overlap >= (dSet.size + sSet.size) * threshold / (1d + threshold)) {
+                  val (l, r) = if (d.id < s.id) (d.id, s.id) else (s.id, d.id)
+                  out += DupPair(l, r,
+                    overlap.toDouble / (dSet.size + sSet.size - overlap))
+                }
+              }
+              seen = d :: seen
+            }
+            state.update(SeenDocs(seen))
+            stateTtl.foreach(state.setTimeoutDuration)
+            out.result().iterator
+          }
+      }
+  }
+
+  /**
+   * Watermarked tumbling-window corpus quality monitor: per (window, lang)
+   * doc counts and average quality signals over an ingestion stream. Late
+   * rows beyond the watermark are dropped; windows finalize (append mode)
+   * once the watermark passes their end.
+   */
+  def windowedStats(stream: DataFrame, timeCol: String, text: String,
+                    windowDuration: String = "1 minute",
+                    watermarkDelay: String = "2 minutes"): DataFrame = {
+    val toks = wsTokenSet(col(text))
+    stream
+      .withWatermark(timeCol, watermarkDelay)
+      .select(col(timeCol), col(text),
+        size(toks).cast("long").as("n_tokens"),
+        length(col(text)).cast("long").as("n_chars"))
+      .groupBy(window(col(timeCol), windowDuration))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        avg("n_tokens").as("avg_tokens"),
+        avg("n_chars").as("avg_chars"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("avg_tokens"), col("avg_chars"))
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{Dedup, WhitespaceTokenizer}
+import graft.streaming.Streaming
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming operators driven through MemoryStream: exact dedup
+  * state across micro-batches, LSH-bucketed near-dup detection vs the batch
+  * MinHash operator, and watermarked windowed aggregation. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def runToTable[T](q: org.apache.spark.sql.Dataset[T], name: String)(
+      feed: => Unit): Unit = {
+    val query = q.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try { feed; query.processAllAvailable() } finally query.stop()
+  }
+
+  test("exactDedup keeps first-seen fingerprint across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(Streaming.exactDedup(stream, "text"), "ex_dedup") {
+      in.addData(1L -> "the quick  Fox", 2L -> "other content")
+      // batch 2: #3 normalizes to #1's fingerprint (case/space-insensitive)
+      in.addData(3L -> "The quick fox", 4L -> "brand new")
+    }
+    val ids = spark.table("ex_dedup").select("id").as[Long].collect().toSet
+    assert(ids === Set(1L, 2L, 4L))
+  }
+
+  test("nearDupPairs emits cross-batch near-duplicates; agrees with batch MinHash") {
+    implicit val sqlCtx = spark.sqlContext
+    val docs = Seq(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "alpha beta gamma delta zeta",     // J(1,2) = 4/6
+      3L -> "completely different words here",
+      4L -> "alpha beta gamma delta epsilon",  // J(1,4) = 1
+      5L -> "unrelated content again")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.nearDupPairs(stream, "id", "text", threshold = 0.6), "near_dup") {
+      in.addData(docs.take(2): _*)
+      in.addData(docs.drop(2): _*)   // pair (1,4) spans micro-batches
+    }
+    val streamPairs = spark.table("near_dup")
+      .select("l_id", "r_id").distinct()
+      .as[(String, String)].collect().map { case (l, r) => (l.toLong, r.toLong) }.toSet
+
+    val batchPairs = Dedup.minHashPairs(
+        docs.toDF("id", "text"), "id", "text", WhitespaceTokenizer(), 0.6,
+        bands = 8, rowsPerBand = 4)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+
+    // J(1,2)=4/6, J(1,4)=1, J(2,4)=4/6 — all ≥ 0.6
+    assert(streamPairs === Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(streamPairs === batchPairs)
+  }
+
+  test("windowedStats: tumbling windows with watermark finalize in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val stream = in.toDF().toDF("ts", "text")
+    val t0 = Timestamp.valueOf("2026-01-01 00:00:05")
+    val t1 = Timestamp.valueOf("2026-01-01 00:00:30")
+    val late = Timestamp.valueOf("2026-01-01 00:05:00") // advances watermark past w0
+    runToTable(Streaming.windowedStats(stream, "ts", "text",
+        windowDuration = "1 minute", watermarkDelay = "1 minute"), "win_stats") {
+      in.addData(t0 -> "one two three", t1 -> "four five")
+      in.addData(late -> "much later doc")
+    }
+    val rows = spark.table("win_stats")
+      .select("window_start", "n_docs", "avg_tokens").collect()
+    // only the first window is finalized (watermark = 00:05 - 1m = 00:04 > 00:01)
+    assert(rows.length === 1)
+    assert(rows(0).getLong(1) === 2L)
+    assert(rows(0).getDouble(2) === 2.5d)
+  }
+}

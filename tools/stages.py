@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Summarize a Spark event log: per-stage duration, shuffle, spill.
+
+Usage: python3 tools/stages.py [appId|latest] [minSecs]
+"""
+import json, glob, os, sys
+
+app = sys.argv[1] if len(sys.argv) > 1 else "latest"
+min_secs = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
+
+logs = sorted(glob.glob("/tmp/spark-events/*"), key=os.path.getmtime)
+path = logs[-1] if app == "latest" else f"/tmp/spark-events/{app}"
+
+stages = {}
+for line in open(path):
+    try:
+        ev = json.loads(line)
+    except json.JSONDecodeError:
+        continue
+    if ev.get("Event") == "SparkListenerStageCompleted":
+        si = ev["Stage Info"]
+        sid = si["Stage ID"]
+        dur = (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1000.0
+        stages[sid] = {
+            "name": si["Stage Name"].split("\n")[0][:70],
+            "dur": dur,
+            "tasks": si["Number of Tasks"],
+            "read": 0, "write": 0, "spill": 0, "out": 0,
+        }
+    elif ev.get("Event") == "SparkListenerTaskEnd":
+        sid = ev["Stage ID"]
+        if sid in stages and ev.get("Task Metrics"):
+            m = ev["Task Metrics"]
+            stages[sid]["read"] += m.get("Shuffle Read Metrics", {}).get("Remote Bytes Read", 0) + \
+                                   m.get("Shuffle Read Metrics", {}).get("Local Bytes Read", 0)
+            stages[sid]["write"] += m.get("Shuffle Write Metrics", {}).get("Shuffle Bytes Written", 0)
+            stages[sid]["spill"] += m.get("Disk Bytes Spilled", 0)
+            stages[sid]["out"] += m.get("Output Metrics", {}).get("Records Written", 0)
+
+def mb(b): return f"{b/1e6:8.1f}MB"
+
+total = sum(s["dur"] for s in stages.values())
+print(f"{os.path.basename(path)}  stages={len(stages)}  sum_stage_secs={total:.1f}")
+print(f"{'sid':>4} {'secs':>7} {'tasks':>5} {'shufR':>10} {'shufW':>10} {'spill':>10}  name")
+for sid, s in sorted(stages.items(), key=lambda kv: -kv[1]["dur"]):
+    if s["dur"] < min_secs:
+        continue
+    print(f"{sid:>4} {s['dur']:>7.2f} {s['tasks']:>5} {mb(s['read'])} {mb(s['write'])} {mb(s['spill'])}  {s['name']}")
