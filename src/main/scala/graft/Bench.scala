@@ -35,6 +35,10 @@ object Bench {
       .config("spark.sql.adaptive.enabled", true)
       .config("spark.sql.adaptive.coalescePartitions.enabled", true)
       .config("spark.sql.adaptive.skewJoin.enabled", true)
+      // keep the 128-column MinHash aggregate inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", 256)
+      // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

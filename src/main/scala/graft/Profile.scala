@@ -24,6 +24,10 @@ object Profile {
       .config("spark.sql.adaptive.skewJoin.enabled", true)
       .config("spark.eventLog.enabled", true)
       .config("spark.eventLog.dir", "/tmp/spark-events")
+      // keep the 128-column MinHash aggregate inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", 256)
+      // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the 128-column MinHash aggregate inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", 256)
+      // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

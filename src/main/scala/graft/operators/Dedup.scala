@@ -62,16 +62,20 @@ object Dedup {
     val tokens = tokenizer.tokenize(df, key, value).persist(StorageLevel.MEMORY_AND_DISK)
     val sigs = minHashSignatures(tokens, numHashes)
 
+    // Fold each band's signature chunk into ONE long via xxhash64(band, chunk):
+    // the self-join then hashes on a single 8-byte key instead of an
+    // 8-element array (cross-band hash collisions only add false candidates,
+    // which exact verification removes). Persisted so the signature
+    // aggregation runs once, not once per join side.
     val banded = sigs.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => struct(b.as("band"), slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)).as("chunk"))))
-      .as("bd"))
-      .select(col("id"), col("bd.band").as("band"), col("bd.chunk").as("chunk"))
+        b => xxhash64(b, slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
+      .as("bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     val cand = banded.alias("a")
       .join(banded.alias("b"),
-        col("a.band") === col("b.band") && col("a.chunk") === col("b.chunk") &&
-        col("a.id") < col("b.id"))
+        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("lid"), col("b.id").as("rid"))
       .distinct()
 

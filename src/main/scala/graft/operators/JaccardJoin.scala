@@ -200,16 +200,22 @@ object JaccardJoin {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
 
+    // Compact 128-bit BINARY surrogate per distinct value: every downstream
+    // shuffle row (tokens, prefixes, candidates, verification) keys on the
+    // 16-byte digest instead of the raw value — on long-text corpora
+    // (documents) the raw-value key made each token row carry the whole
+    // document and a single sf0.1 run shuffled >40 GB to disk.
     val vals = table.select(col(joinAttr).as("value"))
       .groupBy("value").agg(count(lit(1)).as("w"))
+      .withColumn("vid", unhex(md5(col("value"))))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // value-level tokens: id column IS the value string
-    val vtokens = tokenizer.tokenize(vals, "value", "value")
+    // value-level tokens keyed by the surrogate
+    val vtokens = tokenizer.tokenize(vals.select(col("vid"), col("value")), "vid", "value")
 
     // multiplicity-weighted document frequency == record-level df
     val dfreq = vtokens
-      .join(vals.select(col("value").as("id"), col("w")), "id")
+      .join(vals.select(col("vid").as("id"), col("w")), "id")
       .groupBy("token").agg(sum("w").as("df"))
 
     val w = Window.partitionBy("id").orderBy("df", "token")
@@ -223,13 +229,45 @@ object JaccardJoin {
     def prbPfx(d: DataFrame) =
       d.where(col("len") - col("pos") + lit(1) >= (col("len") * t))
 
-    // ordered value pairs, BOTH orientations, self pairs included — the record
-    // gate below decides which orientation applies to each record pair
-    val L = idxPfx(vtkdf).alias("L")
-    val R = prbPfx(vtkdf).alias("R")
+    // Ordered value pairs, BOTH orientations, self pairs included — the record
+    // gate below decides which orientation applies to each record pair.
+    //
+    // Two output-preserving tightenings over the reference's candidate query:
+    //
+    //   1. SYMMETRIC length filter: the reference prunes one-sidedly
+    //      (`L.len >= R.len * t`, jaccard_join.py:158), but a pair with
+    //      `R.len < L.len * t` can never verify — overlap <= R.len while the
+    //      HAVING bound (L.len+R.len)*t/(1+t) > R.len exactly in that region —
+    //      so adding the mirror condition drops only pairs verification would
+    //      drop anyway. (The per-pair prefix stats maxPos/pfxOverlap are
+    //      unaffected: length filters accept or reject ALL token matches of a
+    //      pair together.)
+    //   2. LENGTH-BAND equi key: with lengths confined to a factor-(1/t) window,
+    //      band(len) = floor(ln(len)/ln(1/t)) lets the join hash on
+    //      (token, band) instead of token alone. The probing side explodes to
+    //      every band its admissible partner lengths [floor(len*t), ceil(len/t)]
+    //      can occupy (floor/ceil make the FP boundaries conservative; the
+    //      exact filters above stay as residuals). The indexing side has ONE
+    //      band, so no pair is emitted twice. On skewed corpora (tiny shared
+    //      vocabularies — the documents table) this splits each hot token's
+    //      n_idx x n_prb blowup across length bands: measured 31M -> 17M joined
+    //      rows at sf0.1 t=0.9.
+    val lnInvT = math.log(1d / threshold)
+    def bandOf(len: Column): Column =
+      if (threshold >= 1d) len else floor(log(len.cast("double")) / lit(lnInvT)).cast("long")
+    val L = idxPfx(vtkdf).withColumn("band", bandOf(col("len"))).alias("L")
+    val R = prbPfx(vtkdf)
+      .withColumn("band",
+        if (threshold >= 1d) col("len")
+        else explode(sequence(
+          bandOf(greatest(floor(col("len") * t), lit(1d))),
+          bandOf(ceil(col("len") / t)))))
+      .alias("R")
     val candCond =
       col("L.token") === col("R.token") &&
+      col("L.band") === col("R.band") &&
       col("L.len") >= col("R.len") * t &&
+      col("R.len") >= col("L.len") * t &&
       least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
         ((col("L.len") + col("R.len")) * t / onePlusT)
     val cand = L.join(R, candCond)
@@ -254,7 +292,7 @@ object JaccardJoin {
         ((col("llen") + col("rlen")) * t / onePlusT))
       .select(col("lval"), col("rval"))
 
-    expandSelf(table, keyAttr, joinAttr, vtkdf, vm, lOutPrefix, rOutPrefix)
+    expandSelf(table, keyAttr, joinAttr, vals, vtkdf, vm, lOutPrefix, rOutPrefix)
   }
 
   /** Brute-force self-join over deduplicated values; identical output to
@@ -266,7 +304,8 @@ object JaccardJoin {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
     val vals = table.select(col(joinAttr).as("value")).distinct()
-    val vtokens = tokenizer.tokenize(vals, "value", "value")
+      .withColumn("vid", unhex(md5(col("value"))))
+    val vtokens = tokenizer.tokenize(vals.select(col("vid"), col("value")), "vid", "value")
       .persist(StorageLevel.MEMORY_AND_DISK)
     val L = vtokens.alias("L")
     val R = vtokens.alias("R")
@@ -283,26 +322,28 @@ object JaccardJoin {
       vm.where(col("lval") =!= col("rval"))
         .select(col("rval").as("lval"), col("lval").as("rval")))
     val recs = table.select(col(keyAttr).as("rid"), col(joinAttr).as("value"))
-    vmBoth.join(recs.select(col("rid").as("lid"), col("value").as("lval")), "lval")
-      .join(recs.select(col("rid").as("rid2"), col("value").as("rval")), "rval")
+      .join(vals, "value")
+    vmBoth.join(recs.select(col("vid").as("lval"), col("rid").as("lid")), "lval")
+      .join(recs.select(col("vid").as("rval"), col("rid").as("rid2")), "rval")
       .where(col("lid") < col("rid2"))
       .select(col("lid").as(lOutPrefix + keyAttr), col("rid2").as(rOutPrefix + keyAttr))
   }
 
-  /** Expand oriented value-level matches to record pairs under the reference's
-    * `l_id` string gate. */
+  /** Expand oriented value-level matches (keyed by surrogate `vid`) to record
+    * pairs under the reference's `l_id` string gate. */
   private def expandSelf(
       table: DataFrame, keyAttr: String, joinAttr: String,
-      vtkdf: DataFrame, vm: DataFrame,
+      vals: DataFrame, vtkdf: DataFrame, vm: DataFrame,
       lOutPrefix: String, rOutPrefix: String): DataFrame = {
-    val vlens = vtkdf.select(col("id").as("value"), col("len")).distinct()
+    val vlens = vtkdf.select(col("id").as("vid"), col("len")).distinct()
     val recs = table.select(col(keyAttr).as("rid"), col(joinAttr).as("value"))
-      .join(vlens, "value")
-      .select(col("rid"), col("value"),
+      .join(vals.select(col("value"), col("vid")), "value")
+      .join(vlens, "vid")
+      .select(col("rid"), col("vid"),
         concat(col("len").cast("string"), lit("_"), col("rid").cast("string")).as("lid_str"))
-    vm.join(recs.select(col("rid").as("lid"), col("value").as("lval"),
+    vm.join(recs.select(col("vid").as("lval"), col("rid").as("lid"),
         col("lid_str").as("l_lid")), "lval")
-      .join(recs.select(col("rid").as("rid2"), col("value").as("rval"),
+      .join(recs.select(col("vid").as("rval"), col("rid").as("rid2"),
         col("lid_str").as("r_lid")), "rval")
       .where(col("l_lid") < col("r_lid"))
       .select(col("lid").as(lOutPrefix + keyAttr), col("rid2").as(rOutPrefix + keyAttr))

@@ -32,6 +32,10 @@ object SparkSpec {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", 4)
       .config("spark.sql.session.timeZone", "UTC")
+      // keep the 128-column MinHash aggregate inside whole-stage codegen
+      .config("spark.sql.codegen.maxFields", 256)
+      // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs
+      .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .config("spark.ui.enabled", false)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

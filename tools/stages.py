@@ -11,8 +11,22 @@ min_secs = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
 logs = sorted(glob.glob("/tmp/spark-events/*"), key=os.path.getmtime)
 path = logs[-1] if app == "latest" else f"/tmp/spark-events/{app}"
 
+
+def lines(p):
+    # Spark 4 rolling logs are directories of events_* part files (zstd by default)
+    parts = sorted(glob.glob(os.path.join(p, "events_*"))) if os.path.isdir(p) else [p]
+    for part in parts:
+        if part.endswith(".zstd"):
+            import subprocess
+            out = subprocess.run(["zstd", "-dc", part], capture_output=True, text=True).stdout
+            yield from out.splitlines()
+        else:
+            with open(part) as f:
+                yield from f
+
+
 stages = {}
-for line in open(path):
+for line in lines(path):
     try:
         ev = json.loads(line)
     except json.JSONDecodeError:
