@@ -22,6 +22,8 @@ object Bench {
     "dedup_exact_docs",
     "ann_topk_exact",           // brute-force cosine top-k baseline
     "ann_topk_lsh",             // bucketed scale path
+    "ann_topk_ivf",             // inverted-file scale path
+    "emb_neardup_lsh",          // bucketed embedding dedup
     "text_stats_docs",
     "eval_counts_norm_part",    // E1 scale path (equi-join on normalized pair key)
   )

@@ -273,6 +273,73 @@ WHERE rank <= $k"""
 FROM $table a, $table b
 WHERE a.$key < b.$key AND ${cosExpr(s"a.$vec", s"b.$vec")} >= ${d(minCosine)}"""
 
+  /** Mirrors Similarity.topKIvf: deterministic md5-sampled centroids, nearest-
+    * centroid inverted lists, nProbe-list probe with exact re-rank. */
+  def annTopKIvf(table: String, key: String, vec: String, queryPred: String,
+                 k: Int, nCentroids: Int, nProbe: Int): String =
+    s"""WITH cents AS (
+  SELECT $key AS cid, $vec AS cvec FROM $table
+  ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
+assign AS (
+  SELECT id, cid, v FROM (
+    SELECT e.$key AS id, e.$vec AS v, c.cid AS cid,
+      row_number() OVER (PARTITION BY e.$key
+        ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table e, cents c)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.$key AS query_id, q.$vec AS qv, c.cid AS cid,
+      row_number() OVER (PARTITION BY q.$key
+        ORDER BY ${cosExpr(s"q.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table q, cents c WHERE $queryPred)
+  WHERE rn <= $nProbe)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT p.query_id AS query_id, a.id AS neighbor_id,
+    row_number() OVER (PARTITION BY p.query_id
+      ORDER BY ${cosExpr("p.qv", "a.v")} DESC, a.id) AS rank
+  FROM probes p JOIN assign a USING (cid) WHERE a.id != p.query_id)
+WHERE rank <= $k"""
+
+  /** Mirrors Similarity.nearDuplicates: random-hyperplane LSH buckets (plane
+    * components baked in as literals from Similarity.planeComponent — the same
+    * deterministic constants the Spark expressions use) + exact cosine. */
+  def embNearDupLsh(table: String, key: String, vec: String, minCosine: Double,
+                    dim: Int, planes: Int): String = {
+    def dotPlane(v: String, i: Int): String = {
+      val comps = (0 until dim).map(j => operators.Similarity.planeComponent(i, j))
+      s"list_sum(list_transform(generate_series(1, $dim), jj -> " +
+        s"CAST($v[jj] AS DOUBLE) * (list_value(${comps.mkString(", ")}))[jj]))"
+    }
+    val bucket = (0 until planes)
+      .map(i => s"(CASE WHEN ${dotPlane("v", i)} > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH b AS (SELECT $key AS id, $vec AS v, $bucket AS bucket FROM $table)
+SELECT lid, rid, sim FROM (
+  SELECT a.id AS lid, b2.id AS rid, ${cosExpr("a.v", "b2.v")} AS sim
+  FROM b a, b b2 WHERE a.bucket = b2.bucket AND a.id < b2.id)
+WHERE sim >= ${d(minCosine)}"""
+  }
+
+  /** Mirrors TextAnalysis.qualityScore over the textStats signals. */
+  def qualityScore(table: String, key: String, text: String): String =
+    s"""SELECT id,
+  (CASE WHEN n_tokens >= 5 AND n_tokens <= 2000 THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.5 AS DOUBLE) END)
+  * coalesce(CAST(1.0 AS DOUBLE) - punct_ratio, CAST(1.0 AS DOUBLE))
+  * (CASE WHEN stopword_ratio IS NOT NULL AND stopword_ratio > CAST(0.05 AS DOUBLE) AND stopword_ratio < CAST(0.6 AS DOUBLE)
+     THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.8 AS DOUBLE) END) AS quality_score
+FROM (${textStats(table, key, text)})"""
+
+  /** E2 differential: symmetric-pair diff of two pair tables, must be empty —
+    * reported as a single-row count (reference notebook.ipynb cell 5). */
+  def differentialCount(aSql: String, bSql: String): String =
+    s"""WITH a AS ($aSql), b AS ($bSql),
+cm AS (
+  SELECT a.ak1, b.bk1
+  FROM a FULL OUTER JOIN b
+    ON (a.ak1 = b.bk1 AND a.ak2 = b.bk2) OR (a.ak1 = b.bk2 AND a.ak2 = b.bk1))
+SELECT count(*)::BIGINT AS n_diff FROM cm WHERE ak1 IS NULL OR bk1 IS NULL"""
+
   /** Manual per-pair Jaccard aggregation over a tokens CTE
     * (reference test.ipynb cell 29's N7 shape). */
   def manualJaccard(tokensSql: String): String =

@@ -90,19 +90,36 @@ object Dedup {
     * two differ on true-boundary pairs (e.g. J = 27/30 at t = 0.9, where the
     * reference form computes a bound of 27.000000000000004 and drops the
     * pair). Matching the reference keeps the dedup cascade consistent with
-    * [[JaccardJoin]] results on the same data. */
+    * [[JaccardJoin]] results on the same data.
+    *
+    * Implementation: per-id token ARRAYS with a conservative length prefilter,
+    * then a codegen'd `array_intersect` per pair — O(|l|+|r|) per candidate
+    * with no row explosion. The relational form (cand x tokens x tokens +
+    * groupBy) streamed ~150M joined rows for 5.5M LSH candidates at sf0.1 and
+    * took 17 s; this takes ~3.5 s for identical output. Docs holding duplicate
+    * emitted tokens (case-variants merged by the tokenizer's lowercase-after-
+    * distinct) fall back to an exact multiset product count, matching the
+    * join-count semantics bit-for-bit. */
   private[operators] def verifyJaccard(cand: DataFrame, tokens: DataFrame,
                                        threshold: Double): DataFrame = {
-    val lens = tokens.select(col("id"), col("len")).distinct()
-    val overlap = cand
-      .join(tokens.select(col("id").as("lid"), col("token")), "lid")
-      .join(tokens.select(col("id").as("rid"), col("token")), Seq("rid", "token"))
-      .groupBy("lid", "rid").agg(count(lit(1)).as("overlap"))
-    overlap
-      .join(lens.select(col("id").as("lid"), col("len").as("llen")), "lid")
-      .join(lens.select(col("id").as("rid"), col("len").as("rlen")), "rid")
-      .where(col("overlap") >=
-        ((col("llen") + col("rlen")) * lit(threshold) / lit(1d + threshold)))
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+    val docArr = tokens.groupBy("id")
+      .agg(collect_list(col("token")).as("arr"), first(col("len")).as("len"))
+    // prefilter is a SUPERSET gate (eps guards FP boundaries); the exact
+    // reference-operand-order threshold test below makes the final call
+    val eps = lit(1e-9)
+    val paired = cand
+      .join(docArr.select(col("id").as("lid"), col("arr").as("larr"), col("len").as("llen")), "lid")
+      .join(docArr.select(col("id").as("rid"), col("arr").as("rarr"), col("len").as("rlen")), "rid")
+      .where(col("llen") >= col("rlen") * t - eps && col("rlen") >= col("llen") * t - eps)
+    val dupFree = (size(array_distinct(col("larr"))) === size(col("larr"))) &&
+      (size(array_distinct(col("rarr"))) === size(col("rarr")))
+    val overlapCol = when(dupFree, size(array_intersect(col("larr"), col("rarr"))).cast("long"))
+      .otherwise(aggregate(col("larr"), lit(0L),
+        (acc, x) => acc + size(filter(col("rarr"), y => y === x)).cast("long")))
+    paired.withColumn("overlap", overlapCol)
+      .where(col("overlap") >= ((col("llen") + col("rlen")) * t / onePlusT))
       .select(col("lid"), col("rid"),
         (col("overlap").cast("double") /
           (col("llen") + col("rlen") - col("overlap"))).as("jaccard"))

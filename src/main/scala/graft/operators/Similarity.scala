@@ -56,7 +56,7 @@ object Similarity {
   /** Deterministic pseudo-random hyperplanes: component j of plane i derives
     * from a splitmix64-style mix of (i, j), mapped to [-1, 1]. No RNG state —
     * the same planes materialize on every executor and every run. */
-  private[operators] def planeComponent(i: Int, j: Int): Double = {
+  private[graft] def planeComponent(i: Int, j: Int): Double = {
     var z = i.toLong * 0x9E3779B97F4A7C15L + j.toLong * 0xBF58476D1CE4E5B9L + 0x94D049BB133111EBL
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
@@ -100,6 +100,54 @@ object Similarity {
     val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     sims.select(col("query_id"), col("neighbor_id"),
         row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+  }
+
+  /**
+   * IVF (inverted-file) approximate top-k — the classic two-level ANN layout:
+   *
+   *   1. coarse quantizer: `nCentroids` centroids chosen as the corpus vectors
+   *      with the smallest `md5(id)` digest — a deterministic pseudo-random
+   *      sample, so the index is reproducible and SQL-oracle-able (no k-means
+   *      RNG);
+   *   2. inverted lists: every corpus vector is assigned to its nearest
+   *      centroid by cosine (ties by centroid id);
+   *   3. probe: each query ranks centroids, scans the `nProbe` nearest lists,
+   *      and exactly re-ranks the union by cosine.
+   *
+   * At 100 TB the lists are hash-partitioned by centroid id and a probe
+   * touches ~nProbe/nCentroids of the corpus; assignment is a
+   * broadcast(centroids) x corpus map-side job — one shuffle on centroid id,
+   * no all-pairs stage anywhere.
+   */
+  def topKIvf(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
+              k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents = broadcast(
+      corpus.select(col(key).as("cid"), col(vec).as("cvec"))
+        .orderBy(md5(col("cid").cast("string")), col("cid")).limit(nCentroids))
+    // inverted lists: nearest centroid per corpus vector
+    val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    val assigned = corpus.select(col(key).as("id"), col(vec).as("v"))
+      .crossJoin(cents)
+      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(wAssign))
+      .where(col("rn") === 1)
+      .select(col("cid"), col("id"), col("v"))
+    // probe lists of the nProbe nearest centroids
+    val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
+    val probes = queries.select(col(key).as("query_id"), col(vec).as("qv"))
+      .crossJoin(cents)
+      .select(col("query_id"), col("qv"), col("cid"), cosine(col("qv"), col("cvec")).as("csim"))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    probes.join(assigned, "cid")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(wRank).cast("long").as("rank"))
       .where(col("rank") <= k)
   }
 

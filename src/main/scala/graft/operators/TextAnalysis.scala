@@ -85,6 +85,23 @@ object TextAnalysis {
         .cast("long").as("n_bpeish_tokens"))
 
   /**
+   * Composite quality score in (0, 1]: length-window gate x punctuation
+   * cleanliness x stopword-profile plausibility — a deterministic heuristic
+   * assembled from the [[stats]] signals (mirrored exactly in the SQL oracle).
+   * Same double arithmetic order on both sides, so scores hash-match.
+   */
+  def qualityScore(df: DataFrame, key: String, text: String): DataFrame = {
+    val s = stats(df, key, text)
+    val lenGate = when(col("n_tokens") >= 5 && col("n_tokens") <= 2000, lit(1.0d))
+      .otherwise(lit(0.5d))
+    val punctFactor = coalesce(lit(1.0d) - col("punct_ratio"), lit(1.0d))
+    val stopFactor = when(col("stopword_ratio").isNotNull &&
+        col("stopword_ratio") > lit(0.05d) && col("stopword_ratio") < lit(0.6d), lit(1.0d))
+      .otherwise(lit(0.8d))
+    s.select(col("id"), (lenGate * punctFactor * stopFactor).as("quality_score"))
+  }
+
+  /**
    * Content fingerprint: md5 over the whitespace-normalized lowercased text.
    * Identical fingerprints ⇒ near-identical content modulo spacing/case — the
    * cheap first pass before MinHash in a dedup cascade.

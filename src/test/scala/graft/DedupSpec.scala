@@ -74,6 +74,26 @@ class DedupSpec extends SparkSpec {
     assert(sigs.size === 1)
   }
 
+  test("minhash verify: multiset fallback matches join-count semantics on case-variant dups") {
+    // ws set-mode distincts BEFORE lowercasing, so "The the" emits TWO 'the'
+    // rows; the reference's count(*) overlap then counts the 2x2 product.
+    // len = 4, overlap = 2*2 + 1 + 1 = 6 -> jaccard = 6/(4+4-6) = 3.0
+    val df = Seq(1L -> "The the foo bar", 2L -> "The the foo bar").toDF("id", "txt")
+    val rows = Dedup.minHashPairs(df, "id", "txt", ws, 0.9).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(2) === 3.0)
+  }
+
+  test("ngram near-dup drop ids agree with the q-gram brute-force join") {
+    val q5 = QGramsTokenizer(5)
+    val df = corpus(11, 25, 12).toDF("id", "txt")
+    val expected = unorderedPairSet(JaccardJoin.bruteForceSelf(df, "id", "txt", q5, 0.8))
+      .map { case (a, b) => math.max(a, b) }
+    val drops = Dedup.nearDuplicateDropIds(df, "id", "txt", q5, 0.8)
+      .collect().map(_.getLong(0)).toSet
+    assert(drops === expected)
+  }
+
   test("near-duplicate drop ids: greatest of each qualifying pair") {
     val df = Seq(1L -> "a b c d", 2L -> "a b c d", 3L -> "x y z w").toDF("id", "txt")
     val drops = Dedup.nearDuplicateDropIds(df, "id", "txt", ws, 0.9)

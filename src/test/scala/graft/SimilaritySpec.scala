@@ -63,6 +63,31 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(0) % 3 == r.getLong(1) % 3))
   }
 
+  test("topKIvf: recall vs exact on clustered vectors; k ranks, self excluded") {
+    val df = clustered(7, 6, 15, 32).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 6)
+    val exact = Similarity.topKExact(df, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.topKIvf(df, q, "vec_id", "embedding", 5, nCentroids = 8, nProbe = 3)
+    val rows = ivf.collect()
+    assert(rows.forall(r => r.getLong(0) != r.getLong(1)))
+    val ivfPairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact & ivfPairs).size.toDouble / exact.size
+    assert(recall >= 0.6, s"IVF recall too low: $recall")
+  }
+
+  test("nearDuplicates (LSH) is a subset of exact near-duplicates with good recall") {
+    val df = clustered(8, 4, 8, 16).toDF("vec_id", "embedding")
+    val exact = Similarity.nearDuplicatesExact(df, "vec_id", "embedding", 0.95)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.nearDuplicates(df, "vec_id", "embedding", 0.95, dim = 16, planes = 6)
+      .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty)
+    assert(lsh.subsetOf(exact), "bucketed near-dups must re-verify by exact cosine")
+    assert((exact & lsh).size.toDouble / exact.size >= 0.5)
+  }
+
   test("lshBucket is deterministic across invocations") {
     val df = clustered(5, 2, 4, 8).toDF("vec_id", "embedding")
     val b1 = df.select(Similarity.lshBucket($"embedding", 8, 12)).collect().map(_.getLong(0)).toSeq

@@ -62,4 +62,16 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(2L) === fps(3L))
     assert(fps(1L) !== fps(4L))
   }
+
+  test("qualityScore: clean prose scores above degenerate text, all scores in (0, 1]") {
+    val clean = "the quick brown fox jumps over the lazy dog and it runs far away"
+    val short = "hi"
+    val noisy = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
+    val df = Seq(1L -> clean, 2L -> short, 3L -> noisy).toDF("id", "txt")
+    val scores = TextAnalysis.qualityScore(df, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scores.values.forall(s => s > 0d && s <= 1d))
+    assert(scores(1L) > scores(2L))
+    assert(scores(1L) > scores(3L))
+  }
 }
