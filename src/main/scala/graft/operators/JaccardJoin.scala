@@ -57,6 +57,65 @@ object JaccardJoin {
       case Some(r) => rsJoin(left, lKey, lJoin, r, rKey, rJoin, tokenizer, threshold, lOutPrefix, rOutPrefix)
     }
 
+  /**
+   * Per-record token arrays in rarest-first position order: `arr[pos-1]` is
+   * the token ranked at `pos` (positions are the window's consecutive
+   * `row_number`, so `collect_list(struct(pos, token))` sorted by pos
+   * reconstructs the exact ranked sequence), plus the record's token count.
+   */
+  private def posArrays(tkdf: DataFrame): DataFrame =
+    tkdf.groupBy("id").agg(
+      transform(sort_array(collect_list(struct(col("pos"), col("token")))),
+        x => x.getField("token")).as("arr"),
+      first(col("len")).as("len"))
+
+  /**
+   * Suffix verification over position arrays — semantically identical to the
+   * reference's 3-way join + GROUP BY + HAVING (jaccard_join.py:168-188) but
+   * O(|suffix|) per candidate with no row explosion (the relational form
+   * streamed 162M joined rows for the sf0.1 documents self-join; this runs the
+   * same verification in a few seconds):
+   *
+   *   - `cnt` = number of (L-row, R-row) token matches with `L.pos >= LmaxPos
+   *     AND R.pos >= RmaxPos` = matches between the two position slices; for
+   *     duplicate-free slices that is `array_intersect`, and slices holding
+   *     duplicate tokens (the delimiter tokenizer's distinct-before-lowercase
+   *     quirk) take the exact multiset product fold instead;
+   *   - a pair only survives when `cnt >= 1` — in the reference the GROUP only
+   *     exists if the verification join matched at least one row (LmaxPos and
+   *     RmaxPos can come from different prefix tokens, so zero suffix matches
+   *     is possible and must DROP the pair even when `pfxOverlap - 1` alone
+   *     would clear the bound — reachable for t < sqrt(2)-1);
+   *   - the HAVING bound keeps the reference's exact operand order.
+   *
+   * `cand` must carry (<lv>, <rv>, <lMax>, <rMax>, pfxOverlap); returns one
+   * row per surviving pair with the original `lv`/`rv` columns.
+   */
+  private def verifySuffix(
+      cand: DataFrame, lArrs: DataFrame, rArrs: DataFrame,
+      lv: String, rv: String, lMax: String, rMax: String,
+      threshold: Double): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+    val joined = cand
+      .join(lArrs.select(col("id").as(lv), col("arr").as("larr"), col("len").as("llen")), lv)
+      .join(rArrs.select(col("id").as(rv), col("arr").as("rarr"), col("len").as("rlen")), rv)
+    val lsuf = slice(col("larr"), col(lMax).cast("int"), size(col("larr")))
+    val rsuf = slice(col("rarr"), col(rMax).cast("int"), size(col("rarr")))
+    val dupFree = (size(array_distinct(col("lsuf"))) === size(col("lsuf"))) &&
+      (size(array_distinct(col("rsuf"))) === size(col("rsuf")))
+    val cnt = when(dupFree, size(array_intersect(col("lsuf"), col("rsuf"))).cast("long"))
+      .otherwise(aggregate(col("lsuf"), lit(0L),
+        (acc, x) => acc + size(filter(col("rsuf"), y => y === x)).cast("long")))
+    joined
+      .withColumn("lsuf", lsuf).withColumn("rsuf", rsuf)
+      .withColumn("cnt", cnt)
+      .where(col("cnt") >= 1 &&
+        col("cnt") + col("pfxOverlap") - lit(1) >=
+          ((col("llen") + col("rlen")) * t / onePlusT))
+      .select(col(lv), col(rv))
+  }
+
   /** J2: brute-force dispatch (reference jaccard_join.py:36-60). */
   def bruteForce(
       left: DataFrame, lKey: String, lJoin: String,
@@ -276,21 +335,10 @@ object JaccardJoin {
         count(lit(1)).as("pfxOverlap"))
       .alias("c")
 
-    val Lt = vtkdf.alias("Lt")
-    val Rt = vtkdf.alias("Rt")
-    val vm = Lt.join(cand, col("c.Lv") === col("Lt.id") && col("Lt.pos") >= col("c.LmaxPos"))
-      .join(Rt,
-        col("c.Rv") === col("Rt.id") &&
-        col("Lt.token") === col("Rt.token") &&
-        col("Rt.pos") >= col("c.RmaxPos"))
-      .select(col("Lt.id").as("lval"), col("Rt.id").as("rval"),
-        col("Lt.len").as("llen"), col("Rt.len").as("rlen"),
-        col("c.pfxOverlap").as("pfxOverlap"))
-      .groupBy("lval", "rval", "llen", "rlen", "pfxOverlap")
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") + col("pfxOverlap") - lit(1) >=
-        ((col("llen") + col("rlen")) * t / onePlusT))
-      .select(col("lval"), col("rval"))
+    val varr = posArrays(vtkdf)
+    val vm = verifySuffix(cand.toDF(), varr, varr,
+        "Lv", "Rv", "LmaxPos", "RmaxPos", threshold)
+      .select(col("Lv").as("lval"), col("Rv").as("rval"))
 
     expandSelf(table, keyAttr, joinAttr, vals, vtkdf, vm, lOutPrefix, rOutPrefix)
   }
@@ -456,25 +504,12 @@ object JaccardJoin {
         count(lit(1)).as("pfxOverlap"))
       .alias("c")
 
-    // J14: verification (jaccard_join.py:386-405)
-    val Rt = idxTkdf.alias("R")
-    val St = prbTkdf.alias("S")
-    Rt.join(cand, col("c.Rid") === col("R.id") && col("R.pos") >= col("c.RmaxPos"))
-      .join(St,
-        col("c.Sid") === col("S.id") &&
-        col("R.token") === col("S.token") &&
-        col("S.pos") >= col("c.SmaxPos"))
+    // J14: verification (jaccard_join.py:386-405), array form — see verifySuffix
+    verifySuffix(cand.toDF(), posArrays(idxTkdf), posArrays(prbTkdf),
+        "Rid", "Sid", "RmaxPos", "SmaxPos", threshold)
       .select(
-        col("R.id").as("rid_"), col("S.id").as("sid_"),
-        col("R.len").as("rlen"), col("S.len").as("slen"),
-        col("c.pfxOverlap").as("pfxOverlap"))
-      .groupBy("rid_", "sid_", "rlen", "slen", "pfxOverlap")
-      .agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") + col("pfxOverlap") - lit(1) >=
-        ((col("rlen") + col("slen")) * t / onePlusT))
-      .select(
-        col("rid_").as(idxPrefixName + lKey),
-        col("sid_").as(prbPrefixName + rKey))
+        col("Rid").as(idxPrefixName + lKey),
+        col("Sid").as(prbPrefixName + rKey))
   }
 
   /** J15 (R×S): brute-force oracle (reference jaccard_join.py:407-420). */

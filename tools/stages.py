@@ -26,11 +26,14 @@ def lines(p):
 
 
 stages = {}
+events = []
 for line in lines(path):
     try:
-        ev = json.loads(line)
+        events.append(json.loads(line))
     except json.JSONDecodeError:
         continue
+# two passes: TaskEnd events stream BEFORE their StageCompleted event
+for ev in events:
     if ev.get("Event") == "SparkListenerStageCompleted":
         si = ev["Stage Info"]
         sid = si["Stage ID"]
@@ -40,23 +43,32 @@ for line in lines(path):
             "dur": dur,
             "tasks": si["Number of Tasks"],
             "read": 0, "write": 0, "spill": 0, "out": 0,
+            "cpu": 0.0, "maxtask": 0.0, "recr": 0, "recw": 0,
         }
-    elif ev.get("Event") == "SparkListenerTaskEnd":
+for ev in events:
+    if ev.get("Event") == "SparkListenerTaskEnd":
         sid = ev["Stage ID"]
         if sid in stages and ev.get("Task Metrics"):
             m = ev["Task Metrics"]
-            stages[sid]["read"] += m.get("Shuffle Read Metrics", {}).get("Remote Bytes Read", 0) + \
-                                   m.get("Shuffle Read Metrics", {}).get("Local Bytes Read", 0)
-            stages[sid]["write"] += m.get("Shuffle Write Metrics", {}).get("Shuffle Bytes Written", 0)
-            stages[sid]["spill"] += m.get("Disk Bytes Spilled", 0)
-            stages[sid]["out"] += m.get("Output Metrics", {}).get("Records Written", 0)
+            s = stages[sid]
+            s["read"] += m.get("Shuffle Read Metrics", {}).get("Remote Bytes Read", 0) + \
+                         m.get("Shuffle Read Metrics", {}).get("Local Bytes Read", 0)
+            s["recr"] += m.get("Shuffle Read Metrics", {}).get("Total Records Read", 0) + \
+                         m.get("Input Metrics", {}).get("Records Read", 0)
+            s["write"] += m.get("Shuffle Write Metrics", {}).get("Shuffle Bytes Written", 0)
+            s["recw"] += m.get("Shuffle Write Metrics", {}).get("Shuffle Records Written", 0)
+            s["spill"] += m.get("Disk Bytes Spilled", 0)
+            s["out"] += m.get("Output Metrics", {}).get("Records Written", 0)
+            s["cpu"] += m.get("Executor CPU Time", 0) / 1e9
+            s["maxtask"] = max(s["maxtask"], m.get("Executor Run Time", 0) / 1e3)
 
 def mb(b): return f"{b/1e6:8.1f}MB"
 
 total = sum(s["dur"] for s in stages.values())
 print(f"{os.path.basename(path)}  stages={len(stages)}  sum_stage_secs={total:.1f}")
-print(f"{'sid':>4} {'secs':>7} {'tasks':>5} {'shufR':>10} {'shufW':>10} {'spill':>10}  name")
+print(f"{'sid':>4} {'secs':>7} {'cpu_s':>7} {'maxT':>6} {'tasks':>5} {'recR':>9} {'recW':>9} {'shufR':>10} {'spill':>10}  name")
 for sid, s in sorted(stages.items(), key=lambda kv: -kv[1]["dur"]):
     if s["dur"] < min_secs:
         continue
-    print(f"{sid:>4} {s['dur']:>7.2f} {s['tasks']:>5} {mb(s['read'])} {mb(s['write'])} {mb(s['spill'])}  {s['name']}")
+    print(f"{sid:>4} {s['dur']:>7.2f} {s['cpu']:>7.1f} {s['maxtask']:>6.1f} {s['tasks']:>5} "
+          f"{s['recr']:>9} {s['recw']:>9} {mb(s['read'])} {mb(s['spill'])}  {s['name']}")
