@@ -92,11 +92,13 @@ HAVING count(*) >= ((L.len + R.len) * $T / $T1)"""
              lCountSql: String, rCountSql: String,
              lKeyAttr: String, rKeyAttr: String, t: Double,
              lIsIndexing: Boolean,
-             lPfx: String = "l_", rPfx: String = "r_"): String = {
+             lPfx: String = "l_", rPfx: String = "r_",
+             exactRecall: Boolean = false): String = {
     val T = d(t); val T1 = d(1 + t)
     val ph = s"(($lCountSql) * ($rCountSql) + 1)"
     val (rTk, sTk) = if (lIsIndexing) ("l_tkdf", "r_tkdf") else ("r_tkdf", "l_tkdf")
     val (rOutPfx, sOutPfx) = if (lIsIndexing) (lPfx, rPfx) else (rPfx, lPfx)
+    val idxBound = if (exactRecall) s"(len * $T)" else s"(len * 2 * $T / $T1)"
     s"""WITH l_tokens AS ($lTokensSql),
 r_tokens AS ($rTokensSql),
 l_dfreq AS (SELECT token, count(*) AS df FROM l_tokens GROUP BY token),
@@ -113,7 +115,7 @@ r_tkdf AS (
   SELECT id, len, r_tokens.token AS token, df,
          row_number() OVER (PARTITION BY id ORDER BY df, r_tokens.token) AS pos
   FROM r_tokens, dfreq WHERE r_tokens.token = dfreq.token),
-rpfx AS (SELECT * FROM $rTk WHERE len - pos + 1 >= (len * 2 * $T / $T1)),
+rpfx AS (SELECT * FROM $rTk WHERE len - pos + 1 >= $idxBound),
 spfx AS (SELECT * FROM $sTk WHERE len - pos + 1 >= (len * $T)),
 cand AS (
   SELECT Rp.id AS rid, Sp.id AS sid,
