@@ -244,6 +244,12 @@ FROM $table"""
   CASE WHEN n % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END AS codec
 FROM (SELECT $key, octet_length(encode($text)) AS n FROM $table)"""
 
+  /** Mirrors Multimodal.resize's deterministic stub (truncate to w*h*3 bytes). */
+  def mmResize(table: String, key: String, text: String, w: Int, h: Int): String =
+    s"""SELECT $key AS id, CAST($w AS BIGINT) AS width, CAST($h AS BIGINT) AS height,
+  CAST(least(octet_length(encode($text)), ${w * h * 3}) AS BIGINT) AS n_bytes_resized
+FROM $table"""
+
   /** Mirrors Multimodal.sampleFrameIndexes over the decode stub. */
   def mmFrames(table: String, key: String, text: String, everyK: Int): String =
     s"""SELECT id, CAST(unnest(generate_series(0, frames - 1, $everyK)) AS BIGINT) AS frame_idx

@@ -68,4 +68,28 @@ object Multimodal {
   def sampleFrameIndexes(decoded: Dataset[MediaInfo], everyK: Int): DataFrame =
     decoded.toDF().select(col("id"),
       explode(sequence(lit(0), col("frames") - 1, lit(everyK))).as("frame_idx"))
+
+  /** A resized payload row (width/height are the requested target). */
+  final case class ResizedMedia(id: Long, width: Int, height: Int, payload: Array[Byte])
+
+  /**
+   * Resize pass — same batched per-partition shape as [[decode]]. The STUB
+   * "resize" deterministically truncates the payload to the target byte budget
+   * (w*h*3, an RGB frame) so output sizes are data-derived and testable; a
+   * real implementation swaps the body for the codec's scale call, changing
+   * no plumbing, schema, or partitioning.
+   */
+  def resize(df: DataFrame, key: String, targetW: Int, targetH: Int,
+             payloadCol: String = "payload"): Dataset[ResizedMedia] = {
+    val budget = targetW * targetH * 3
+    val rows = df.select(col(key).cast("long"), col(payloadCol))
+    rows.mapPartitions { it =>
+      // real integration point: open codec/scaler handle here, close after
+      it.map { r =>
+        val bytes = r.getAs[Array[Byte]](1)
+        ResizedMedia(r.getLong(0), targetW, targetH,
+          java.util.Arrays.copyOf(bytes, math.min(bytes.length, budget)))
+      }
+    }(Encoders.product[ResizedMedia])
+  }
 }

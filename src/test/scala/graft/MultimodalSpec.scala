@@ -38,4 +38,13 @@ class MultimodalSpec extends SparkSpec {
     // id=1: frames = 1+11%24 = 12 -> 0,5,10 ; id=2: frames = 5 -> 0
     assert(frames === Set((1L, 0), (1L, 5), (1L, 10), (2L, 0)))
   }
+
+  test("resize stub: payload truncated to the w*h*3 byte budget, dims set") {
+    val out = Multimodal.resize(df, "id", 1, 1).collect().map(m => m.id -> m).toMap
+    assert(out(1L).width === 1 && out(1L).height === 1)
+    assert(out(1L).payload.length === 3)       // 11 bytes -> budget 3
+    assert(out(2L).payload.length === 3)       // 4 bytes -> budget 3
+    val big = Multimodal.resize(df, "id", 100, 100).collect().map(m => m.id -> m).toMap
+    assert(big(1L).payload.length === 11)      // budget exceeds payload -> unchanged
+  }
 }
