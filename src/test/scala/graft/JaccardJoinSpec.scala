@@ -152,6 +152,15 @@ class JaccardJoinSpec extends SparkSpec {
     assert(pairSet(bagStrict) === Set((1L, 2L)))
   }
 
+  test("selfJoinDeduped == selfJoin in BAG mode (multiset pipeline end-to-end)") {
+    val df = dupHeavyTable(13, 50).toDF("id", "val")
+    val bag = WhitespaceTokenizer(returnSet = false)
+    for (t <- Seq(0.5, 0.8)) {
+      assert(pairSet(JaccardJoin.selfJoin(df, "id", "val", bag, t)) ===
+        pairSet(JaccardJoin.selfJoinDeduped(df, "id", "val", bag, t)))
+    }
+  }
+
   test("empty input produces empty output, not a failure") {
     val df = Seq.empty[(Long, String)].toDF("id", "val")
     assert(JaccardJoin.selfJoin(df, "id", "val", ws, 0.5).count() === 0L)
