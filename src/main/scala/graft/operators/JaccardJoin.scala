@@ -314,17 +314,27 @@ object JaccardJoin {
     val lnInvT = math.log(1d / threshold)
     def bandOf(len: Column): Column =
       if (threshold >= 1d) len else floor(log(len.cast("double")) / lit(lnInvT)).cast("long")
-    val L = idxPfx(vtkdf).withColumn("band", bandOf(col("len"))).alias("L")
+    // `lenkey` is the len part of the reference's canonical record key
+    // `concat(len,'_',id)` compared as a STRING: when two values' lenkeys
+    // differ, the first differing character sits inside the len digits or at
+    // the '_' separator, so EVERY record pair's orientation is already decided
+    // — generating the (L,R) orientation with lenkey(L) > lenkey(R) is pure
+    // waste (its expansion gate can never pass). Equal lenkeys (same len) keep
+    // both orientations: record ids decide there.
+    val lenkey = concat(col("len").cast("string"), lit("_"))
+    val L = idxPfx(vtkdf).withColumn("band", bandOf(col("len")))
+      .withColumn("lenkey", lenkey).alias("L")
     val R = prbPfx(vtkdf)
       .withColumn("band",
         if (threshold >= 1d) col("len")
         else explode(sequence(
           bandOf(greatest(floor(col("len") * t), lit(1d))),
           bandOf(ceil(col("len") / t)))))
-      .alias("R")
+      .withColumn("lenkey", lenkey).alias("R")
     val candCond =
       col("L.token") === col("R.token") &&
       col("L.band") === col("R.band") &&
+      col("L.lenkey") <= col("R.lenkey") &&
       col("L.len") >= col("R.len") * t &&
       col("R.len") >= col("L.len") * t &&
       least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
