@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.operators._
+
+/**
+ * Name-based API mirroring the reference's entry points one-for-one, so a
+ * user of `py_duckdb.similarity_join` can switch by replacing the DuckDB
+ * connection with a SparkSession:
+ *
+ *   reference (py_duckdb/similarity_join/join/jaccard_join.py:9-22):
+ *     jaccard_join(con, l_table, r_table, l_key_attr, r_key_attr,
+ *                  l_join_attr, r_join_attr, tokenizer, threshold,
+ *                  out_table, l_out_prefix, r_out_prefix) -> con
+ *
+ * Tables are resolved by NAME in the session catalog (temp views or catalog
+ * tables), the result materializes as a temp view named `outTable`, and the
+ * session is returned — the reference's connection-in/connection-out shape.
+ * Self-join dispatch matches the reference: `rTable` empty or equal to
+ * `lTable` (jaccard_join.py:25).
+ */
+object Api {
+
+  /** `jaccard_join` — filtered prefix-filter pipeline. */
+  def jaccardJoin(spark: SparkSession,
+                  lTable: String, rTable: String,
+                  lKeyAttr: String, rKeyAttr: String,
+                  lJoinAttr: String, rJoinAttr: String,
+                  tokenizer: Tokenizer, threshold: Double,
+                  outTable: String = "matches",
+                  lOutPrefix: String = "l_", rOutPrefix: String = "r_"): SparkSession = {
+    val out =
+      if (rTable.isEmpty || rTable == lTable)
+        JaccardJoin.selfJoinDeduped(spark.table(lTable), lKeyAttr, lJoinAttr,
+          tokenizer, threshold, lOutPrefix, rOutPrefix)
+      else
+        JaccardJoin.rsJoin(spark.table(lTable), lKeyAttr, lJoinAttr,
+          spark.table(rTable), rKeyAttr, rJoinAttr,
+          tokenizer, threshold, lOutPrefix, rOutPrefix)
+    out.createOrReplaceTempView(outTable)
+    spark
+  }
+
+  /** `jaccard_join_brute_force` — the all-pairs oracle join. */
+  def jaccardJoinBruteForce(spark: SparkSession,
+                            lTable: String, rTable: String,
+                            lKeyAttr: String, rKeyAttr: String,
+                            lJoinAttr: String, rJoinAttr: String,
+                            tokenizer: Tokenizer, threshold: Double,
+                            outTable: String = "matches",
+                            lOutPrefix: String = "l_", rOutPrefix: String = "r_"): SparkSession = {
+    val out =
+      if (rTable.isEmpty || rTable == lTable)
+        JaccardJoin.bruteForceSelfDeduped(spark.table(lTable), lKeyAttr, lJoinAttr,
+          tokenizer, threshold, lOutPrefix, rOutPrefix)
+      else
+        JaccardJoin.bruteForceRs(spark.table(lTable), lKeyAttr, lJoinAttr,
+          spark.table(rTable), rKeyAttr, rJoinAttr,
+          tokenizer, threshold, lOutPrefix, rOutPrefix)
+    out.createOrReplaceTempView(outTable)
+    spark
+  }
+
+  /** `evaluate` — confusion matrix + precision/recall/F-measure of a join
+    * result view against a ground-truth pair view
+    * (reference similarity_join/__init__.py:6-62). */
+  def evaluate(spark: SparkSession,
+               gtTable: String, sjTable: String,
+               gtLKey: String, gtRKey: String,
+               sjLKey: String, sjRKey: String): EvalMetrics =
+    Evaluate.evaluate(spark.table(gtTable), spark.table(sjTable),
+      gtLKey, gtRKey, sjLKey, sjRKey)
+
+  /** S5: drop result/intermediate views — the reference's `clear()` /
+    * `DROP TABLE IF EXISTS` lifecycle. */
+  def clear(spark: SparkSession, tables: String*): Unit =
+    tables.foreach(spark.catalog.dropTempView(_))
+}
