@@ -99,4 +99,19 @@ object Evaluate {
       aLKey: String, aRKey: String, bLKey: String, bRKey: String): DataFrame =
     confusionMatrix(a, b, aLKey, aRKey, bLKey, bRKey)
       .where(col("gtk1").isNull || col("sjk1").isNull)
+
+  /** [[symmetricDiff]] on the orientation-normalized pair key — identical
+    * rows-in-disagreement count for distinct-pair tables, but a hash-
+    * partitionable equi-join instead of a nested loop (the scale path, like
+    * [[countsNormalized]] vs [[counts]]). */
+  def symmetricDiffNormalized(
+      a: DataFrame, b: DataFrame,
+      aLKey: String, aRKey: String, bLKey: String, bRKey: String): DataFrame = {
+    val an = a.select(least(col(aLKey), col(aRKey)).as("k1"),
+      greatest(col(aLKey), col(aRKey)).as("k2"), lit(1).as("ina"))
+    val bn = b.select(least(col(bLKey), col(bRKey)).as("k1"),
+      greatest(col(bLKey), col(bRKey)).as("k2"), lit(1).as("inb"))
+    an.join(bn, Seq("k1", "k2"), "full_outer")
+      .where(col("ina").isNull || col("inb").isNull)
+  }
 }

@@ -47,5 +47,14 @@ class EvaluateSpec extends SparkSpec {
     assert(Evaluate.symmetricDiff(gt, sj, "l_id", "r_id", "l_id", "r_id").count() === 2L)
   }
 
+  test("symmetricDiffNormalized counts the same disagreements as symmetricDiff") {
+    val flipped = gt.select(col("r_id").as("l_id"), col("l_id").as("r_id"))
+    for ((a, b) <- Seq((gt, gt), (gt, flipped), (gt, sj), (sj, gt))) {
+      assert(
+        Evaluate.symmetricDiffNormalized(a, b, "l_id", "r_id", "l_id", "r_id").count() ===
+        Evaluate.symmetricDiff(a, b, "l_id", "r_id", "l_id", "r_id").count())
+    }
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
