@@ -79,7 +79,7 @@ object Dedup {
       .select(col("a.id").as("lid"), col("b.id").as("rid"))
       .distinct()
 
-    verifyJaccard(cand, tokens, threshold)
+    verifyJaccard(cand, tokens, threshold, tokenizer.emitsDistinctTokens)
   }
 
   /** Exact set-Jaccard check of candidate (lid, rid) pairs against the token
@@ -101,7 +101,8 @@ object Dedup {
     * distinct) fall back to an exact multiset product count, matching the
     * join-count semantics bit-for-bit. */
   private[operators] def verifyJaccard(cand: DataFrame, tokens: DataFrame,
-                                       threshold: Double): DataFrame = {
+                                       threshold: Double,
+                                       assumeDupFree: Boolean = false): DataFrame = {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
     val docArr = tokens.groupBy("id")
@@ -113,11 +114,14 @@ object Dedup {
       .join(docArr.select(col("id").as("lid"), col("arr").as("larr"), col("len").as("llen")), "lid")
       .join(docArr.select(col("id").as("rid"), col("arr").as("rarr"), col("len").as("rlen")), "rid")
       .where(col("llen") >= col("rlen") * t - eps && col("rlen") >= col("llen") * t - eps)
-    val dupFree = (size(array_distinct(col("larr"))) === size(col("larr"))) &&
-      (size(array_distinct(col("rarr"))) === size(col("rarr")))
-    val overlapCol = when(dupFree, size(array_intersect(col("larr"), col("rarr"))).cast("long"))
-      .otherwise(aggregate(col("larr"), lit(0L),
-        (acc, x) => acc + size(filter(col("rarr"), y => y === x)).cast("long")))
+    val setOverlap = size(array_intersect(col("larr"), col("rarr"))).cast("long")
+    val overlapCol = if (assumeDupFree) setOverlap else {
+      val dupFree = (size(array_distinct(col("larr"))) === size(col("larr"))) &&
+        (size(array_distinct(col("rarr"))) === size(col("rarr")))
+      when(dupFree, setOverlap)
+        .otherwise(aggregate(col("larr"), lit(0L),
+          (acc, x) => acc + size(filter(col("rarr"), y => y === x)).cast("long")))
+    }
     paired.withColumn("overlap", overlapCol)
       .where(col("overlap") >= ((col("llen") + col("rlen")) * t / onePlusT))
       .select(col("lid"), col("rid"),

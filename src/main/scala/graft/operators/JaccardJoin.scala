@@ -94,7 +94,7 @@ object JaccardJoin {
   private def verifySuffix(
       cand: DataFrame, lArrs: DataFrame, rArrs: DataFrame,
       lv: String, rv: String, lMax: String, rMax: String,
-      threshold: Double): DataFrame = {
+      threshold: Double, assumeDupFree: Boolean = false): DataFrame = {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
     val joined = cand
@@ -102,11 +102,16 @@ object JaccardJoin {
       .join(rArrs.select(col("id").as(rv), col("arr").as("rarr"), col("len").as("rlen")), rv)
     val lsuf = slice(col("larr"), col(lMax).cast("int"), size(col("larr")))
     val rsuf = slice(col("rarr"), col(rMax).cast("int"), size(col("rarr")))
-    val dupFree = (size(array_distinct(col("lsuf"))) === size(col("lsuf"))) &&
-      (size(array_distinct(col("rsuf"))) === size(col("rsuf")))
-    val cnt = when(dupFree, size(array_intersect(col("lsuf"), col("rsuf"))).cast("long"))
-      .otherwise(aggregate(col("lsuf"), lit(0L),
-        (acc, x) => acc + size(filter(col("rsuf"), y => y === x)).cast("long")))
+    val setCnt = size(array_intersect(col("lsuf"), col("rsuf"))).cast("long")
+    // when the tokenizer guarantees duplicate-free emission, skip the two
+    // per-pair array_distinct probes (a third of the per-pair set builds)
+    val cnt = if (assumeDupFree) setCnt else {
+      val dupFree = (size(array_distinct(col("lsuf"))) === size(col("lsuf"))) &&
+        (size(array_distinct(col("rsuf"))) === size(col("rsuf")))
+      when(dupFree, setCnt)
+        .otherwise(aggregate(col("lsuf"), lit(0L),
+          (acc, x) => acc + size(filter(col("rsuf"), y => y === x)).cast("long")))
+    }
     joined
       .withColumn("lsuf", lsuf).withColumn("rsuf", rsuf)
       .withColumn("cnt", cnt)
@@ -347,7 +352,7 @@ object JaccardJoin {
 
     val varr = posArrays(vtkdf)
     val vm = verifySuffix(cand.toDF(), varr, varr,
-        "Lv", "Rv", "LmaxPos", "RmaxPos", threshold)
+        "Lv", "Rv", "LmaxPos", "RmaxPos", threshold, tokenizer.emitsDistinctTokens)
       .select(col("Lv").as("lval"), col("Rv").as("rval"))
 
     expandSelf(table, keyAttr, joinAttr, vals, vtkdf, vm, lOutPrefix, rOutPrefix)
@@ -516,7 +521,7 @@ object JaccardJoin {
 
     // J14: verification (jaccard_join.py:386-405), array form — see verifySuffix
     verifySuffix(cand.toDF(), posArrays(idxTkdf), posArrays(prbTkdf),
-        "Rid", "Sid", "RmaxPos", "SmaxPos", threshold)
+        "Rid", "Sid", "RmaxPos", "SmaxPos", threshold, tokenizer.emitsDistinctTokens)
       .select(
         col("Rid").as(idxPrefixName + lKey),
         col("Sid").as(prbPrefixName + rKey))

@@ -23,6 +23,14 @@ import org.apache.spark.sql.functions._
 sealed trait Tokenizer extends Serializable {
   def returnSet: Boolean
 
+  /** True when a record can NEVER emit two identical token rows — lets the
+    * verification layers skip per-pair duplicate checks and use plain set
+    * intersection. Q-grams lowercase INSIDE the window expression, so their
+    * set mode is duplicate-free; delimiter tokenizers distinct BEFORE
+    * lowercasing (faithful reference quirk), so case variants can collide
+    * after emission; every bag mode can duplicate. */
+  def emitsDistinctTokens: Boolean = false
+
   /** The token array for one value, BEFORE the optional distinct step. */
   protected def tokenArray(value: Column): Column
 
@@ -50,6 +58,8 @@ sealed trait Tokenizer extends Serializable {
  */
 final case class QGramsTokenizer(q: Int, returnSet: Boolean = true) extends Tokenizer {
   require(q >= 1, s"q must be >= 1, got $q")
+
+  override def emitsDistinctTokens: Boolean = returnSet
 
   override protected def tokenArray(value: Column): Column = {
     val pad    = lit("#" * (q - 1))
