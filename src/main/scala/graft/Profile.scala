@@ -33,12 +33,15 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
+    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "1").toInt
     val df = fn(spark, sfDir)
     df.explain("formatted")
-    val t0 = System.nanoTime()
-    val n = df.count()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"[profile] $name rows=$n time=$secs%.3f s appId=${spark.sparkContext.applicationId}")
+    for (i <- 1 to runs) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"[profile] $name run=$i rows=$n time=$secs%.3f s appId=${spark.sparkContext.applicationId}")
+    }
     spark.stop()
   }
 }
