@@ -227,6 +227,21 @@ FROM $table GROUP BY md5($content)"""
   def nearDropIds(selfJoinSql: String, keyAttr: String): String =
     s"""SELECT DISTINCT greatest(l_$keyAttr, r_$keyAttr) AS drop_id FROM ($selfJoinSql)"""
 
+  /** Mirrors Dedup.cascadeKeepIds: fingerprint-exact stage, then the
+    * prefix-filtered near-dup join over the survivors. */
+  def dedupCascade(table: String, key: String, text: String,
+                   sepClass: String, t: Double): String = {
+    val survTokens = delimTokens("surv", "id", "txt", sepClass)
+    s"""WITH fpt AS (
+  SELECT $key AS id, $text AS txt,
+         md5(trim(regexp_replace(lower($text), '\\s+', ' ', 'g'))) AS fp
+  FROM $table),
+keep AS (SELECT fp, min(id) AS id FROM fpt GROUP BY fp),
+surv AS (SELECT fpt.id, fpt.txt FROM fpt JOIN keep ON fpt.fp = keep.fp AND fpt.id = keep.id),
+drops AS (${nearDropIds(selfJoin(survTokens, "id", t), "id")})
+SELECT id FROM surv WHERE id NOT IN (SELECT drop_id FROM drops)"""
+  }
+
   /** Mirrors Multimodal.withPayload + extractMeta (payload = utf8 bytes of text). */
   def mmMeta(table: String, key: String, text: String): String =
     s"""SELECT $key AS id,

@@ -129,6 +129,30 @@ object Dedup {
           (col("llen") + col("rlen") - col("overlap"))).as("jaccard"))
   }
 
+  /**
+   * The full dedup CASCADE a training-data pipeline runs, cheap stage first:
+   *
+   *   1. exact: md5 over whitespace-normalized lowercased text (the
+   *      [[TextAnalysis.fingerprint]] key); one survivor per fingerprint
+   *      (min key);
+   *   2. near-dup: prefix-filtered Jaccard join over the survivors
+   *      ([[nearDuplicateDropIds]] — bucketed, never all-pairs), dropping the
+   *      `greatest` member of each qualifying pair.
+   *
+   * Returns the surviving keys. Both stages are deterministic and
+   * SQL-expressible, so the whole cascade is DuckDB-oracle-checked.
+   */
+  def cascadeKeepIds(df: DataFrame, key: String, value: String,
+                     tokenizer: Tokenizer, threshold: Double): DataFrame = {
+    val fp = df.select(col(key).as("id"), col(value).as("txt"))
+      .withColumn("fp", md5(trim(regexp_replace(lower(col("txt")), "\\s+", " "))))
+    val keepExact = fp.groupBy("fp").agg(min(col("id")).as("id"))
+    val survivors = fp.join(keepExact, Seq("fp", "id")).select(col("id"), col("txt"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val drops = nearDuplicateDropIds(survivors, "id", "txt", tokenizer, threshold)
+    survivors.join(drops, col("id") === col("drop_id"), "left_anti").select(col("id"))
+  }
+
   /** 64-bit SimHash per record: bit i of the signature is the sign of
     * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
   def simHash64(tokens: DataFrame): DataFrame = {

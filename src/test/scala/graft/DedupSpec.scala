@@ -94,6 +94,18 @@ class DedupSpec extends SparkSpec {
     assert(drops === expected)
   }
 
+  test("cascade: exact stage removes fingerprint dups, near-dup stage drops greatest") {
+    val df = Seq(
+      1L -> "alpha beta gamma",
+      2L -> "Alpha  BETA gamma",   // exact stage dup of 1 (normalized fingerprint)
+      3L -> "alpha beta gamma delta x y z q r s", // distinct
+      4L -> "unrelated content entirely different words here now ok",
+      5L -> "alpha beta gamma").toDF("id", "txt") // another exact dup of 1
+    val kept = Dedup.cascadeKeepIds(df, "id", "txt", ws, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 3L, 4L))
+  }
+
   test("near-duplicate drop ids: greatest of each qualifying pair") {
     val df = Seq(1L -> "a b c d", 2L -> "a b c d", 3L -> "x y z w").toDF("id", "txt")
     val drops = Dedup.nearDuplicateDropIds(df, "id", "txt", ws, 0.9)
