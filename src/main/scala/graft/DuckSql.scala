@@ -213,6 +213,22 @@ FROM (
   CAST(len(regexp_extract_all(lower($text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
 FROM $table"""
 
+  /** Mirrors TextAnalysis.winnowingFingerprints (md5-prefix gram hashes,
+    * window minima, distinct per doc). */
+  def winnowing(table: String, key: String, text: String, k: Int, w: Int): String =
+    s"""SELECT DISTINCT id, fingerprint FROM (
+  SELECT id, unnest(fps) AS fingerprint FROM (
+    SELECT id, list_distinct(list_transform(
+      CASE WHEN len(gh) >= 1 THEN generate_series(1, greatest(len(gh) - ${w - 1}, 1)) ELSE [] END,
+      j -> list_min(gh[j : j + ${w - 1}]))) AS fps
+    FROM (
+      SELECT $key AS id, list_transform(
+        CASE WHEN length(lower($text)) - ${k - 1} >= 1
+             THEN generate_series(1, length(lower($text)) - ${k - 1}) ELSE [] END,
+        i -> substring(md5(substring(lower($text), i, $k)), 1, 16)) AS gh
+      FROM $table)))
+WHERE fingerprint IS NOT NULL"""
+
   /** Mirrors TextAnalysis.fingerprint. */
   def fingerprint(table: String, key: String, text: String): String =
     s"""SELECT $key AS id, md5(trim(regexp_replace(lower($text), '\\s+', ' ', 'g'))) AS fingerprint

@@ -102,6 +102,35 @@ object TextAnalysis {
   }
 
   /**
+   * Winnowing fingerprints (the MOSS scheme): hash every k-gram of the
+   * lowercased text, slide a window of `w` consecutive gram hashes, keep each
+   * window's minimum — any shared substring of length >= k + w - 1 between two
+   * documents guarantees a shared fingerprint, so matching fingerprints find
+   * PARTIAL overlap (plagiarism/quotation), which whole-document hashing
+   * cannot. Gram hashes are md5-prefix STRINGS (identical bytes in any
+   * engine), so the operator is deterministic and SQL-oracle-checked. Output:
+   * one row per distinct (id, fingerprint).
+   *
+   * Scale: pure per-row column expressions into a distinct — shuffle traffic
+   * is the fingerprint set (~|text|/w per doc), and an inverted
+   * fingerprint->docs index is one groupBy away.
+   */
+  def winnowingFingerprints(df: DataFrame, key: String, text: String,
+                            k: Int = 8, w: Int = 4): DataFrame = {
+    val low = lower(col(text))
+    val nGrams = length(low) - lit(k - 1)
+    // guards: Spark sequence(1, n) counts DOWN for n < 1
+    val gramIdx = when(nGrams >= 1, sequence(lit(1), nGrams))
+      .otherwise(array().cast("array<int>"))
+    val ghashes = transform(gramIdx, i => substring(md5(low.substr(i, lit(k))), 1, 16))
+    val winIdx = when(size(ghashes) >= 1,
+        sequence(lit(1), greatest(size(ghashes) - lit(w - 1), lit(1))))
+      .otherwise(array().cast("array<int>"))
+    val fps = array_distinct(transform(winIdx, j => array_min(slice(ghashes, j, lit(w)))))
+    df.select(col(key).as("id"), explode(fps).as("fingerprint")).distinct()
+  }
+
+  /**
    * Content fingerprint: md5 over the whitespace-normalized lowercased text.
    * Identical fingerprints ⇒ near-identical content modulo spacing/case — the
    * cheap first pass before MinHash in a dedup cascade.

@@ -63,6 +63,28 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fps(1L) !== fps(4L))
   }
 
+  test("winnowing: shared long substrings share fingerprints; short/empty texts safe") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val df = Seq(
+      1L -> s"PREFIX ONE $shared SUFFIX ALPHA",
+      2L -> s"other beginning $shared different ending",
+      3L -> "completely unrelated words with zero overlap at all",
+      4L -> "tiny",   // shorter than k -> no fingerprints
+      5L -> "").toDF("id", "txt")
+    val fps = TextAnalysis.winnowingFingerprints(df, "id", "txt", k = 8, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val byId = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // guarantee: shared substring of length >= k+w-1 = 11 -> shared fingerprint
+    assert((byId(1L) & byId(2L)).nonEmpty)
+    assert((byId(1L) & byId.getOrElse(3L, Set.empty)).isEmpty ||
+      (byId(1L) & byId(3L)).size < byId(1L).size / 2)
+    assert(!byId.contains(4L) && !byId.contains(5L))
+    // deterministic across invocations
+    val again = TextAnalysis.winnowingFingerprints(df, "id", "txt", 8, 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toSet
+    assert(again === fps.toSet)
+  }
+
   test("qualityScore: clean prose scores above degenerate text, all scores in (0, 1]") {
     val clean = "the quick brown fox jumps over the lazy dog and it runs far away"
     val short = "hi"
