@@ -117,17 +117,26 @@ object TextAnalysis {
    */
   def winnowingFingerprints(df: DataFrame, key: String, text: String,
                             k: Int = 8, w: Int = 4): DataFrame = {
-    val low = lower(col(text))
+    // materialization barriers: explode(array(x)) emits one row carrying the
+    // EVALUATED value. Without them CollapseProject inlines the expressions
+    // into the downstream lambdas and every window re-hashes every gram (and
+    // every gram re-lowercases the whole text) — O(|text|^2) interpreted
+    // evaluation per document (measured: minutes for 5000 300-char docs; with
+    // the barriers, seconds).
+    val lowOnce = df.select(col(key).as("id"),
+      explode(array(lower(col(text)))).as("lowtxt"))
+    val low = col("lowtxt")
     val nGrams = length(low) - lit(k - 1)
     // guards: Spark sequence(1, n) counts DOWN for n < 1
     val gramIdx = when(nGrams >= 1, sequence(lit(1), nGrams))
       .otherwise(array().cast("array<int>"))
     val ghashes = transform(gramIdx, i => substring(md5(low.substr(i, lit(k))), 1, 16))
-    val winIdx = when(size(ghashes) >= 1,
-        sequence(lit(1), greatest(size(ghashes) - lit(w - 1), lit(1))))
+    val once = lowOnce.select(col("id"), explode(array(ghashes)).as("gh"))
+    val winIdx = when(size(col("gh")) >= 1,
+        sequence(lit(1), greatest(size(col("gh")) - lit(w - 1), lit(1))))
       .otherwise(array().cast("array<int>"))
-    val fps = array_distinct(transform(winIdx, j => array_min(slice(ghashes, j, lit(w)))))
-    df.select(col(key).as("id"), explode(fps).as("fingerprint")).distinct()
+    val fps = array_distinct(transform(winIdx, j => array_min(slice(col("gh"), j, lit(w)))))
+    once.select(col("id"), explode(fps).as("fingerprint")).distinct()
   }
 
   /**
