@@ -340,24 +340,52 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM probes p JOIN assign a USING (cid) WHERE a.id != p.query_id)
 WHERE rank <= $k"""
 
-  /** Mirrors Similarity.nearDuplicates: random-hyperplane LSH buckets (plane
-    * components baked in as literals from Similarity.planeComponent — the same
-    * deterministic constants the Spark expressions use) + exact cosine. */
-  def embNearDupLsh(table: String, key: String, vec: String, minCosine: Double,
-                    dim: Int, planes: Int): String = {
-    def dotPlane(v: String, i: Int): String = {
+  /** Random-hyperplane LSH bucket of a vector expression — plane components
+    * baked in as literals from Similarity.planeComponent, the same
+    * deterministic constants the Spark expressions use. */
+  private def lshBucketSql(v: String, dim: Int, planes: Int): String = {
+    def dotPlane(i: Int): String = {
       val comps = (0 until dim).map(j => operators.Similarity.planeComponent(i, j))
       s"list_sum(list_transform(generate_series(1, $dim), jj -> " +
         s"CAST($v[jj] AS DOUBLE) * (list_value(${comps.mkString(", ")}))[jj]))"
     }
-    val bucket = (0 until planes)
-      .map(i => s"(CASE WHEN ${dotPlane("v", i)} > 0 THEN ${1L << i} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH b AS (SELECT $key AS id, $vec AS v, $bucket AS bucket FROM $table)
+    (0 until planes)
+      .map(i => s"(CASE WHEN ${dotPlane(i)} > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+  }
+
+  /** Mirrors Similarity.nearDuplicates: same-bucket candidates + exact cosine. */
+  def embNearDupLsh(table: String, key: String, vec: String, minCosine: Double,
+                    dim: Int, planes: Int): String =
+    s"""WITH b AS (SELECT $key AS id, $vec AS v, ${lshBucketSql("v", dim, planes)} AS bucket FROM $table)
 SELECT lid, rid, sim FROM (
   SELECT a.id AS lid, b2.id AS rid, ${cosExpr("a.v", "b2.v")} AS sim
   FROM b a, b b2 WHERE a.bucket = b2.bucket AND a.id < b2.id)
 WHERE sim >= ${d(minCosine)}"""
+
+  /** Mirrors Similarity.topKLsh: multi-probe (own bucket + every 1-bit flip),
+    * exact re-rank of distinct candidates. */
+  def annTopKLsh(table: String, key: String, vec: String, queryPred: String,
+                 k: Int, dim: Int, planes: Int): String = {
+    val probeList = ("bucket" +: (0 until planes).map(i => s"xor(bucket, ${1L << i})"))
+      .mkString("list_value(", ", ", ")")
+    s"""WITH c AS (
+  SELECT $key AS neighbor_id, $vec AS cv, ${lshBucketSql(vec, dim, planes)} AS bucket
+  FROM $table),
+q0 AS (
+  SELECT $key AS query_id, $vec AS qv, ${lshBucketSql(vec, dim, planes)} AS bucket
+  FROM $table WHERE $queryPred),
+probes AS (SELECT query_id, qv, unnest($probeList) AS bucket FROM q0),
+sims AS (
+  SELECT DISTINCT p.query_id AS query_id, c.neighbor_id AS neighbor_id,
+         ${cosExpr("p.qv", "c.cv")} AS sim
+  FROM probes p JOIN c USING (bucket)
+  WHERE c.neighbor_id != p.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+WHERE rank <= $k"""
   }
 
   /** Mirrors TextAnalysis.qualityScore over the textStats signals. */
