@@ -75,4 +75,12 @@ object Api {
     * `DROP TABLE IF EXISTS` lifecycle. */
   def clear(spark: SparkSession, tables: String*): Unit =
     tables.foreach(spark.catalog.dropTempView(_))
+
+  /** Release every intermediate the graft operators persisted (tkdf, LSH band
+    * buckets, cascade survivors, …). The join results are LAZY, so operators
+    * cannot unpersist before the caller materializes; long-lived sessions
+    * making repeated library calls should invoke this after consuming each
+    * result — it only touches graft-internal caches, unlike
+    * `spark.catalog.clearCache()`. Returns the number of caches released. */
+  def clearCache(): Int = PersistTracker.unpersistAll()
 }

@@ -57,7 +57,7 @@ object Bench {
         // best of 3: first run pays persist materialization + codegen; the
         // reference's BASELINE numbers are likewise warm averages over n runs
         val t = try Seq.fill(3)(timeOnce(fn)).min catch { case _: Throwable => -1d }
-        spark.catalog.clearCache() // drop persisted intermediates between queries
+        Api.clearCache() // drop graft-persisted intermediates between queries
         System.err.println(f"[bench] $name%-26s $t%.3f s")
         name -> t
       }

@@ -33,7 +33,10 @@ object Profile {
     spark.sparkContext.setLogLevel("WARN")
 
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
-    val runs = sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "1").toInt
+    // defensive parse: malformed / non-positive values fall back to 1 run
+    // instead of throwing or silently skipping the timing loop
+    val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "1").trim.toInt)
+      .toOption.filter(_ >= 1).getOrElse(1)
     val df = fn(spark, sfDir)
     df.explain("formatted")
     for (i <- 1 to runs) {

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import graft.operators.PersistTracker.TrackedPersist
 
 /**
  * Deduplication operators for training-data pipelines, from cheap to expensive:
@@ -59,7 +59,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, key: String, value: String, tokenizer: Tokenizer,
                    threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val tokens = tokenizer.tokenize(df, key, value).persist(StorageLevel.MEMORY_AND_DISK)
+    val tokens = tokenizer.tokenize(df, key, value).persistTracked
     val sigs = minHashSignatures(tokens, numHashes)
 
     // Fold each band's signature chunk into ONE long via xxhash64(band, chunk):
@@ -71,7 +71,7 @@ object Dedup {
       transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
       .as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     val cand = banded.alias("a")
       .join(banded.alias("b"),
@@ -107,13 +107,22 @@ object Dedup {
     val onePlusT = lit(1d + threshold)
     val docArr = tokens.groupBy("id")
       .agg(collect_list(col("token")).as("arr"), first(col("len")).as("len"))
-    // prefilter is a SUPERSET gate (eps guards FP boundaries); the exact
-    // reference-operand-order threshold test below makes the final call
-    val eps = lit(1e-9)
-    val paired = cand
+    val joined = cand
       .join(docArr.select(col("id").as("lid"), col("arr").as("larr"), col("len").as("llen")), "lid")
       .join(docArr.select(col("id").as("rid"), col("arr").as("rarr"), col("len").as("rlen")), "rid")
-      .where(col("llen") >= col("rlen") * t - eps && col("rlen") >= col("llen") * t - eps)
+    // The symmetric length prefilter is a SUPERSET gate ONLY under set
+    // semantics, where overlap <= min(llen, rlen) (eps guards FP boundaries;
+    // the exact reference-operand-order threshold test below makes the final
+    // call). Under multiset emission (bag tokenizers, or the delimiter
+    // tokenizers' distinct-before-lowercase quirk) the pairwise product count
+    // can exceed min(llen, rlen) — e.g. "The THE tHe the" (4 emitted 'the'
+    // rows) vs "the" at t=0.9 has overlap 4 >= (4+1)*0.9/1.9 = 2.368 — so the
+    // multiset path gates SOLELY on the threshold test.
+    val eps = lit(1e-9)
+    val paired =
+      if (assumeDupFree)
+        joined.where(col("llen") >= col("rlen") * t - eps && col("rlen") >= col("llen") * t - eps)
+      else joined
     val setOverlap = size(array_intersect(col("larr"), col("rarr"))).cast("long")
     val overlapCol = if (assumeDupFree) setOverlap else {
       val dupFree = (size(array_distinct(col("larr"))) === size(col("larr"))) &&
@@ -148,7 +157,7 @@ object Dedup {
       .withColumn("fp", md5(trim(regexp_replace(lower(col("txt")), "\\s+", " "))))
     val keepExact = fp.groupBy("fp").agg(min(col("id")).as("id"))
     val survivors = fp.join(keepExact, Seq("fp", "id")).select(col("id"), col("txt"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val drops = nearDuplicateDropIds(survivors, "id", "txt", tokenizer, threshold)
     survivors.join(drops, col("id") === col("drop_id"), "left_anti").select(col("id"))
   }

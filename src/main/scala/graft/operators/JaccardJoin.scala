@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import graft.operators.PersistTracker.TrackedPersist
 
 /**
  * Set-similarity join under a Jaccard threshold, prefix-filtering family
@@ -161,7 +161,7 @@ object JaccardJoin {
         col("id"), col("len"), col("token"),
         row_number().over(w).cast("long").as("pos"),
         concat(col("len").cast("string"), lit("_"), col("id").cast("string")).as("l_id"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     val L = tkdf.alias("L")
     val R = tkdf.alias("R")
@@ -217,7 +217,7 @@ object JaccardJoin {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
     val tokens = tokenizer.tokenize(table, keyAttr, joinAttr)
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val L = tokens.alias("L")
     val R = tokens.alias("R")
     L.join(R, col("L.token") === col("R.token") && col("L.id") < col("R.id"))
@@ -272,7 +272,7 @@ object JaccardJoin {
     val vals = table.select(col(joinAttr).as("value"))
       .groupBy("value").agg(count(lit(1)).as("w"))
       .withColumn("vid", unhex(md5(col("value"))))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     // value-level tokens keyed by the surrogate
     val vtokens = tokenizer.tokenize(vals.select(col("vid"), col("value")), "vid", "value")
@@ -286,7 +286,7 @@ object JaccardJoin {
     val vtkdf = vtokens.join(dfreq, "token")
       .select(col("id"), col("len"), col("token"), col("df"),
         row_number().over(w).cast("long").as("pos"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     def idxPfx(d: DataFrame) =
       d.where(col("len") - col("pos") + lit(1) >= (col("len") * lit(2) * t / onePlusT))
@@ -296,17 +296,9 @@ object JaccardJoin {
     // Ordered value pairs, BOTH orientations, self pairs included — the record
     // gate below decides which orientation applies to each record pair.
     //
-    // Two output-preserving tightenings over the reference's candidate query:
+    // One output-preserving tightening over the reference's candidate query:
     //
-    //   1. SYMMETRIC length filter: the reference prunes one-sidedly
-    //      (`L.len >= R.len * t`, jaccard_join.py:158), but a pair with
-    //      `R.len < L.len * t` can never verify — overlap <= R.len while the
-    //      HAVING bound (L.len+R.len)*t/(1+t) > R.len exactly in that region —
-    //      so adding the mirror condition drops only pairs verification would
-    //      drop anyway. (The per-pair prefix stats maxPos/pfxOverlap are
-    //      unaffected: length filters accept or reject ALL token matches of a
-    //      pair together.)
-    //   2. LENGTH-BAND equi key: with lengths confined to a factor-(1/t) window,
+    //   LENGTH-BAND equi key: with lengths confined to a factor-(1/t) window,
     //      band(len) = floor(ln(len)/ln(1/t)) lets the join hash on
     //      (token, band) instead of token alone. The probing side explodes to
     //      every band its admissible partner lengths [floor(len*t), ceil(len/t)]
@@ -336,12 +328,18 @@ object JaccardJoin {
           bandOf(greatest(floor(col("len") * t), lit(1d))),
           bandOf(ceil(col("len") / t)))))
       .withColumn("lenkey", lenkey).alias("R")
+    // The length filter is one-sided, exactly as the reference
+    // (`L.len >= R.len * t`, jaccard_join.py:158). No mirror condition: a pair
+    // with R.len < L.len*t is already rejected by the positional filter —
+    // R.len - R.pos + 1 <= R.len < (L.len+R.len)*t/(1+t) exactly in that
+    // region — and any hand-written mirror would be a DIFFERENT float
+    // expression that could diverge from the record-level pipeline and the
+    // DuckDB oracle at representational boundaries.
     val candCond =
       col("L.token") === col("R.token") &&
       col("L.band") === col("R.band") &&
       col("L.lenkey") <= col("R.lenkey") &&
       col("L.len") >= col("R.len") * t &&
-      col("R.len") >= col("L.len") * t &&
       least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
         ((col("L.len") + col("R.len")) * t / onePlusT)
     val cand = L.join(R, candCond)
@@ -369,7 +367,7 @@ object JaccardJoin {
     val vals = table.select(col(joinAttr).as("value")).distinct()
       .withColumn("vid", unhex(md5(col("value"))))
     val vtokens = tokenizer.tokenize(vals.select(col("vid"), col("value")), "vid", "value")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     val L = vtokens.alias("L")
     val R = vtokens.alias("R")
     // unordered value pairs incl. self pairs (record gate dedupes/orients below)
@@ -454,8 +452,8 @@ object JaccardJoin {
     val rCount = rTable.count()
     val widowPlaceholder = lCount * rCount + 1
 
-    val lTokens = tokenizer.tokenize(lTable, lKey, lJoin).persist(StorageLevel.MEMORY_AND_DISK)
-    val rTokens = tokenizer.tokenize(rTable, rKey, rJoin).persist(StorageLevel.MEMORY_AND_DISK)
+    val lTokens = tokenizer.tokenize(lTable, lKey, lJoin).persistTracked
+    val rTokens = tokenizer.tokenize(rTable, rKey, rJoin).persistTracked
 
     // J8/J9: full-outer df merge with widow placeholder (jaccard_join.py:270-295)
     val lDf = lTokens.groupBy("token").agg(count(lit(1)).as("l_df"))
@@ -465,14 +463,14 @@ object JaccardJoin {
     val dfreq = lDf.join(rDf, Seq("token"), "full_outer")
       .select(col("token"),
         coalesce(col("l_df") * col("r_df"), lit(widowPlaceholder)).as("df"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
 
     def tkdfOf(tokens: DataFrame): DataFrame = {
       val w = Window.partitionBy("id").orderBy("df", "token")
       tokens.join(dfreq, "token")
         .select(col("id"), col("len"), col("token"), col("df"),
           row_number().over(w).cast("long").as("pos"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .persistTracked
     }
     val lTkdf = tkdfOf(lTokens)
     val rTkdf = tkdfOf(rTokens)

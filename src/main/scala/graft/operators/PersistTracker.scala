@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+import scala.collection.mutable
+
+/**
+ * Registry for every intermediate the graft operators `persist()`.
+ *
+ * The join/dedup pipelines cache intermediates that are consumed by more than
+ * one downstream stage (tkdf, banded signatures, cascade survivors). Because
+ * results are returned LAZILY, the operator cannot unpersist before the caller
+ * materializes — so in a long-lived session repeated library-style calls would
+ * accumulate cached blocks until memory-pressure eviction. Tracking each
+ * persist here lets callers release exactly the operator-internal caches via
+ * [[unpersistAll]] ([[graft.Api.clearCache]]) without nuking caches the USER
+ * created (which a blanket `spark.catalog.clearCache()` would).
+ */
+private[graft] object PersistTracker {
+
+  private val tracked = mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Persist `df` at `level` and remember it for [[unpersistAll]]. */
+  def persist(df: DataFrame,
+              level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
+    synchronized {
+      val p = df.persist(level)
+      tracked += p
+      p
+    }
+
+  /** Unpersist every tracked intermediate; returns how many were released.
+    * Safe against already-unpersisted / stopped-session entries. */
+  def unpersistAll(blocking: Boolean = false): Int = synchronized {
+    val n = tracked.size
+    tracked.foreach(df => scala.util.Try(df.unpersist(blocking)))
+    tracked.clear()
+    n
+  }
+
+  /** `df.persistTracked` — chainable tracked persist. */
+  implicit class TrackedPersist(private val df: DataFrame) extends AnyVal {
+    def persistTracked: DataFrame = PersistTracker.persist(df)
+  }
+}

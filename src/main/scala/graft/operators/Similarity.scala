@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
+import graft.operators.PersistTracker.TrackedPersist
 
 /**
  * Similarity search over embedding columns (`Array[Float]`).
@@ -85,7 +85,7 @@ object Similarity {
               k: Int, dim: Int, planes: Int = 12): DataFrame = {
     val c = corpus.select(col(key).as("neighbor_id"), col(vec).as("cv"),
       lshBucket(col(vec), dim, planes).as("bucket"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .persistTracked
     // multi-probe: query probes its own bucket and every 1-bit flip of it
     val probes = (0 until planes).map(i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))
     val q = queries.select(col(key).as("query_id"), col(vec).as("qv"),
@@ -116,23 +116,39 @@ object Similarity {
    *      and exactly re-ranks the union by cosine.
    *
    * At 100 TB the lists are hash-partitioned by centroid id and a probe
-   * touches ~nProbe/nCentroids of the corpus; assignment is a
-   * broadcast(centroids) x corpus map-side job — one shuffle on centroid id,
-   * no all-pairs stage anywhere.
+   * touches ~nProbe/nCentroids of the corpus; assignment is a per-row argmax
+   * over the broadcast centroid array — a MAP-SIDE pass with ZERO corpus
+   * shuffle (the earlier explode-to-nCentroids-rows + `row_number() OVER
+   * (PARTITION BY id)` form shuffled nCentroids x the corpus). The only
+   * remaining exchange is the probe join's hash on centroid id — and when the
+   * probe side is broadcast-small even that disappears.
    */
   def topKIvf(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
               k: Int, nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     val cents = broadcast(
       corpus.select(col(key).as("cid"), col(vec).as("cvec"))
         .orderBy(md5(col("cid").cast("string")), col("cid")).limit(nCentroids))
-    // inverted lists: nearest centroid per corpus vector
-    val wAssign = Window.partitionBy("id").orderBy(col("csim").desc, col("cid"))
+    // the whole centroid table as ONE broadcast row — crossJoin(1 row) is a
+    // broadcast nested-loop append, not a shuffle
+    val centArr = broadcast(cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("cents")))
+    // inverted lists: nearest centroid per corpus vector, computed as a fold
+    // (max csim, ties by smallest cid — same order as the probe-side window).
+    // The init struct scores -2.0 < any cosine, so the first element wins it.
+    def argmaxCid(v: Column): Column = {
+      val scored = transform(col("cents"), c =>
+        struct(cosine(v, c.getField("cvec")).as("csim"), c.getField("cid").as("cid")))
+      val init = struct(lit(-2.0d).as("csim"),
+        element_at(col("cents"), 1).getField("cid").as("cid"))
+      aggregate(scored, init, (acc, x) =>
+        when(x.getField("csim") > acc.getField("csim") ||
+             (x.getField("csim") === acc.getField("csim") &&
+              x.getField("cid") < acc.getField("cid")), x)
+          .otherwise(acc))
+        .getField("cid")
+    }
     val assigned = corpus.select(col(key).as("id"), col(vec).as("v"))
-      .crossJoin(cents)
-      .select(col("id"), col("v"), col("cid"), cosine(col("v"), col("cvec")).as("csim"))
-      .withColumn("rn", row_number().over(wAssign))
-      .where(col("rn") === 1)
-      .select(col("cid"), col("id"), col("v"))
+      .crossJoin(centArr)
+      .select(col("id"), col("v"), argmaxCid(col("v")).as("cid"))
     // probe lists of the nProbe nearest centroids
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
     val probes = queries.select(col(key).as("query_id"), col(vec).as("qv"))
@@ -152,10 +168,19 @@ object Similarity {
   }
 
   /** Exact embedding near-duplicate pairs: all-pairs cosine ≥ the threshold;
-    * (lid, rid, sim) with lid < rid. O(n²) — the oracle/baseline for
-    * [[nearDuplicates]]; use the LSH variant at scale. */
+    * (lid, rid, sim) with lid < rid. O(n²) BY DESIGN — the oracle/baseline for
+    * [[nearDuplicates]]; use the LSH variant at scale.
+    *
+    * Guarded: refuses to plan the cartesian when the corpus exceeds `maxRows`
+    * (the count is one cheap driver action over a columnar scan — nothing next
+    * to the n² join it prevents). Raise the cap only for deliberate oracle
+    * runs. */
   def nearDuplicatesExact(corpus: DataFrame, key: String, vec: String,
-                          minCosine: Double): DataFrame = {
+                          minCosine: Double, maxRows: Long = 100000L): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxRows,
+      s"nearDuplicatesExact is an all-pairs cartesian: corpus has $n rows > maxRows=$maxRows; " +
+      "use nearDuplicates (LSH-bucketed) at scale, or raise maxRows for a deliberate oracle run")
     val c = corpus.select(col(key).as("id"), col(vec).as("v"))
     c.alias("a").join(c.alias("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("lid"), col("b.id").as("rid"),

@@ -84,6 +84,20 @@ class DedupSpec extends SparkSpec {
     assert(rows.head.getDouble(2) === 3.0)
   }
 
+  test("minhash verify: multiset overlap can exceed min length (no length prefilter)") {
+    // delimiter distinct-before-lowercase: "The THE tHe the" emits FOUR 'the'
+    // rows (len 4); against "the" (len 1) the multiset product overlap is
+    // 4 >= (4+1)*0.9/1.9 = 2.368, so the reference threshold test KEEPS the
+    // pair even though rlen < llen*t. A set-semantics length prefilter must
+    // not drop it on the multiset path.
+    val df = Seq(1L -> "The THE tHe the", 2L -> "the").toDF("id", "txt")
+    val rows = Dedup.minHashPairs(df, "id", "txt", ws, 0.9).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getDouble(2) === 4.0)
+    // consistent with the brute-force join-count semantics on the same data
+    assert(JaccardJoin.bruteForceSelf(df, "id", "txt", ws, 0.9).count() === 1L)
+  }
+
   test("ngram near-dup drop ids agree with the q-gram brute-force join") {
     val q5 = QGramsTokenizer(5)
     val df = corpus(11, 25, 12).toDF("id", "txt")

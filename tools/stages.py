@@ -18,8 +18,14 @@ def lines(p):
     for part in parts:
         if part.endswith(".zstd"):
             import subprocess
-            out = subprocess.run(["zstd", "-dc", part], capture_output=True, text=True).stdout
-            yield from out.splitlines()
+            try:
+                proc = subprocess.run(["zstd", "-dc", part], capture_output=True,
+                                      text=True, check=True)
+            except FileNotFoundError:
+                sys.exit("error: zstd binary not found — cannot decompress " + part)
+            except subprocess.CalledProcessError as e:
+                sys.exit(f"error: zstd failed on {part} (rc={e.returncode}): {e.stderr.strip()}")
+            yield from proc.stdout.splitlines()
         else:
             with open(part) as f:
                 yield from f
