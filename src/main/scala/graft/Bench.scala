@@ -18,6 +18,10 @@ object Bench {
     "jac_bf_self_part_ws_t05",  // brute-force ratio (reference wins ~50x at 5K+)
     "jac_rs_cust_supp_q3_t03",  // R×S with widow handling + side choice
     "jac_self_docs_ws_t09",     // near-dup join over documents
+    // candidate-explosion regime (BASELINE.md's 45-142 s region at t<=0.4)
+    "jac_self_part_ws_t03",
+    "jac_self_docs_ws_t05",
+    "jac_rs_cust_supp_q3_t02",
     "dedup_minhash_docs",       // MinHash+LSH cascade
     "dedup_exact_docs",
     "ann_topk_exact",           // brute-force cosine top-k baseline

@@ -163,6 +163,32 @@ SELECT coalesce(sum(CASE WHEN sk1 IS NOT NULL AND sk2 IS NOT NULL THEN 1 END), 0
        coalesce(sum(CASE WHEN sk1 IS NULL THEN 1 END), 0)::BIGINT AS fn
 FROM cm"""
 
+  /** E1 counts via the orientation-normalized equi-join (mirrors
+    * Evaluate.countsNormalized, including the reference's literal tp
+    * counting where unmatched-SJ rows land in tp too). Same column contract
+    * as [[evalCounts]]: gtSql → (gk1, gk2), sjSql → (sk1, sk2). */
+  def evalCountsNorm(gtSql: String, sjSql: String): String =
+    s"""WITH gt AS (SELECT least(gk1, gk2) AS k1, greatest(gk1, gk2) AS k2 FROM ($gtSql)),
+sj AS (SELECT least(sk1, sk2) AS k1, greatest(sk1, sk2) AS k2 FROM ($sjSql)),
+cm AS (
+  SELECT gt.k1 AS g1, sj.k1 AS s1
+  FROM gt FULL OUTER JOIN sj ON gt.k1 = sj.k1 AND gt.k2 = sj.k2)
+SELECT coalesce(sum(CASE WHEN s1 IS NOT NULL THEN 1 END), 0)::BIGINT AS tp,
+       coalesce(sum(CASE WHEN g1 IS NULL THEN 1 END), 0)::BIGINT AS fp,
+       coalesce(sum(CASE WHEN s1 IS NULL THEN 1 END), 0)::BIGINT AS fn
+FROM cm"""
+
+  /** One row of the quality sweep: tagged counts + precision/recall/F1 with
+    * the reference's tp>0 guard (similarity_join/__init__.py:46-62). */
+  def evalSweepRow(t: Double, gtSql: String, sjSql: String): String =
+    s"""SELECT threshold, tp, fp, fn, pr, rc,
+  CASE WHEN tp > 0 THEN (2 * pr * rc / (pr + rc)) ELSE CAST(0 AS DOUBLE) END AS f1
+FROM (
+  SELECT ${d(t)} AS threshold, tp, fp, fn,
+    CASE WHEN tp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE CAST(0 AS DOUBLE) END AS pr,
+    CASE WHEN tp > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE CAST(0 AS DOUBLE) END AS rc
+  FROM (${evalCountsNorm(gtSql, sjSql)}))"""
+
   // -------------------------------------------------------------------------
   // Text-analysis / dedup / multimodal / ANN oracles (graft.operators.*)
   // -------------------------------------------------------------------------
@@ -256,6 +282,85 @@ keep AS (SELECT fp, min(id) AS id FROM fpt GROUP BY fp),
 surv AS (SELECT fpt.id, fpt.txt FROM fpt JOIN keep ON fpt.fp = keep.fp AND fpt.id = keep.id),
 drops AS (${nearDropIds(selfJoin(survTokens, "id", t), "id")})
 SELECT id FROM surv WHERE id NOT IN (SELECT drop_id FROM drops)"""
+  }
+
+  /** md5-derived 60-bit token hash — first 15 hex chars of md5('<i>:' || token)
+    * parsed as hex. Bit-identical to Dedup.Md5Family.tokenHash on Spark
+    * (`conv(substring(md5(concat('<i>:', token)), 1, 15), 16, 10)`). */
+  private def md5TokenHash(i: Int, token: String): String =
+    s"CAST(('0x' || substring(md5('$i:' || $token), 1, 15)) AS BIGINT)"
+
+  /**
+   * Mirrors Dedup.minHashPairs with the Md5Family: per-band min-hash signature
+   * chunks joined on a concat'd band key, then exact multiset-Jaccard
+   * verification with the reference threshold operand order. Output
+   * (lid, rid, jaccard).
+   */
+  def minHashMd5(tokensSql: String, t: Double, bands: Int, rowsPerBand: Int): String = {
+    val T = d(t); val T1 = d(1 + t)
+    val n = bands * rowsPerBand
+    val mins = (0 until n)
+      .map(i => s"    min(${md5TokenHash(i, "token")}) AS h$i").mkString(",\n")
+    // band key = '<band>_' || h.. joined by '_' — same string Spark's
+    // Md5Family.bandKey builds via concat + array_join
+    val bandSelects = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"h$i").mkString(s"'${b}_' || ", " || '_' || ", "")
+      s"  SELECT id, $key AS bucket FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tokens AS ($tokensSql),
+sigs AS (
+  SELECT id,
+$mins
+  FROM tokens GROUP BY id),
+banded AS (
+$bandSelects),
+cand AS (
+  SELECT DISTINCT a.id AS lid, b.id AS rid
+  FROM banded a, banded b
+  WHERE a.bucket = b.bucket AND a.id < b.id),
+ver AS (
+  SELECT c.lid, c.rid, L.len AS llen, R.len AS rlen, count(*) AS overlap
+  FROM cand c, tokens L, tokens R
+  WHERE L.id = c.lid AND R.id = c.rid AND L.token = R.token
+  GROUP BY 1, 2, 3, 4)
+SELECT lid, rid, CAST(overlap AS DOUBLE) / (llen + rlen - overlap) AS jaccard
+FROM ver WHERE overlap >= ((llen + rlen) * $T / $T1)"""
+  }
+
+  /**
+   * Mirrors Dedup.simHashPairs with the Md5Family: 60-bit SimHash from
+   * per-bit sign sums, 4×15-bit pigeonhole banding, Hamming ≤ maxHamming.
+   * Output (lid, rid, hamming) with hamming as BIGINT.
+   */
+  def simHashMd5(tokensSql: String, maxHamming: Int): String = {
+    val bits = 60
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1L
+    val bitSums = (0 until bits)
+      .map(i => s"    sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n")
+    val orChain = (0 until bits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    val bandSelects = (0 until 4).map { b =>
+      s"  SELECT id, simhash, $b AS band, ((simhash >> ${b * bandBits}) & $bandMask) AS bandval FROM sigs"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH tokens AS ($tokensSql),
+th AS (SELECT id, ${md5TokenHash(0, "token")} AS h FROM tokens),
+bitsums AS (
+  SELECT id,
+$bitSums
+  FROM th GROUP BY id),
+sigs AS (SELECT id, ($orChain) AS simhash FROM bitsums),
+banded AS (
+$bandSelects)
+SELECT lid, rid, hamming FROM (
+  SELECT DISTINCT a.id AS lid, b.id AS rid,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM banded a, banded b
+  WHERE a.band = b.band AND a.bandval = b.bandval AND a.id < b.id)
+WHERE hamming <= $maxHamming"""
   }
 
   /** Mirrors Multimodal.withPayload + extractMeta (payload = utf8 bytes of text). */

@@ -25,6 +25,39 @@ import graft.operators.PersistTracker.TrackedPersist
  */
 object Dedup {
 
+  /**
+   * Per-token 64-bit hash family for MinHash/SimHash signatures.
+   *
+   * [[XxHash64Family]] is the fast path (codegen'd, 64 usable bits).
+   * [[Md5Family]] derives a 60-bit hash from the first 15 hex chars of
+   * `md5("<i>:" || token)` — slower, but every step is expressible in plain
+   * SQL on other engines, so MinHash/SimHash results built on it can be
+   * verified bit-for-bit against the DuckDB oracle (see
+   * [[graft.DuckSql.minHashMd5]] / [[graft.DuckSql.simHashMd5]]).
+   */
+  sealed trait HashFamily extends Serializable {
+    /** i-th hash of a token (i = 0 for single-hash uses). */
+    def tokenHash(i: Int, token: Column): Column
+    /** Fold one band's signature chunk (array<long>) into a join key. */
+    def bandKey(band: Column, chunk: Column): Column
+    /** Usable bits in tokenHash output (SimHash signature width). */
+    def bits: Int
+  }
+  case object XxHash64Family extends HashFamily {
+    def tokenHash(i: Int, token: Column): Column = xxhash64(lit(i), token)
+    def bandKey(band: Column, chunk: Column): Column = xxhash64(band, chunk)
+    def bits: Int = 64
+  }
+  case object Md5Family extends HashFamily {
+    // 15 hex chars = 60 bits: always positive, exact in a signed long on
+    // every engine (16 chars could overflow into the sign bit)
+    def tokenHash(i: Int, token: Column): Column =
+      conv(substring(md5(concat(lit(s"$i:"), token)), 1, 15), 16, 10).cast("long")
+    def bandKey(band: Column, chunk: Column): Column =
+      concat(band.cast("string"), lit("_"), array_join(chunk, "_"))
+    def bits: Int = 60
+  }
+
   /** Exact dedup: group by content hash, count copies, keep the min key.
     * `SELECT md5(content), count(*), min(key) GROUP BY 1` — one shuffle. */
   def exact(df: DataFrame, key: String, content: String): DataFrame =
@@ -40,11 +73,12 @@ object Dedup {
     pairs.select(greatest(l, r).as("drop_id")).distinct()
   }
 
-  /** MinHash signature per record: sig[i] = min over tokens of xxhash64(i, token).
+  /** MinHash signature per record: sig[i] = min over tokens of hash_i(token).
     * One groupBy over (id, token) rows; numHashes columns fused by codegen. */
-  def minHashSignatures(tokens: DataFrame, numHashes: Int): DataFrame =
+  def minHashSignatures(tokens: DataFrame, numHashes: Int,
+                        family: HashFamily = XxHash64Family): DataFrame =
     tokens.groupBy("id").agg(
-      array((0 until numHashes).map(i => min(xxhash64(lit(i), col("token")))): _*).as("sig"))
+      array((0 until numHashes).map(i => min(family.tokenHash(i, col("token")))): _*).as("sig"))
 
   /**
    * MinHash + LSH near-duplicate pairs with exact verification.
@@ -57,19 +91,21 @@ object Dedup {
    * Output: (lid, rid, jaccard) with lid < rid.
    */
   def minHashPairs(df: DataFrame, key: String, value: String, tokenizer: Tokenizer,
-                   threshold: Double, bands: Int = 16, rowsPerBand: Int = 8): DataFrame = {
+                   threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
+                   family: HashFamily = XxHash64Family): DataFrame = {
     val numHashes = bands * rowsPerBand
     val tokens = tokenizer.tokenize(df, key, value).persistTracked
-    val sigs = minHashSignatures(tokens, numHashes)
+    val sigs = minHashSignatures(tokens, numHashes, family)
 
-    // Fold each band's signature chunk into ONE long via xxhash64(band, chunk):
-    // the self-join then hashes on a single 8-byte key instead of an
-    // 8-element array (cross-band hash collisions only add false candidates,
-    // which exact verification removes). Persisted so the signature
-    // aggregation runs once, not once per join side.
+    // Fold each band's signature chunk into ONE join key via the family's
+    // bandKey (xxhash64(band, chunk) on the fast path): the self-join then
+    // hashes on a compact key instead of an 8-element array (cross-band hash
+    // collisions only add false candidates, which exact verification
+    // removes). Persisted so the signature aggregation runs once, not once
+    // per join side.
     val banded = sigs.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(b, slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
+        b => family.bandKey(b, slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
       .as("bucket"))
       .persistTracked
 
@@ -162,35 +198,38 @@ object Dedup {
     survivors.join(drops, col("id") === col("drop_id"), "left_anti").select(col("id"))
   }
 
-  /** 64-bit SimHash per record: bit i of the signature is the sign of
-    * Σ_tokens (bit i of xxhash64(token) ? +1 : -1). */
-  def simHash64(tokens: DataFrame): DataFrame = {
-    val h = tokens.select(col("id"), xxhash64(col("token")).as("h"))
-    val bitSums = (0 until 64).map(i =>
+  /** SimHash per record over the family's full hash width: bit i of the
+    * signature is the sign of Σ_tokens (bit i of hash(token) ? +1 : -1). */
+  def simHash64(tokens: DataFrame, family: HashFamily = XxHash64Family): DataFrame = {
+    val h = tokens.select(col("id"), family.tokenHash(0, col("token")).as("h"))
+    val bitSums = (0 until family.bits).map(i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$i"))
     h.groupBy("id").agg(bitSums.head, bitSums.tail: _*)
       .select(col("id"),
-        (0 until 64).map(i =>
+        (0 until family.bits).map(i =>
           when(col(s"b$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
           .reduce(_ bitwiseOR _).as("simhash"))
   }
 
   /**
-   * SimHash near-dup pairs with Hamming distance ≤ maxHamming (< 16 bits of
-   * the 4×16 banding). Pigeonhole: distance ≤ 3 ⇒ at least one of the 4
-   * 16-bit bands is identical, so candidates only form on equal band values —
+   * SimHash near-dup pairs with Hamming distance ≤ maxHamming (< bits/4 of
+   * the 4-band banding). Pigeonhole: distance ≤ 3 ⇒ at least one of the 4
+   * bands is identical, so candidates only form on equal band values —
    * a plain equi-join, no all-pairs.
    */
   def simHashPairs(df: DataFrame, key: String, value: String, tokenizer: Tokenizer,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   family: HashFamily = XxHash64Family): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
     val tokens = tokenizer.tokenize(df, key, value)
-    val sigs = simHash64(tokens)
-    // band value: 16-bit window b of the signature (b is a Scala literal)
+    val sigs = simHash64(tokens, family)
+    val bandBits = family.bits / 4
+    val bandMask = (1L << bandBits) - 1L
+    // band value: bandBits-wide window b of the signature (b is a Scala literal)
     val withBand = sigs.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(
           lit(b).as("band"),
-          shiftright(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL)).as("bandval"))): _*)).as("bd"))
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask)).as("bandval"))): _*)).as("bd"))
       .select(col("id"), col("simhash"),
         col("bd.band").as("band"), col("bd.bandval").as("bandval"))
     withBand.alias("a")

@@ -62,6 +62,46 @@ class StreamingSpec extends SparkSpec {
     assert(streamPairs === batchPairs)
   }
 
+  test("batch-stream equivalence: nearDupPairs == minHashPairs on a random corpus") {
+    // property form of the test above: an engineered near-dup corpus split
+    // across three micro-batches must yield EXACTLY the batch operator's
+    // pairs (same ws token sets, same hash family, same threshold operand
+    // order), with matching jaccard values per pair.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(17)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val base = (0 until 30).map { i =>
+      i.toLong -> Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val dups = (0 until 20).map { i =>
+      val (_, text) = base(rnd.nextInt(30))
+      val words = text.split(" ")
+      words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+      (1000L + i) -> words.distinct.mkString(" ")
+    }
+    val docs = base ++ dups
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.nearDupPairs(stream, "id", "text", threshold = 0.8), "near_dup_prop") {
+      docs.grouped(17).foreach(chunk => in.addData(chunk: _*))
+    }
+    // the stream orients pairs by STRING id, batch by the key's own type —
+    // normalize both to (min, max) numeric orientation before comparing
+    def norm(l: Long, r: Long): (Long, Long) = if (l <= r) (l, r) else (r, l)
+    val streamPairs = spark.table("near_dup_prop")
+      .select("l_id", "r_id", "jaccard").distinct()
+      .as[(String, String, Double)].collect()
+      .map { case (l, r, j) => (norm(l.toLong, r.toLong), j) }.toMap
+    val batchPairs = Dedup.minHashPairs(
+        docs.toDF("id", "text"), "id", "text", WhitespaceTokenizer(), 0.8,
+        bands = 8, rowsPerBand = 4)
+      .select("lid", "rid", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (l, r, j) => (norm(l, r), j) }.toMap
+    assert(streamPairs.nonEmpty, "corpus must contain engineered near-dups")
+    assert(streamPairs === batchPairs)
+  }
+
   test("windowedStats: tumbling windows with watermark finalize in append mode") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, String)]
