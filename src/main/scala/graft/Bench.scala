@@ -35,9 +35,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // default = core count (right for the small-SF bench data); override when
+    // benching shuffle-heavy volumes — partitions must track DATA VOLUME
+    // (~128 MB each): 32 partitions on the 8x stress corpus meant ~4 GB per
+    // aggregation partition and 13.5 GB of spill; 256 erased the spill and
+    // cut the join 1.8x (SCALE.md "Measured").
+    val parts = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", parts)
       .config("spark.sql.adaptive.enabled", true)
       .config("spark.sql.adaptive.coalescePartitions.enabled", true)
       .config("spark.sql.adaptive.skewJoin.enabled", true)

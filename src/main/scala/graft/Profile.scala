@@ -15,7 +15,12 @@ object Profile {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     new java.io.File("/tmp/spark-events").mkdirs()
-    val spark = SparkSession.builder()
+    // extra session configs for experiments: SPARK_GRAFT_CONF="k=v;k=v"
+    val extraConf = sys.env.getOrElse("SPARK_GRAFT_CONF", "").split(';')
+      .filter(_.contains('=')).map { kv =>
+        val Array(k, v) = kv.split("=", 2); (k.trim, v.trim)
+      }
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"profile-$name")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -29,6 +34,7 @@ object Profile {
       // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
       .config("spark.ui.enabled", false)
+    val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
