@@ -260,7 +260,9 @@ object JaccardJoin {
   def selfJoinDeduped(
       table: DataFrame, keyAttr: String, joinAttr: String,
       tokenizer: Tokenizer, threshold: Double,
-      lOutPrefix: String = "l_", rOutPrefix: String = "r_"): DataFrame = {
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_",
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
 
@@ -296,9 +298,9 @@ object JaccardJoin {
     // Ordered value pairs, BOTH orientations, self pairs included — the record
     // gate below decides which orientation applies to each record pair.
     //
-    // One output-preserving tightening over the reference's candidate query:
+    // Two output-preserving partitioning tricks on the candidate equi key:
     //
-    //   LENGTH-BAND equi key: with lengths confined to a factor-(1/t) window,
+    //   1. LENGTH-BAND equi key: with lengths confined to a factor-(1/t) window,
     //      band(len) = floor(ln(len)/ln(1/t)) lets the join hash on
     //      (token, band) instead of token alone. The probing side explodes to
     //      every band its admissible partner lengths [floor(len*t), ceil(len/t)]
@@ -308,6 +310,17 @@ object JaccardJoin {
     //      vocabularies — the documents table) this splits each hot token's
     //      n_idx x n_prb blowup across length bands: measured 31M -> 17M joined
     //      rows at sf0.1 t=0.9.
+    //   2. ID-HASH SALT: banding degenerates on uniform-length corpora (every
+    //      record in one band — SCALE.md "Measured"), leaving one partition to
+    //      compute a hot key's whole n_idx x n_prb product. Salting the
+    //      indexing side by hash(id) % S and replicating the probing side to
+    //      all S salts splits every hot bucket S ways. Each (L,R) pair meets
+    //      in EXACTLY one partition (the one with L's salt), so candidates and
+    //      per-pair prefix stats are unchanged; the cost is S x the probing
+    //      prefix's shuffle rows — the small side of the fan-out by
+    //      construction. Measured on the 8x stress corpus: the candidate-join
+    //      stage's longest task dropped from the full stage duration to
+    //      ~1/S of it.
     val lnInvT = math.log(1d / threshold)
     def bandOf(len: Column): Column =
       if (threshold >= 1d) len else floor(log(len.cast("double")) / lit(lnInvT)).cast("long")
@@ -320,14 +333,18 @@ object JaccardJoin {
     // both orientations: record ids decide there.
     val lenkey = concat(col("len").cast("string"), lit("_"))
     val L = idxPfx(vtkdf).withColumn("band", bandOf(col("len")))
-      .withColumn("lenkey", lenkey).alias("L")
+      .withColumn("lenkey", lenkey)
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(saltBuckets.toLong)))
+      .alias("L")
     val R = prbPfx(vtkdf)
       .withColumn("band",
         if (threshold >= 1d) col("len")
         else explode(sequence(
           bandOf(greatest(floor(col("len") * t), lit(1d))),
           bandOf(ceil(col("len") / t)))))
-      .withColumn("lenkey", lenkey).alias("R")
+      .withColumn("lenkey", lenkey)
+      .withColumn("salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+      .alias("R")
     // The length filter is one-sided, exactly as the reference
     // (`L.len >= R.len * t`, jaccard_join.py:158). No mirror condition: a pair
     // with R.len < L.len*t is already rejected by the positional filter —
@@ -338,6 +355,7 @@ object JaccardJoin {
     val candCond =
       col("L.token") === col("R.token") &&
       col("L.band") === col("R.band") &&
+      col("L.salt") === col("R.salt") &&
       col("L.lenkey") <= col("R.lenkey") &&
       col("L.len") >= col("R.len") * t &&
       least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
@@ -443,7 +461,9 @@ object JaccardJoin {
       rTable: DataFrame, rKey: String, rJoin: String,
       tokenizer: Tokenizer, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
-      exactRecall: Boolean = false): DataFrame = {
+      exactRecall: Boolean = false,
+      saltBuckets: Int = 8): DataFrame = {
+    require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
 
@@ -498,12 +518,21 @@ object JaccardJoin {
     val (idxTkdf, idxPrefixName) = if (lIsIndexing) (lTkdf, lOutPrefix) else (rTkdf, rOutPrefix)
     val (prbTkdf, prbPrefixName) = if (lIsIndexing) (rTkdf, rOutPrefix) else (lTkdf, lOutPrefix)
 
-    val rPfx = (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf)).alias("Rpfx")
-    val sPfx = probingPrefix(prbTkdf).alias("Spfx")
+    // id-hash salt on the indexing side, probing side replicated to all S
+    // salts — splits hot tokens' fan-out across partitions, output-unchanged
+    // (each (R,S) pair meets in exactly the partition with R's salt; see
+    // selfJoinDeduped's candidate-key commentary)
+    val rPfx = (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf))
+      .withColumn("salt", pmod(xxhash64(col("id")), lit(saltBuckets.toLong)))
+      .alias("Rpfx")
+    val sPfx = probingPrefix(prbTkdf)
+      .withColumn("salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+      .alias("Spfx")
 
     // J13: candidates, two-sided length filter (jaccard_join.py:364-384)
     val candCond =
       col("Rpfx.token") === col("Spfx.token") &&
+      col("Rpfx.salt") === col("Spfx.salt") &&
       col("Rpfx.len") >= col("Spfx.len") * t &&
       col("Spfx.len") >= col("Rpfx.len") * t &&
       least(col("Rpfx.len") - col("Rpfx.pos") + lit(1), col("Spfx.len") - col("Spfx.pos") + lit(1)) >=
