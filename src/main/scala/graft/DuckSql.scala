@@ -255,6 +255,44 @@ FROM $table"""
       FROM $table)))
 WHERE fingerprint IS NOT NULL"""
 
+  /** Mirrors TextAnalysis.winnowingOverlapPairs: shared-fingerprint pair
+    * counts with the over-common-fingerprint drop. */
+  def winnowingOverlap(table: String, key: String, text: String,
+                       k: Int, w: Int, minShared: Int, maxDocFreq: Int): String =
+    s"""WITH fps AS (${winnowing(table, key, text, k, w)}),
+keep AS (SELECT fingerprint FROM fps GROUP BY fingerprint HAVING count(*) <= $maxDocFreq),
+kept AS (SELECT fps.id, fps.fingerprint FROM fps JOIN keep USING (fingerprint))
+SELECT a.id AS lid, b.id AS rid, count(*) AS n_shared
+FROM kept a, kept b
+WHERE a.fingerprint = b.fingerprint AND a.id < b.id
+GROUP BY 1, 2
+HAVING count(*) >= $minShared"""
+
+  /** Mirrors TextAnalysis.bm25TopK with lnIdf=false (the rational idf — `ln`
+    * is not bit-identical across engines; +,-,*,/ are). The per-doc score is
+    * a token-ordered sequential fold on both sides (list_sum over an ORDER BY
+    * list here, aggregate over a sorted collect_list in Spark). */
+  def bm25TopK(table: String, key: String, text: String,
+               terms: Seq[String], k: Int, k1: Double, b: Double): String = {
+    val toksSql = delimTokens(table, key, text, wsClass, set = false)
+    val inList = terms.map(t => s"'$t'").mkString("(", ", ", ")")
+    s"""WITH toks AS ($toksSql),
+stats AS (
+  SELECT count(*) AS n, CAST(sum(len) AS DOUBLE) / count(*) AS avgdl
+  FROM (SELECT DISTINCT id, len FROM toks)),
+tf AS (
+  SELECT id, token, count(*) AS tf, min(len) AS len
+  FROM toks WHERE token IN $inList GROUP BY 1, 2),
+dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+contrib AS (
+  SELECT tf.id AS id, tf.token AS token,
+    (((s.n - d.df) + 0.5) / (d.df + 0.5) + 1.0) *
+    ((tf.tf * ${d(k1 + 1)}) / (tf.tf + ${d(k1)} * (${d(1 - b)} + (${d(b)} * tf.len) / s.avgdl))) AS c
+  FROM tf JOIN dfreq d USING (token), stats s),
+score AS (SELECT id, list_sum(list(c ORDER BY token)) AS score FROM contrib GROUP BY id)
+SELECT id, score FROM score ORDER BY score DESC, id LIMIT $k"""
+  }
+
   /** Mirrors TextAnalysis.fingerprint. */
   def fingerprint(table: String, key: String, text: String): String =
     s"""SELECT $key AS id, md5(trim(regexp_replace(lower($text), '\\s+', ' ', 'g'))) AS fingerprint

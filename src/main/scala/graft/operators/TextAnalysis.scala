@@ -140,6 +140,38 @@ object TextAnalysis {
   }
 
   /**
+   * Partial-overlap pairs via shared winnowing fingerprints (the MOSS match
+   * step): documents sharing >= `minShared` fingerprints — i.e. containing
+   * common substrings of length >= k + w - 1 — are reported with their shared
+   * count. This finds QUOTATION/plagiarism/boilerplate overlap that neither
+   * whole-document hashing nor token-set Jaccard can (a long verbatim passage
+   * inside otherwise-different documents).
+   *
+   * `maxDocFreq` drops fingerprints appearing in more than that many
+   * documents before pairing — MOSS's own over-common-fingerprint rule
+   * (boilerplate headers match everything and mean nothing). It is ALSO the
+   * scale guard: the equi-join fan-out per fingerprint is bounded by
+   * maxDocFreq², so the join never degenerates on corpus-wide boilerplate.
+   *
+   * Output: (lid, rid, n_shared) with lid < rid.
+   */
+  def winnowingOverlapPairs(df: DataFrame, key: String, text: String,
+                            k: Int = 8, w: Int = 4, minShared: Int = 3,
+                            maxDocFreq: Int = 100): DataFrame = {
+    import graft.operators.PersistTracker.TrackedPersist
+    val fps = winnowingFingerprints(df, key, text, k, w).persistTracked
+    val keep = fps.groupBy("fingerprint").agg(count(lit(1)).as("ndocs"))
+      .where(col("ndocs") <= maxDocFreq)
+      .select(col("fingerprint"))
+    val kept = fps.join(keep, "fingerprint")
+    kept.alias("a").join(kept.alias("b"),
+        col("a.fingerprint") === col("b.fingerprint") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("lid"), col("b.id").as("rid"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
+  /**
    * Content fingerprint: md5 over the whitespace-normalized lowercased text.
    * Identical fingerprints ⇒ near-identical content modulo spacing/case — the
    * cheap first pass before MinHash in a dedup cascade.
@@ -148,4 +180,60 @@ object TextAnalysis {
     df.select(
       col(key).as("id"),
       md5(trim(regexp_replace(lower(col(text)), "\\s+", " "))).as("fingerprint"))
+
+  /**
+   * BM25 keyword retrieval: top-k documents for a query string.
+   *
+   *   score(d) = Σ_{t ∈ q} idf(t) · tf(t,d)·(k1+1) / (tf(t,d) + k1·(1 − b + b·|d|/avgdl))
+   *
+   * Whitespace-bag term frequencies (same char class the join pipeline uses),
+   * lowercased matching; N and avgdl are computed over documents with at
+   * least one token. `lnIdf = true` (default) uses the canonical
+   * `ln((N − df + 0.5)/(df + 0.5) + 1)`; `lnIdf = false` uses the rational
+   * ln-argument itself as idf — rank-equivalent for single-term queries and
+   * the form used by the DuckDB-verified gate query, because `ln` is not
+   * bit-identical across engines (measured: a few 1-ulp differences per 6000
+   * inputs) while +,-,*,/ are IEEE-exact everywhere.
+   *
+   * Deterministic scoring: per-document contributions are folded in TOKEN
+   * ORDER (sorted collect_list → sequential fold), not via an unordered SUM —
+   * double addition is non-associative, and an unordered aggregate would make
+   * ranks run-dependent at ties.
+   *
+   * Scale: term filter prunes the token stream at the scan; df/stats are
+   * broadcast; the only shuffle is the tf groupBy on (id, token); top-k plans
+   * as TakeOrderedAndProject (per-partition heap + driver merge of k rows).
+   */
+  def bm25TopK(df: DataFrame, key: String, text: String, query: String,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               lnIdf: Boolean = true): DataFrame = {
+    val qterms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qterms.nonEmpty, "query must contain at least one term")
+    val toks = WhitespaceTokenizer(returnSet = false)
+      .tokenize(df, key, text)
+      .select(col("id"), col("len"), lower(col("token")).as("token"))
+    // one broadcast row: corpus size + average doc length (exact integer sum,
+    // one division — engine-identical, unlike avg()'s internal accumulation)
+    val stats = broadcast(toks.select(col("id"), col("len")).distinct()
+      .agg(count(lit(1)).as("n"),
+        (sum(col("len")).cast("double") / count(lit(1))).as("avgdl")))
+    val tf = toks.where(col("token").isin(qterms: _*))
+      .groupBy("id", "token")
+      .agg(count(lit(1)).as("tf"), min(col("len")).as("len"))
+    val dfreq = broadcast(tf.groupBy("token").agg(count(lit(1)).as("df")))
+    val idfArg = ((col("n") - col("df")) + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)
+    val idf = if (lnIdf) log(idfArg) else idfArg
+    val contrib = idf *
+      ((col("tf") * lit(k1 + 1)) /
+        (col("tf") + lit(k1) * (lit(1 - b) + (lit(b) * col("len")) / col("avgdl"))))
+    tf.join(dfreq, "token").crossJoin(stats)
+      .select(col("id"), col("token"), contrib.as("c"))
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("token"), col("c")))).as("cs"))
+      .select(col("id"),
+        aggregate(transform(col("cs"), x => x.getField("c")), lit(0.0d), (acc, x) => acc + x)
+          .as("score"))
+      .orderBy(col("score").desc, col("id"))
+      .limit(k)
+  }
 }

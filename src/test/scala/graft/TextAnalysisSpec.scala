@@ -85,6 +85,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(again === fps.toSet)
   }
 
+  test("winnowing overlap pairs: planted shared passage found, boilerplate dropped") {
+    val passage = "for while the quick brown fox jumps over the lazy sleeping dog again"
+    val boiler = "standard corporate footer text"
+    val df = Seq(
+      1L -> s"document one begins here $passage and then diverges $boiler",
+      2L -> s"a second document $passage with its own unrelated tail $boiler",
+      3L -> s"totally disjoint content nothing in common whatsoever $boiler",
+      4L -> s"yet another unrelated piece of writing entirely $boiler").toDF("id", "txt")
+    val pairs = TextAnalysis.winnowingOverlapPairs(df, "id", "txt",
+        k = 8, w = 4, minShared = 3, maxDocFreq = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // the planted ~70-char passage guarantees many shared fingerprints for (1,2)
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) >= 3L)
+    // dropping fingerprints present in >2 docs removes the boilerplate-only links
+    val strict = TextAnalysis.winnowingOverlapPairs(df, "id", "txt",
+        k = 8, w = 4, minShared = 1, maxDocFreq = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(strict.contains((1L, 2L)))
+    assert(!strict.contains((3L, 4L)), "boilerplate-only pair must be dropped by maxDocFreq")
+  }
+
+  test("bm25: rare-term documents outrank common-term documents, k respected") {
+    // "common" has df=4 (low idf), "zebra" df=2 (high idf) — the rare-term
+    // doc must outrank the common-term doc despite a lower term frequency
+    val df = Seq(
+      1L -> "zebra zebra zebra words more words here",      // rare term, high tf
+      2L -> "zebra appears once in this longer document with many filler words",
+      3L -> "common common common common common common",    // common term only
+      4L -> "common words without the rare one",
+      5L -> "some common filler text here",
+      6L -> "another doc with common words inside",
+      7L -> "totally unrelated content").toDF("id", "txt")
+    val top = TextAnalysis.bm25TopK(df, "id", "txt", "zebra common", k = 3)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.length === 3)
+    // scores descending
+    assert(top.sliding(2).forall { case Array(a, b2) => a._2 >= b2._2; case _ => true })
+    // doc 1 (3x rare term, short) must be the top hit
+    assert(top.head._1 === 1L)
+    // doc 7 (no query terms) never appears
+    assert(!top.map(_._1).contains(7L))
+    // rational-idf variant preserves the same top document here
+    val rational = TextAnalysis.bm25TopK(df, "id", "txt", "zebra common", k = 3, lnIdf = false)
+      .collect().map(_.getLong(0))
+    assert(rational.head === 1L)
+  }
+
   test("qualityScore: clean prose scores above degenerate text, all scores in (0, 1]") {
     val clean = "the quick brown fox jumps over the lazy dog and it runs far away"
     val short = "hi"
