@@ -29,6 +29,8 @@ object Bench {
     "ann_topk_ivf",             // inverted-file scale path
     "emb_neardup_lsh",          // bucketed embedding dedup
     "text_stats_docs",
+    "winnow_overlap_docs",      // MOSS partial-overlap pairs
+    "bm25_topk_docs",           // BM25 keyword retrieval
     "eval_counts_norm_part",    // E1 scale path (equi-join on normalized pair key)
   )
 
