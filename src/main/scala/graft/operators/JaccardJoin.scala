@@ -261,7 +261,12 @@ object JaccardJoin {
       table: DataFrame, keyAttr: String, joinAttr: String,
       tokenizer: Tokenizer, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8, hotTokenDf: Int = 10000): DataFrame = {
+    // hotTokenDf is a VALUE-level df bound: a token crossing it contributes
+    // >= hotTokenDf² (1e8 at the default) candidate rows — past the measured
+    // local crossover where splitting beats the probe-replication cost
+    // (SCALE.md "Measured"). Tune DOWN on large clusters where per-core
+    // fan-out budgets are smaller.
     require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
@@ -279,14 +284,17 @@ object JaccardJoin {
     // value-level tokens keyed by the surrogate
     val vtokens = tokenizer.tokenize(vals.select(col("vid"), col("value")), "vid", "value")
 
-    // multiplicity-weighted document frequency == record-level df
+    // multiplicity-weighted document frequency == record-level df (drives the
+    // reference's rarest-first ordering); vdf = VALUE-level df, whose square
+    // bounds the token's candidate fan-out — the hot-token salting signal
+    // (weighted df would overstate fan-out by the duplication factor²)
     val dfreq = vtokens
       .join(vals.select(col("vid").as("id"), col("w")), "id")
-      .groupBy("token").agg(sum("w").as("df"))
+      .groupBy("token").agg(sum("w").as("df"), count(lit(1)).as("vdf"))
 
     val w = Window.partitionBy("id").orderBy("df", "token")
     val vtkdf = vtokens.join(dfreq, "token")
-      .select(col("id"), col("len"), col("token"), col("df"),
+      .select(col("id"), col("len"), col("token"), col("df"), col("vdf"),
         row_number().over(w).cast("long").as("pos"))
       .persistTracked
 
@@ -332,9 +340,16 @@ object JaccardJoin {
     // waste (its expansion gate can never pass). Equal lenkeys (same len) keep
     // both orientations: record ids decide there.
     val lenkey = concat(col("len").cast("string"), lit("_"))
+    // df-ADAPTIVE salting: only tokens hot enough to matter (value-level df
+    // >= hotTokenDf, i.e. fan-out >= hotTokenDf²) pay the S-way split; cold
+    // tokens keep salt 0 on both sides, so mild corpora see near-zero probe
+    // replication while degenerate ones still split. Both sides read the
+    // SAME vdf column, so the condition agrees per token.
+    val hot = col("vdf") >= lit(hotTokenDf.toLong)
     val L = idxPfx(vtkdf).withColumn("band", bandOf(col("len")))
       .withColumn("lenkey", lenkey)
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(saltBuckets.toLong)))
+      .withColumn("salt",
+        when(hot, pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).otherwise(lit(0L)))
       .alias("L")
     val R = prbPfx(vtkdf)
       .withColumn("band",
@@ -343,7 +358,9 @@ object JaccardJoin {
           bandOf(greatest(floor(col("len") * t), lit(1d))),
           bandOf(ceil(col("len") / t)))))
       .withColumn("lenkey", lenkey)
-      .withColumn("salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+      .withColumn("salt", explode(
+        when(hot, sequence(lit(0L), lit(saltBuckets.toLong - 1)))
+          .otherwise(array(lit(0L)))))
       .alias("R")
     // The length filter is one-sided, exactly as the reference
     // (`L.len >= R.len * t`, jaccard_join.py:158). No mirror condition: a pair
@@ -462,7 +479,9 @@ object JaccardJoin {
       tokenizer: Tokenizer, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
       exactRecall: Boolean = false,
-      saltBuckets: Int = 8): DataFrame = {
+      saltBuckets: Int = 8, hotTokenDf: Long = 100000000L): DataFrame = {
+    // hotTokenDf compares against df = l_df * r_df, which IS the token's
+    // candidate fan-out: the 1e8 default matches selfJoinDeduped's bound
     require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
@@ -518,15 +537,19 @@ object JaccardJoin {
     val (idxTkdf, idxPrefixName) = if (lIsIndexing) (lTkdf, lOutPrefix) else (rTkdf, rOutPrefix)
     val (prbTkdf, prbPrefixName) = if (lIsIndexing) (rTkdf, rOutPrefix) else (lTkdf, lOutPrefix)
 
-    // id-hash salt on the indexing side, probing side replicated to all S
-    // salts — splits hot tokens' fan-out across partitions, output-unchanged
-    // (each (R,S) pair meets in exactly the partition with R's salt; see
-    // selfJoinDeduped's candidate-key commentary)
+    // df-adaptive id-hash salt (see selfJoinDeduped's candidate-key
+    // commentary): here df = l_df * r_df is EXACTLY the token's candidate
+    // fan-out before filters, so `hot` is a direct row-count bound; widow
+    // tokens (df = placeholder) match nothing and are never replicated.
+    val hot = col("df") >= lit(hotTokenDf) && col("df") < lit(widowPlaceholder)
     val rPfx = (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf))
-      .withColumn("salt", pmod(xxhash64(col("id")), lit(saltBuckets.toLong)))
+      .withColumn("salt",
+        when(hot, pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).otherwise(lit(0L)))
       .alias("Rpfx")
     val sPfx = probingPrefix(prbTkdf)
-      .withColumn("salt", explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+      .withColumn("salt", explode(
+        when(hot, sequence(lit(0L), lit(saltBuckets.toLong - 1)))
+          .otherwise(array(lit(0L)))))
       .alias("Spfx")
 
     // J13: candidates, two-sided length filter (jaccard_join.py:364-384)
