@@ -26,8 +26,20 @@ import graft.operators.PersistTracker.TrackedPersist
 object Similarity {
 
   /** Cosine similarity of two float-array columns, computed in DOUBLE with a
-    * sequential fold (deterministic, oracle-matchable). */
-  def cosine(a: Column, b: Column): Column = {
+    * sequential ascending fold (deterministic, oracle-matchable). Backed by
+    * the native codegen'd [[graft.expressions.CosineSim]] — bit-identical to
+    * [[cosineHof]] (CosineSimSpec proves it) but compiled into whole-stage
+    * codegen instead of interpreted per element. */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.CosineSim(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b)))
+
+  /** The higher-order-function form of [[cosine]] — kept as the reference
+    * implementation for the bit-equality property test (HOFs are interpreted,
+    * so the native expression above is the hot-path form). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     def fold(arr: Column): Column = aggregate(arr, lit(0.0d), (acc, x) => acc + x)
     val dot = fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
     val na = fold(transform(a, x => x.cast("double") * x.cast("double")))

@@ -1,0 +1,15 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/**
+ * Bridge into the `private[sql]` Column ⇄ Expression converters, so graft's
+ * native Catalyst expressions (e.g. [[graft.expressions.CosineSim]]) can be
+ * used as ordinary `Column`s from the public DataFrame API. Placing a tiny
+ * adapter inside `org.apache.spark.sql` is the standard technique for
+ * libraries that contribute custom expressions without a session extension.
+ */
+object GraftExpressionBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Similarity
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The native codegen'd CosineSim expression must be BIT-IDENTICAL to the
+  * interpreted higher-order-function fold it replaces — same IEEE operation
+  * sequence, only compiled. */
+class CosineSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("native cosine == HOF cosine bit-for-bit on random float vectors") {
+    val rnd = new Random(42)
+    val rows = (0 until 500).map { i =>
+      (i.toLong,
+        Array.fill(64)(rnd.nextFloat() * 2f - 1f),
+        Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+        Similarity.cosine(col("a"), col("b")).as("native"),
+        Similarity.cosineHof(col("a"), col("b")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native cosine matches a driver-side double computation") {
+    val a = Array(0.5f, -1.25f, 3.0f)
+    val b = Array(2.0f, 0.25f, -0.5f)
+    var dot = 0d; var na = 0d; var nb = 0d
+    for (i <- 0 until 3) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+    }
+    val expected = dot / (math.sqrt(na) * math.sqrt(nb))
+    val got = Seq((a, b)).toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(got) ===
+      java.lang.Double.doubleToLongBits(expected))
+  }
+
+  test("identical vectors have cosine 1.0; orthogonal have 0.0") {
+    val df = Seq(
+      (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
+      (Array(1f, 0f), Array(0f, 1f))).toDF("a", "b")
+    val sims = df.select(Similarity.cosine(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(math.abs(sims(0) - 1.0) < 1e-12)
+    assert(sims(1) === 0.0)
+  }
+}
