@@ -455,6 +455,21 @@ WHERE rank <= $k"""
 FROM $table a, $table b
 WHERE a.$key < b.$key AND ${cosExpr(s"a.$vec", s"b.$vec")} >= ${d(minCosine)}"""
 
+  /** Mirrors Similarity.quantizeInt8: symmetric per-vector int8 quantization
+    * with dequantization error (round is half-away-from-zero on both engines). */
+  def quantizeInt8(table: String, key: String, vec: String): String =
+    s"""SELECT id, scale,
+  array_to_string(list_transform(v, x -> CASE WHEN scale = 0 THEN 0
+    ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) END), ',') AS qvec_csv,
+  list_max(list_transform(v, x -> abs(CAST(x AS DOUBLE) -
+    CAST(CASE WHEN scale = 0 THEN 0
+      ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) END AS DOUBLE) * scale)))
+    AS max_abs_err
+FROM (
+  SELECT $key AS id, $vec AS v,
+    list_max(list_transform($vec, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+  FROM $table)"""
+
   /** Mirrors Similarity.topKIvf: deterministic md5-sampled centroids, nearest-
     * centroid inverted lists, nProbe-list probe with exact re-rank. */
   def annTopKIvf(table: String, key: String, vec: String, queryPred: String,

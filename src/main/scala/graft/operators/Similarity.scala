@@ -76,8 +76,21 @@ object Similarity {
     (z.toDouble / Long.MaxValue.toDouble)
   }
 
-  /** Random-hyperplane signature: bit i = sign(v · plane_i), as a long. */
+  /** Random-hyperplane signature: bit i = sign(v · plane_i), as a long.
+    * Backed by the native codegen'd [[graft.expressions.HyperplaneSig]] —
+    * bit-identical buckets to [[lshBucketHof]] (spec-proven), compiled
+    * instead of one interpreted fold per plane. */
   def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    require(planes <= 63, "bucket fits in a long")
+    val mat = Array.tabulate(planes, dim)((i, j) => planeComponent(i, j))
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.HyperplaneSig(
+        org.apache.spark.sql.GraftExpressionBridge.expression(vec), mat))
+  }
+
+  /** Higher-order-function form of [[lshBucket]], kept as the reference
+    * implementation for the bit-equality spec. */
+  private[graft] def lshBucketHof(vec: Column, dim: Int, planes: Int): Column = {
     require(planes <= 63, "bucket fits in a long")
     val bits = (0 until planes).map { i =>
       val plane = array((0 until dim).map(j => lit(planeComponent(i, j))): _*)
@@ -177,6 +190,36 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         row_number().over(wRank).cast("long").as("rank"))
       .where(col("rank") <= k)
+  }
+
+  /**
+   * Symmetric per-vector int8 quantization — the storage/bandwidth prep step
+   * of a large-scale embedding pipeline (4× smaller vectors for ANN shipping):
+   *
+   *   scale = max_j |v_j| / 127;   q_j = round(v_j / scale)  (0 when scale=0)
+   *
+   * Output: (id, scale, qvec array<int>, max_abs_err) where max_abs_err is
+   * the per-vector dequantization error `max_j |v_j − q_j·scale|`. Pure
+   * per-row expressions, zero shuffles; deterministic and SQL-expressible
+   * (round is half-away-from-zero on both engines), so oracle-verified.
+   *
+   * The `explode(array(...))` wrapper is a materialization barrier: without
+   * it CollapseProject inlines the scale aggregate into the downstream
+   * per-element lambdas and the max runs once PER ELEMENT (the winnowing
+   * O(n²) interpreted-eval trap — see TextAnalysis.winnowingFingerprints).
+   */
+  def quantizeInt8(corpus: DataFrame, key: String, vec: String): DataFrame = {
+    val xd = (x: Column) => x.cast("double")
+    val scaled = corpus.select(col(key).as("id"), col(vec).as("v"))
+      .select(col("id"), col("v"),
+        explode(array(array_max(transform(col("v"), x => abs(xd(x)))) / lit(127.0d)))
+          .as("scale"))
+    val qElem = (x: Column) =>
+      when(col("scale") === 0d, lit(0)).otherwise(round(xd(x) / col("scale")).cast("int"))
+    scaled.select(col("id"), col("scale"),
+      transform(col("v"), x => qElem(x)).as("qvec"),
+      array_max(transform(col("v"), x =>
+        abs(xd(x) - qElem(x).cast("double") * col("scale")))).as("max_abs_err"))
   }
 
   /** Exact embedding near-duplicate pairs: all-pairs cosine ≥ the threshold;

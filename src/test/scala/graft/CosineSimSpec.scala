@@ -43,6 +43,17 @@ class CosineSimSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(expected))
   }
 
+  test("native hyperplane signature == HOF lshBucket bit-for-bit") {
+    val rnd = new Random(7)
+    val rows = (0 until 300).map(i => (i.toLong, Array.fill(64)(rnd.nextFloat() * 2f - 1f)))
+    val df = rows.toDF("id", "v")
+    val out = df.select(
+        Similarity.lshBucket(col("v"), 64, 12).as("native"),
+        Similarity.lshBucketHof(col("v"), 64, 12).as("hof"))
+      .collect()
+    out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
+  }
+
   test("identical vectors have cosine 1.0; orthogonal have 0.0") {
     val df = Seq(
       (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),

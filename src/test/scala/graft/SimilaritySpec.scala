@@ -88,6 +88,24 @@ class SimilaritySpec extends SparkSpec {
     assert((exact & lsh).size.toDouble / exact.size >= 0.5)
   }
 
+  test("quantizeInt8: values in [-127,127], error bounded by scale/2, exact on zero") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.25f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f)),     // zero vector -> scale 0, qvec 0
+      (3L, Array(127.0f, -127.0f, 63.5f, 1.0f))).toDF("id", "v")
+    val out = Similarity.quantizeInt8(df, "id", "v").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val q1 = out(1L).getSeq[Int](2)
+    assert(q1.head === 127)                     // max component maps to 127
+    assert(q1.forall(q => q >= -127 && q <= 127))
+    assert(out(1L).getDouble(3) <= out(1L).getDouble(1) / 2 + 1e-12)
+    assert(out(2L).getDouble(1) === 0.0)
+    assert(out(2L).getSeq[Int](2).forall(_ === 0))
+    assert(out(2L).getDouble(3) === 0.0)
+    assert(out(3L).getSeq[Int](2).take(2) === Seq(127, -127))
+  }
+
   test("lshBucket is deterministic across invocations") {
     val df = clustered(5, 2, 4, 8).toDF("vec_id", "embedding")
     val b1 = df.select(Similarity.lshBucket($"embedding", 8, 12)).collect().map(_.getLong(0)).toSeq
