@@ -76,6 +76,17 @@ object Api {
   def clear(spark: SparkSession, tables: String*): Unit =
     tables.foreach(spark.catalog.dropTempView(_))
 
+  /** Register graft's native SQL functions on an existing session:
+    * `graft_cosine(array<float|double>, array<float|double>) -> double`.
+    * After this, `spark.sql("SELECT graft_cosine(a, b) FROM t")` runs the
+    * codegen'd [[graft.expressions.CosineSim]]. */
+  def registerSqlFunctions(spark: SparkSession): Unit =
+    org.apache.spark.sql.GraftExpressionBridge.registerFunction(
+      spark, "graft_cosine", { children =>
+        require(children.length == 2, "graft_cosine(a, b) takes exactly two arguments")
+        graft.expressions.CosineSim(children.head, children(1))
+      })
+
   /** Release every intermediate the graft operators persisted (tkdf, LSH band
     * buckets, cascade survivors, …). The join results are LAZY, so operators
     * cannot unpersist before the caller materializes; long-lived sessions

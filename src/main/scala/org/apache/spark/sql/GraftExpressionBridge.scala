@@ -12,4 +12,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftExpressionBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Register a native expression as a session-scoped SQL function, so
+    * `spark.sql("SELECT graft_cosine(a, b) ...")` works on an EXISTING
+    * session (config-time injection via SparkSessionExtensions requires the
+    * session not to exist yet). */
+  def registerFunction(spark: SparkSession, name: String,
+                       builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
 }

@@ -54,6 +54,18 @@ class CosineSimSpec extends SparkSpec {
     out.foreach(r => assert(r.getLong(0) === r.getLong(1)))
   }
 
+  test("graft_cosine is callable from SQL after Api.registerSqlFunctions") {
+    Api.registerSqlFunctions(spark)
+    val rnd = new Random(3)
+    Seq((Array.fill(16)(rnd.nextFloat()), Array.fill(16)(rnd.nextFloat())))
+      .toDF("a", "b").createOrReplaceTempView("cos_sql_t")
+    val viaSql = spark.sql("SELECT graft_cosine(a, b) AS s FROM cos_sql_t").head().getDouble(0)
+    val viaCol = spark.table("cos_sql_t")
+      .select(Similarity.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(java.lang.Double.doubleToLongBits(viaSql) ===
+      java.lang.Double.doubleToLongBits(viaCol))
+  }
+
   test("identical vectors have cosine 1.0; orthogonal have 0.0") {
     val df = Seq(
       (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
