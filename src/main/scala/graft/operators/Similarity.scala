@@ -9,9 +9,9 @@ import graft.operators.PersistTracker.TrackedPersist
  * Similarity search over embedding columns (`Array[Float]`).
  *
  * [[topKExact]] is the brute-force baseline: broadcast the (small) query set
- * against the corpus, cosine in double precision via codegen'd higher-order
- * functions (`zip_with` + `aggregate` — a sequential left fold, so results are
- * bit-reproducible and match a SQL oracle computing the same fold).
+ * against the corpus, cosine in double precision via the native codegen'd
+ * [[graft.expressions.CosineSim]] (a sequential ascending fold, so results
+ * are bit-reproducible and match a SQL oracle computing the same fold).
  *
  * [[topKLsh]] is the scale path: random-hyperplane LSH buckets the corpus so
  * candidates only form inside a query's bucket (plus optional multi-probe
