@@ -307,6 +307,19 @@ FROM $table GROUP BY md5($content)"""
   def nearDropIds(selfJoinSql: String, keyAttr: String): String =
     s"""SELECT DISTINCT greatest(l_$keyAttr, r_$keyAttr) AS drop_id FROM ($selfJoinSql)"""
 
+  /** Mirrors Dedup.clusterIds over a pair-producing subquery: min reachable
+    * id per node via a recursive-CTE transitive closure (the fixpoint the
+    * min-label propagation loop converges to). `pairsSql` must produce
+    * columns (l, r). */
+  def clusterIds(pairsSql: String): String =
+    s"""WITH RECURSIVE pairs AS ($pairsSql),
+edges AS (SELECT l AS a, r AS b FROM pairs UNION SELECT r AS a, l AS b FROM pairs),
+reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT reach.a, edges.b FROM reach JOIN edges ON reach.b = edges.a)
+SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a"""
+
   /** Mirrors Dedup.cascadeKeepIds: fingerprint-exact stage, then the
     * prefix-filtered near-dup join over the survivors. */
   def dedupCascade(table: String, key: String, text: String,

@@ -198,6 +198,77 @@ object Dedup {
     survivors.join(drops, col("id") === col("drop_id"), "left_anti").select(col("id"))
   }
 
+  /**
+   * Connected components over a near-duplicate PAIR table: every id is
+   * labeled with the MINIMUM id reachable through pair edges (undirected) —
+   * i.e. its dedup-cluster representative. This is what production dedup
+   * actually keeps: pairwise drops ("remove greatest of each pair") over-
+   * delete on chains (a~b, b~c drops b AND c even when a!~c); clustering
+   * keeps exactly one representative per transitive group.
+   *
+   * Implementation: min-label propagation WITH POINTER JUMPING — each round
+   * takes `min(label, min(neighbors' labels))` and then follows
+   * `label → label's own label` (path halving), so convergence needs
+   * O(log diameter) rounds instead of O(diameter) (long near-dup CHAINS are
+   * real: version sequences of a document pairwise-match only adjacently).
+   * The driver-side convergence loop is the standard shape for iterative
+   * graph algorithms on DataFrames; each round is two hash joins. The
+   * fixpoint is unique, so results are deterministic and SQL-oracle-checked
+   * against a recursive-CTE transitive closure.
+   *
+   * Each round's frame is CHECKPOINTED, not merely persisted: persist()
+   * keeps the physical work linear but the LOGICAL plan still doubles per
+   * round (`prop` feeds both sides of the jump join), so analyzer/optimizer
+   * time goes exponential around iteration ~15 — the classic iterative-
+   * DataFrame trap. `localCheckpoint(eager=true)` cuts the lineage to a
+   * cached-RDD leaf each round. On a real cluster prefer
+   * `sc.setCheckpointDir` + `.checkpoint()` (reliable across executor
+   * loss); localCheckpoint is the single-process form of the same move.
+   *
+   * Output: (id, cluster_id) for every id appearing in `pairs`, where
+   * cluster_id = min id of the component = the kept representative.
+   */
+  def clusterIds(pairs: DataFrame, lCol: String, rCol: String,
+                 maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col(lCol).as("a"), col(rCol).as("b"))
+      .union(pairs.select(col(rCol).as("a"), col(lCol).as("b")))
+      .distinct()
+      .persistTracked
+    // labels only ever decrease, so the label-sum is a monotone convergence
+    // witness: fixpoint reached exactly when the sum stops changing. One
+    // aggregate per round, instead of a change-count join.
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var prevSum = labelSum(labels)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("label").as("nlabel")), "b")
+        .groupBy(col("a").as("id")).agg(min("nlabel").as("nmin"))
+      val prop = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint(true) // materialized once; both jump sides reuse it
+      // pointer jump: label <- min(label, label(label)). Every label value is
+      // itself a node id, so the self-join always resolves (left for safety).
+      val next = prop.alias("x")
+        .join(prop.select(col("id").as("label"), col("label").as("ll")).alias("y"),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id"), col("label").as("cluster_id"))
+  }
+
   /** SimHash per record over the family's full hash width: bit i of the
     * signature is the sign of Σ_tokens (bit i of hash(token) ? +1 : -1). */
   def simHash64(tokens: DataFrame, family: HashFamily = XxHash64Family): DataFrame = {

@@ -108,6 +108,18 @@ class DedupSpec extends SparkSpec {
     assert(drops === expected)
   }
 
+  test("clusterIds: transitive chains collapse to one min-id representative") {
+    // components: {1,2,3,7} (chain 1-2, 2-3, 3-7), {10,11}, {20,21} via 21-20
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 7L), (10L, 11L), (21L, 20L))
+      .toDF("l", "r")
+    val out = Dedup.clusterIds(pairs, "l", "r")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L))
+    // pairwise greatest-drop would delete 2, 3 AND 7 — clustering keeps the
+    // same representative (1) but proves 7 belongs to 1's cluster, not its own
+  }
+
   test("cascade: exact stage removes fingerprint dups, near-dup stage drops greatest") {
     val df = Seq(
       1L -> "alpha beta gamma",
