@@ -80,12 +80,26 @@ object Api {
     * `graft_cosine(array<float|double>, array<float|double>) -> double`.
     * After this, `spark.sql("SELECT graft_cosine(a, b) FROM t")` runs the
     * codegen'd [[graft.expressions.CosineSim]]. */
-  def registerSqlFunctions(spark: SparkSession): Unit =
+  def registerSqlFunctions(spark: SparkSession): Unit = {
     org.apache.spark.sql.GraftExpressionBridge.registerFunction(
       spark, "graft_cosine", { children =>
         require(children.length == 2, "graft_cosine(a, b) takes exactly two arguments")
         graft.expressions.CosineSim(children.head, children(1))
       })
+    // graft_levenshtein(l, r, bound): exact distance if <= bound, else -1
+    // (bound must be an integer literal — it shapes the banded DP)
+    org.apache.spark.sql.GraftExpressionBridge.registerFunction(
+      spark, "graft_levenshtein", { children =>
+        require(children.length == 3,
+          "graft_levenshtein(l, r, bound) takes exactly three arguments")
+        val bound = children(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => sys.error(
+            s"graft_levenshtein bound must be an integer literal, got $other")
+        }
+        graft.expressions.LevenshteinBounded(children.head, children(1), bound)
+      })
+  }
 
   /** Release every intermediate the graft operators persisted (tkdf, LSH band
     * buckets, cascade survivors, …). The join results are LAZY, so operators

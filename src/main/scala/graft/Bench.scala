@@ -32,6 +32,8 @@ object Bench {
     "winnow_overlap_docs",      // MOSS partial-overlap pairs
     "bm25_topk_docs",           // BM25 keyword retrieval
     "eval_counts_norm_part",    // E1 scale path (equi-join on normalized pair key)
+    "dedup_cluster_docs",       // connected components over near-dup pairs
+    "fuzzy_cust_names",         // edit-distance join, hot-band salted
   )
 
   def main(args: Array[String]): Unit = {

@@ -320,6 +320,17 @@ reach(a, b) AS (
   SELECT reach.a, edges.b FROM reach JOIN edges ON reach.b = edges.a)
 SELECT a AS id, least(a, min(b)) AS cluster_id FROM reach GROUP BY a"""
 
+  /** Mirrors FuzzyJoin.selfJoin: the length-band necessary condition, then
+    * the exact Levenshtein bound (DuckDB has no thresholded variant; the
+    * plain call is exact so results agree wherever dist <= maxDist). */
+  def fuzzySelfJoin(table: String, key: String, text: String, maxDist: Int): String =
+    s"""SELECT a.$key AS lid, b.$key AS rid,
+  CAST(levenshtein(a.$text, b.$text) AS BIGINT) AS dist
+FROM $table a, $table b
+WHERE a.$key < b.$key
+  AND abs(length(a.$text) - length(b.$text)) <= $maxDist
+  AND levenshtein(a.$text, b.$text) <= $maxDist"""
+
   /** Mirrors Dedup.cascadeKeepIds: fingerprint-exact stage, then the
     * prefix-filtered near-dup join over the survivors. */
   def dedupCascade(table: String, key: String, text: String,

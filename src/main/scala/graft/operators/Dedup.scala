@@ -250,9 +250,13 @@ object Dedup {
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nlabel")), "b")
         .groupBy(col("a").as("id")).agg(min("nlabel").as("nmin"))
+      // NOT checkpointed: with `labels` a checkpoint leaf, `prop` appearing on
+      // both jump sides only doubles a two-join subtree (bounded — the
+      // exponential blowup needs the doubling to COMPOUND across rounds), and
+      // recomputing one cheap hash join beats a full materialization + job
+      // per round (measured: 7.3 s -> 5.2 s on the sf0.001 bench entry)
       val prop = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
-        .localCheckpoint(true) // materialized once; both jump sides reuse it
       // pointer jump: label <- min(label, label(label)). Every label value is
       // itself a node id, so the self-join always resolves (left for safety).
       val next = prop.alias("x")
