@@ -239,6 +239,19 @@ FROM (
   CAST(len(regexp_extract_all(lower($text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_bpeish_tokens
 FROM $table"""
 
+  /** Mirrors Packing.packBins over whitespace token counts: the sequential
+    * window form of the prefix sum (the distributed two-pass scan must
+    * reproduce it exactly). `//` is DuckDB's integer floor division. */
+  def packBins(table: String, key: String, text: String, budget: Long): String =
+    s"""WITH t AS (${tokenCounts(table, key, text)}),
+c AS (SELECT id, n_ws_tokens,
+  sum(n_ws_tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+FROM t)
+SELECT id, n_ws_tokens AS n_tokens,
+  CAST((cum - n_ws_tokens) // $budget AS BIGINT) AS bin_id,
+  CAST((cum - n_ws_tokens) % $budget AS BIGINT) AS bin_offset
+FROM c"""
+
   /** Mirrors TextAnalysis.winnowingFingerprints (md5-prefix gram hashes,
     * window minima, distinct per doc). */
   def winnowing(table: String, key: String, text: String, k: Int, w: Int): String =

@@ -1,0 +1,81 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.operators.PersistTracker.TrackedPersist
+
+/**
+ * Sequence packing: assign documents, taken in ascending key order, to
+ * fixed token-budget bins — the curation step before training-sequence
+ * construction (each bin becomes one packed context window; a doc whose
+ * tokens straddle a boundary starts in `bin_id` at `bin_offset` and the
+ * downstream writer splits or pads it).
+ *
+ * `bin_id = tokens_before / budget`, `bin_offset = tokens_before % budget`,
+ * where tokens_before is the exclusive prefix sum of token counts in key
+ * order — i.e. the textbook `sum(n) OVER (ORDER BY id) - n`.
+ *
+ * Scale shape: that textbook window is UN-PARTITIONED — Spark executes it
+ * by moving every row to a single task, the one plan shape that can never
+ * scale. This implementation is the classic distributed two-pass prefix
+ * sum instead:
+ *
+ *   1. range-repartition by key and sort within partitions (ranges are
+ *      ascending, so partition p holds keys strictly below partition p+1);
+ *   2. pass 1 computes ONE partial sum per partition (nPart numbers to the
+ *      driver — partition COUNT, not row count, so fine at any scale);
+ *   3. an exclusive scan over those partials gives each partition its
+ *      starting offset;
+ *   4. pass 2 rescans each partition sequentially, emitting running
+ *      offsets. The input is cached between passes so both see identical
+ *      range bounds.
+ *
+ * The DuckDB oracle runs the sequential window form; hash-equality proves
+ * the distributed scan reproduces it exactly. This is one of the few graft
+ * operators on RDD `mapPartitions` — a per-partition SEQUENTIAL scan is
+ * the semantics, so per-partition imperative code is the honest shape.
+ */
+object Packing {
+
+  /**
+   * @param df      input with a unique orderable key and a token count
+   * @param key     unique id column (long-castable; defines packing order)
+   * @param nTokens token-count column expression (long-castable)
+   * @param budget  bin capacity in tokens (≥ 1)
+   * @return (id, n_tokens, bin_id, bin_offset), one row per input row
+   */
+  def packBins(df: DataFrame, key: String, nTokens: Column, budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(key).cast("long").as("id"), nTokens.cast("long").as("n"))
+      .repartitionByRange(nPart, col("id"))
+      .sortWithinPartitions("id")
+      .persistTracked
+    // pass 1: one partial sum per partition
+    val partials = base.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        while (it.hasNext) s += it.next().getLong(1)
+        Iterator((pid, s))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    // exclusive scan: partition p starts at the sum of all earlier partitions
+    val starts = partials.scanLeft(0L)(_ + _).init
+    // pass 2: sequential scan per partition from its start offset
+    val out = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cum = starts(pid)
+      it.map { r =>
+        val before = cum
+        cum += r.getLong(1)
+        Row(r.getLong(0), r.getLong(1), before / budget, before % budget)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("n_tokens", LongType, nullable = false),
+      StructField("bin_id", LongType, nullable = false),
+      StructField("bin_offset", LongType, nullable = false))))
+  }
+}
