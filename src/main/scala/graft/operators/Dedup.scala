@@ -279,6 +279,21 @@ object Dedup {
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 
+  /**
+   * Keep-set from clustering: every record whose id IS its cluster's
+   * representative (the component minimum), plus every record in no cluster
+   * at all — the end-to-end "dedup via transitive clusters" result a
+   * pipeline actually consumes (cf. the over-deleting pairwise
+   * [[nearDuplicateDropIds]], which this supersedes on chained corpora).
+   */
+  def clusterKeepIds(df: DataFrame, key: String, pairs: DataFrame,
+                     lCol: String, rCol: String): DataFrame = {
+    val drops = clusterIds(pairs, lCol, rCol)
+      .where(col("cluster_id") =!= col("id"))
+      .select(col("id").as("drop_id"))
+    df.join(drops, col(key) === col("drop_id"), "left_anti").select(col(key))
+  }
+
   /** SimHash per record over the family's full hash width: bit i of the
     * signature is the sign of Σ_tokens (bit i of hash(token) ? +1 : -1). */
   def simHash64(tokens: DataFrame, family: HashFamily = XxHash64Family): DataFrame = {

@@ -120,6 +120,18 @@ class DedupSpec extends SparkSpec {
     // same representative (1) but proves 7 belongs to 1's cluster, not its own
   }
 
+  test("clusterKeepIds: one representative per cluster, unpaired docs all kept") {
+    val docs = Seq(1L -> "a", 2L -> "b", 3L -> "c", 7L -> "d", 9L -> "e")
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("l", "r") // chain {1,2,3}; 7, 9 unpaired
+    val keep = Dedup.clusterKeepIds(docs, "doc_id", pairs, "l", "r")
+      .collect().map(_.getLong(0)).toSet
+    assert(keep === Set(1L, 7L, 9L))
+    // pairwise greatest-drop on the same pairs would keep {1, 7, 9} too, but
+    // on a~b, b~c, c~d style chains it would also drop the representative's
+    // whole tail; clustering keeps exactly one per component by construction
+  }
+
   test("cascade: exact stage removes fingerprint dups, near-dup stage drops greatest") {
     val df = Seq(
       1L -> "alpha beta gamma",
