@@ -100,20 +100,21 @@ object JaccardJoin {
     val joined = cand
       .join(lArrs.select(col("id").as(lv), col("arr").as("larr"), col("len").as("llen")), lv)
       .join(rArrs.select(col("id").as(rv), col("arr").as("rarr"), col("len").as("rlen")), rv)
-    val lsuf = slice(col("larr"), col(lMax).cast("int"), size(col("larr")))
-    val rsuf = slice(col("rarr"), col(rMax).cast("int"), size(col("rarr")))
-    val setCnt = size(array_intersect(col("lsuf"), col("rsuf"))).cast("long")
-    // when the tokenizer guarantees duplicate-free emission, skip the two
-    // per-pair array_distinct probes (a third of the per-pair set builds)
-    val cnt = if (assumeDupFree) setCnt else {
-      val dupFree = (size(array_distinct(col("lsuf"))) === size(col("lsuf"))) &&
-        (size(array_distinct(col("rsuf"))) === size(col("rsuf")))
-      when(dupFree, setCnt)
-        .otherwise(aggregate(col("lsuf"), lit(0L),
-          (acc, x) => acc + size(filter(col("rsuf"), y => y === x)).cast("long")))
-    }
+    // graft_suffix_overlap: one fused native kernel per candidate — multiset
+    // overlap of the two suffixes directly from the arrays + start positions.
+    // Replaces two `slice` copies + `array_intersect` (set path) and the
+    // per-pair dup probes + INTERPRETED higher-order fold (bag path); for
+    // duplicate-free suffixes multiset == set count, so one kernel serves
+    // both tokenizer classes with the reference's join-count semantics.
+    // (`assumeDupFree` is retained for call-site documentation; the kernel
+    // no longer needs the distinction.)
+    val cnt = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SuffixOverlapCount(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("larr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("rarr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col(lMax).cast("int")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col(rMax).cast("int"))))
     joined
-      .withColumn("lsuf", lsuf).withColumn("rsuf", rsuf)
       .withColumn("cnt", cnt)
       .where(col("cnt") >= 1 &&
         col("cnt") + col("pfxOverlap") - lit(1) >=
