@@ -99,6 +99,15 @@ object Api {
         }
         graft.expressions.LevenshteinBounded(children.head, children(1), bound)
       })
+    // graft_suffix_overlap(larr, rarr, lStart, rStart): multiset overlap of
+    // two string-array suffixes from 1-based starts (the Jaccard verify kernel)
+    org.apache.spark.sql.GraftExpressionBridge.registerFunction(
+      spark, "graft_suffix_overlap", { children =>
+        require(children.length == 4,
+          "graft_suffix_overlap(larr, rarr, lStart, rStart) takes exactly four arguments")
+        graft.expressions.SuffixOverlapCount(
+          children.head, children(1), children(2), children(3))
+      })
   }
 
   /** Release every intermediate the graft operators persisted (tkdf, LSH band

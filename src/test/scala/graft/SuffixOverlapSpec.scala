@@ -37,6 +37,14 @@ class SuffixOverlapSpec extends SparkSpec {
     assert(diff.isEmpty, s"first divergence: ${diff.headOption}")
   }
 
+  test("graft_suffix_overlap registers as a SQL function") {
+    graft.Api.registerSqlFunctions(spark)
+    val out = spark.sql(
+      "SELECT graft_suffix_overlap(array('p','x','x','y'), array('x','x'), 2, 1) AS c")
+      .head().getLong(0)
+    assert(out === 4L)
+  }
+
   test("kernel directly: multiset product on duplicate suffixes") {
     import org.apache.spark.sql.catalyst.util.GenericArrayData
     import org.apache.spark.unsafe.types.UTF8String.fromString
