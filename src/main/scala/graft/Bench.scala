@@ -34,6 +34,7 @@ object Bench {
     "eval_counts_norm_part",    // E1 scale path (equi-join on normalized pair key)
     "dedup_cluster_docs",       // connected components over near-dup pairs
     "fuzzy_cust_names",         // edit-distance join, hot-band salted
+    "pipeline_curate_docs",     // the 5-stage curation pipeline end-to-end
   )
 
   def main(args: Array[String]): Unit = {
