@@ -276,6 +276,11 @@ object Dedup {
       labels = next
       iter += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"clusterIds stopped at maxIter=$maxIter without converging — labels " +
+          "are an upper bound on the true component minima; raise maxIter " +
+          "(pointer jumping needs ~log2(diameter) + a constant rounds)")
     labels.select(col("id"), col("label").as("cluster_id"))
   }
 

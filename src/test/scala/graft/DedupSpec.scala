@@ -120,6 +120,17 @@ class DedupSpec extends SparkSpec {
     // same representative (1) but proves 7 belongs to 1's cluster, not its own
   }
 
+  test("clusterIds: a 2000-node chain converges within the log-round budget") {
+    // a pure path graph is the adversarial diameter case: plain min-label
+    // propagation needs ~2000 rounds (and would silently hit maxIter with
+    // wrong labels); pointer jumping must finish inside the default 50
+    val n = 2000
+    val pairs = (0L until (n - 1).toLong).map(i => (i, i + 1)).toDF("l", "r")
+    val out = Dedup.clusterIds(pairs, "l", "r").collect()
+    assert(out.length === n)
+    assert(out.forall(_.getLong(1) == 0L), "every chain node must label to the minimum (0)")
+  }
+
   test("clusterKeepIds: one representative per cluster, unpaired docs all kept") {
     val docs = Seq(1L -> "a", 2L -> "b", 3L -> "c", 7L -> "d", 9L -> "e")
       .toDF("doc_id", "text")
