@@ -46,4 +46,21 @@ object Stages {
     * (jaccard_join.py:203-209). */
   def clear(spark: SparkSession, names: String*): Unit =
     names.foreach(drop(spark, _))
+
+  /**
+   * Durable BUCKETED sink: write `df` as a parquet table hash-partitioned
+   * (and sorted) by `bucketCol` into `nBuckets` files per partition. Two
+   * tables bucketed the same way join WITHOUT any exchange — each bucket
+   * pair is read already co-located, so the repeated joins of a pipeline
+   * (tokens ⋈ df, candidates ⋈ arrays, fact ⋈ fact) pay the shuffle once
+   * at write time instead of on every query. This is the durable,
+   * cross-session counterpart of [[materialize]]'s in-memory stages and the
+   * concrete mechanism behind SCALE.md's "bucketed tables on join keys
+   * where pipelines repeat" — StagesSpec pins the exchange-free plan.
+   */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }
