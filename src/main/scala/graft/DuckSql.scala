@@ -592,6 +592,103 @@ WHERE rank <= $k"""
      THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.8 AS DOUBLE) END) AS quality_score
 FROM (${textStats(table, key, text)})"""
 
+  // -------------------------------------------------------------------------
+  // Curation oracles (graft.operators.Curation)
+  // -------------------------------------------------------------------------
+
+  /** Lowercased ordered whitespace bag tokens of `$text` (Curation.wsBagLower). */
+  private def wsBagLowerExpr(text: String): String =
+    s"list_filter(str_split_regex(lower($text), '$wsClass'), x -> trim(x) != '')"
+
+  /** Distinct md5-prefix hashes of the word n-grams of `$text`, as a list
+    * expression over an aliased `tks` column (Curation word-gram hashing). */
+  private def gramHashList(n: Int): String = {
+    val m = n - 1
+    s"""list_distinct(list_transform(
+      CASE WHEN len(tks) - $m >= 1 THEN generate_series(1, len(tks) - $m) ELSE [] END,
+      i -> substring(md5(array_to_string(tks[i:i+$m], ' ')), 1, 16)))"""
+  }
+
+  /** Mirrors Curation.decontaminate: train docs sharing >= minShared distinct
+    * word n-grams with the eval set. `trainPred`/`evalPred` split `table`. */
+  def decontaminate(table: String, key: String, text: String,
+                    trainPred: String, evalPred: String,
+                    n: Int, minShared: Int): String =
+    s"""WITH tg AS (
+  SELECT id, unnest(ghs) AS gh FROM (
+    SELECT $key AS id, ${gramHashList(n)} AS ghs
+    FROM (SELECT $key, ${wsBagLowerExpr(text)} AS tks FROM $table WHERE $trainPred))),
+eg AS (
+  SELECT DISTINCT unnest(ghs) AS gh FROM (
+    SELECT ${gramHashList(n)} AS ghs
+    FROM (SELECT ${wsBagLowerExpr(text)} AS tks FROM $table WHERE $evalPred)))
+SELECT id, count(*) AS n_shared_grams
+FROM tg JOIN eg USING (gh)
+GROUP BY id
+HAVING count(*) >= $minShared"""
+
+  /** Mirrors Curation.piiScrub (same regexes, RE2/Java-identical subset;
+    * counts on the original text, masking email → phone → IP). */
+  def piiScrub(tableExpr: String, key: String, text: String): String = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    s"""SELECT $key AS id,
+  regexp_replace(regexp_replace(regexp_replace($text,
+    '$email', '<EMAIL>', 'g'),
+    '$phone', '<PHONE>', 'g'),
+    '$ip', '<IP>', 'g') AS clean_text,
+  CAST(len(regexp_extract_all($text, '$email')) AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all($text, '$phone')) AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all($text, '$ip')) AS BIGINT) AS n_ips
+FROM $tableExpr"""
+  }
+
+  /** Mirrors Curation.repetitionStats (duplicate-token fraction + top-2/3-gram
+    * occupancy; same double-division operand order). */
+  def repetitionStats(table: String, key: String, text: String): String = {
+    def grams(n: Int): String = {
+      val m = n - 1
+      s"""list_transform(
+      CASE WHEN len(tks) - $m >= 1 THEN generate_series(1, len(tks) - $m) ELSE [] END,
+      i -> array_to_string(tks[i:i+$m], ' '))"""
+    }
+    def topRatio(g: String): String =
+      s"""CASE WHEN len($g) >= 1 THEN
+    CAST(list_max(list_transform(list_distinct($g), d -> len(list_filter($g, x -> x = d)))) AS DOUBLE) / len($g)
+  END"""
+    s"""SELECT id,
+  CAST(len(tks) AS BIGINT) AS n_tokens,
+  CASE WHEN len(tks) != 0 THEN CAST(1.0 AS DOUBLE) - CAST(len(list_distinct(tks)) AS DOUBLE) / len(tks) END AS dup_token_ratio,
+  ${topRatio("g2")} AS top_2gram_ratio,
+  ${topRatio("g3")} AS top_3gram_ratio
+FROM (SELECT id, tks, ${grams(2)} AS g2, ${grams(3)} AS g3
+      FROM (SELECT $key AS id, ${wsBagLowerExpr(text)} AS tks FROM $table))"""
+  }
+
+  /** Deterministic per-id uniform in [0,1): top 60 bits of md5('<seed>:<id>')
+    * over 2^60 (Curation.hashUniform — same long→double rounding both engines). */
+  private def hashUniformSql(key: String, seed: String): String =
+    s"(CAST(CAST(('0x' || substring(md5('$seed:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / CAST(1152921504606846976.0 AS DOUBLE))"
+
+  /** Mirrors Curation.mixSources: per-source hash-threshold keep probability. */
+  def mixSources(table: String, key: String, source: String,
+                 weights: Seq[(String, Double)], defaultWeight: Double,
+                 seed: String): String = {
+    val cases = weights.map { case (s, p) => s"WHEN '$s' THEN ${d(p)}" }.mkString(" ")
+    s"""SELECT $key AS id, $source AS source
+FROM $table
+WHERE ${hashUniformSql(key, seed)} < (CASE $source $cases ELSE ${d(defaultWeight)} END)"""
+  }
+
+  /** Mirrors Curation.shuffleOrder: the sequential window form of the
+    * deterministic shuffle rank (the distributed two-pass rank must
+    * reproduce it exactly). */
+  def shuffleOrder(table: String, key: String, seed: String): String =
+    s"""SELECT id,
+  CAST(row_number() OVER (ORDER BY md5('$seed:' || CAST(id AS VARCHAR)), id) - 1 AS BIGINT) AS shuffle_pos
+FROM (SELECT CAST($key AS BIGINT) AS id FROM $table)"""
+
   /** E2 differential: symmetric-pair diff of two pair tables, must be empty —
     * reported as a single-row count (reference notebook.ipynb cell 5). */
   def differentialCount(aSql: String, bSql: String): String =

@@ -1,0 +1,189 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import graft.operators.PersistTracker.TrackedPersist
+
+/**
+ * Corpus-curation operators a large-scale training-data pipeline runs between
+ * dedup and sequence packing: benchmark decontamination, PII scrubbing,
+ * repetition-based quality signals, per-source mixture sampling, and the
+ * deterministic global shuffle that fixes training order.
+ *
+ * These extend the reference's capability surface (the reference stops at
+ * similarity joins + evaluation — py_duckdb/similarity_join/__init__.py);
+ * everything here is deterministic and SQL-expressible, so each operator is
+ * hash-verified against the DuckDB oracle like the core pipeline
+ * (see [[graft.DuckSql]] counterparts).
+ */
+object Curation {
+
+  /** Lowercased whitespace bag tokens, order preserved (blank tokens dropped) —
+    * the same char class the join pipeline's WhitespaceTokenizer uses. */
+  private def wsBagLower(c: Column): Column =
+    filter(split(lower(c), "[\t\n\r ]"), x => trim(x) =!= "")
+
+  /** Word n-grams of a token array: windows of `n` joined by one space.
+    * Empty when the document has fewer than `n` tokens. */
+  private def wordGrams(tks: Column, n: Int): Column = {
+    val nGrams = size(tks) - lit(n - 1)
+    val idx = when(nGrams >= 1, sequence(lit(1), nGrams))
+      .otherwise(array().cast("array<int>"))
+    transform(idx, i => array_join(slice(tks, i, lit(n)), " "))
+  }
+
+  /**
+   * Benchmark decontamination: flag training documents sharing at least
+   * `minShared` distinct word `n`-grams with any evaluation-set document —
+   * the published 13-gram-collision rule for removing test-set leakage from
+   * a training corpus (GPT-3 appendix C shape).
+   *
+   * Grams are md5-prefix hashed before the join, so shuffle keys are 16-byte
+   * strings rather than n-word texts (the small-keys rule from SCALE.md —
+   * at 100 TB the gram join would otherwise move the corpus several times
+   * over). The eval side of the join is tiny by construction (benchmarks are
+   * thousands of documents, not billions) and broadcasts.
+   *
+   * Output: (id, n_shared_grams) for contaminated training documents only.
+   */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, key: String,
+                    text: String, n: Int = 13, minShared: Int = 1): DataFrame = {
+    def gramHashes(df: DataFrame): DataFrame =
+      df.select(col(key).as("id"),
+          explode(array_distinct(transform(wordGrams(wsBagLower(col(text)), n),
+            g => substring(md5(g), 1, 16)))).as("gh"))
+    val evalGrams = gramHashes(evalSet).select(col("gh")).distinct()
+    gramHashes(train)
+      .join(broadcast(evalGrams), "gh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shared_grams"))
+      .where(col("n_shared_grams") >= minShared)
+  }
+
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /**
+   * PII scrubbing: mask emails, phone numbers, and IPv4 literals with typed
+   * placeholders and report per-document match counts (the counts drive
+   * drop-if-too-dense policies downstream). Pure column expressions — zero
+   * shuffles, runs inside the scan stage at any scale. Patterns are kept to
+   * the regex subset RE2 and Java compile identically, so the operator is
+   * DuckDB-oracle-checked.
+   *
+   * Output: (id, clean_text, n_emails, n_phones, n_ips). Counts are measured
+   * on the ORIGINAL text; masking applies email → phone → IP.
+   */
+  def piiScrub(df: DataFrame, key: String, text: String): DataFrame = {
+    def cnt(re: String): Column =
+      size(regexp_extract_all(col(text), lit(re), lit(0))).cast("long")
+    val masked = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(text), emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+    df.select(col(key).as("id"), masked.as("clean_text"),
+      cnt(emailRe).as("n_emails"), cnt(phoneRe).as("n_phones"), cnt(ipRe).as("n_ips"))
+  }
+
+  /**
+   * Repetition-based quality signals (the Gopher repetition rules' shape):
+   * duplicate-token fraction plus the fraction of all 2-grams / 3-grams
+   * occupied by the single most frequent one — boilerplate and degenerate
+   * generations light these up while clean prose stays low. All array-fold
+   * column expressions over the per-row token list: zero shuffles. Ratios are
+   * NULL when the document is too short to form the gram.
+   *
+   * Output: (id, n_tokens, dup_token_ratio, top_2gram_ratio, top_3gram_ratio).
+   */
+  def repetitionStats(df: DataFrame, key: String, text: String): DataFrame = {
+    val tks = wsBagLower(col(text))
+    val n = size(tks).cast("long")
+    def topGramRatio(g: Int): Column = {
+      val grams = wordGrams(tks, g)
+      val counts = transform(array_distinct(grams),
+        d => size(filter(grams, x => x === d)))
+      when(size(grams) >= 1,
+        array_max(counts).cast("double") / size(grams))
+    }
+    df.select(
+      col(key).as("id"),
+      n.as("n_tokens"),
+      when(n =!= 0,
+        lit(1.0d) - size(array_distinct(tks)).cast("double") / n).as("dup_token_ratio"),
+      topGramRatio(2).as("top_2gram_ratio"),
+      topGramRatio(3).as("top_3gram_ratio"))
+  }
+
+  /** Deterministic per-record uniform in [0, 1): the top 60 bits of
+    * md5("<seed>:<id>") over 2^60 — reproducible on any engine, unlike RNG
+    * sampling (cf. the n3b hash-sample query). */
+  private def hashUniform(id: Column, seed: String): Column =
+    conv(substring(md5(concat(lit(s"$seed:"), id.cast("string"))), 1, 15), 16, 10)
+      .cast("double") / lit(1152921504606846976.0d) // 2^60
+
+  /**
+   * Source-mixture sampling: keep each document with its source's target
+   * probability — how a pipeline reweights web/books/code/reference shares
+   * before packing. The keep decision is a deterministic per-id hash
+   * threshold, so the sample is reproducible, stable under reruns and
+   * cluster layout, and exact-verifiable (vs `TABLESAMPLE`'s engine RNG).
+   * Pure column expressions; the filter pushes to the scan.
+   *
+   * @param weights (source value → keep probability); sources not listed
+   *                keep `defaultWeight`
+   */
+  def mixSources(df: DataFrame, key: String, source: String,
+                 weights: Seq[(String, Double)], defaultWeight: Double = 1.0,
+                 seed: String = "mix"): DataFrame = {
+    val w = weights.foldRight(lit(defaultWeight): Column) { case ((s, p), acc) =>
+      when(col(source) === s, lit(p)).otherwise(acc)
+    }
+    df.where(hashUniform(col(key), seed) < w)
+      .select(col(key).as("id"), col(source).as("source"))
+  }
+
+  /**
+   * Deterministic global shuffle: the training-order permutation as an
+   * explicit rank — `shuffle_pos` = position of the document when the corpus
+   * is ordered by `md5("<seed>:<id>")` (ties broken by id). Changing the seed
+   * reshuffles; the same seed always reproduces the same order, which is what
+   * a training run needs for resumability.
+   *
+   * Scale shape: the textbook `row_number() OVER (ORDER BY hash)` moves every
+   * row to ONE task. This is the distributed two-pass rank instead (same
+   * machinery as [[Packing.packBins]]): range-repartition by the hash key,
+   * count per partition, exclusive-scan the counts on the driver (one number
+   * per PARTITION, not per row), then emit per-partition running positions.
+   * The DuckDB oracle runs the window form; hash-equality proves the
+   * distributed rank reproduces it exactly.
+   *
+   * Output: (id, shuffle_pos), 0-based, a permutation of the input keys.
+   */
+  def shuffleOrder(df: DataFrame, key: String, seed: String = "shuffle"): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(key).cast("long").as("id"))
+      .withColumn("hk", md5(concat(lit(s"$seed:"), col("id").cast("string"))))
+      .repartitionByRange(nPart, col("hk"), col("id"))
+      .sortWithinPartitions("hk", "id")
+      .persistTracked
+    val counts = base.rdd
+      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
+      .collect().sortBy(_._1).map(_._2)
+    val starts = counts.scanLeft(0L)(_ + _).init
+    val out = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      var pos = starts(pid)
+      it.map { r =>
+        val p = pos
+        pos += 1L
+        Row(r.getLong(0), p)
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("shuffle_pos", LongType, nullable = false))))
+  }
+}

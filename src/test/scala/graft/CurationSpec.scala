@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** Golden + property tests for the curation operators. */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate: flags exactly the docs sharing an n-gram with the eval set") {
+    val train = Seq(
+      1L -> "a b c d e f g h",     // contains eval 5-gram "b c d e f"
+      2L -> "z y x w v u t s",     // disjoint
+      3L -> "q b c d e f q q q"    // same 5-gram, shifted position
+    ).toDF("id", "txt")
+    val eval = Seq(10L -> "b c d e f").toDF("id", "txt")
+    val out = Curation.decontaminate(train, eval, "id", "txt", n = 5, minShared = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 3L -> 1L))
+  }
+
+  test("decontaminate: minShared filters low-collision docs; grams are case-insensitive") {
+    val train = Seq(
+      1L -> "A B C D e f",  // shares grams "a b c" "b c d" "c d e" "d e f"
+      2L -> "a b c x y z"   // shares only "a b c"
+    ).toDF("id", "txt")
+    val eval = Seq(10L -> "a b c d e f").toDF("id", "txt")
+    val out = Curation.decontaminate(train, eval, "id", "txt", n = 3, minShared = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 4L))
+  }
+
+  test("decontaminate: docs shorter than n produce no grams") {
+    val train = Seq(1L -> "a b").toDF("id", "txt")
+    val eval = Seq(10L -> "a b").toDF("id", "txt")
+    assert(Curation.decontaminate(train, eval, "id", "txt", n = 3).count() === 0)
+  }
+
+  test("piiScrub: masks email/phone/ip and counts on the original text") {
+    val df = Seq(
+      1L -> "mail a.b+c@ex-ample.org now",
+      2L -> "call 555-123-4567 or +01 555.987.6543 x",
+      3L -> "host 192.168.0.1 clean",
+      4L -> "nothing here").toDF("id", "txt")
+    val out = Curation.piiScrub(df, "id", "txt").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(1L)._1 === "mail <EMAIL> now" && out(1L)._2 === 1L)
+    assert(out(2L)._1 === "call <PHONE> or +01 <PHONE> x" && out(2L)._3 === 2L)
+    assert(out(3L)._1 === "host <IP> clean" && out(3L)._4 === 1L)
+    assert(out(4L) === (("nothing here", 0L, 0L, 0L)))
+  }
+
+  test("repetitionStats: hand-computed ratios") {
+    val df = Seq(
+      1L -> "a a a b",      // 4 tokens, 2 distinct; 2-grams: [a a, a a, a b] top 2/3
+      2L -> "x y z",        // no repetition: dup 0, top-2gram 1/2
+      3L -> "w").toDF("id", "txt") // too short for 2-grams
+    val out = Curation.repetitionStats(df, "id", "txt").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) === 1.0 - 2.0 / 4)
+    assert(out(1L).getDouble(3) === 2.0 / 3)
+    assert(out(2L).getDouble(2) === 0.0)
+    assert(out(2L).getDouble(3) === 1.0 / 2)
+    assert(out(3L).getDouble(2) === 0.0)
+    assert(out(3L).isNullAt(3) && out(3L).isNullAt(4))
+  }
+
+  test("mixSources: kept set respects per-source weights and is deterministic") {
+    val df = (0L until 1000L).map(i => (i, s"src${i % 4}")).toDF("id", "src")
+    val weights = Seq("src0" -> 0.0, "src1" -> 1.0, "src2" -> 0.5)
+    val out = Curation.mixSources(df, "id", "src", weights, defaultWeight = 0.25)
+    val bySrc = out.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("src0"))                  // weight 0 drops all
+    assert(bySrc("src1") === 250L)                   // weight 1 keeps all
+    assert(bySrc("src2") > 75L && bySrc("src2") < 175L)   // ~125 of 250
+    assert(bySrc("src3") > 25L && bySrc("src3") < 100L)   // default 0.25 → ~62
+    // deterministic: the same call returns the identical set
+    val again = Curation.mixSources(df, "id", "src", weights, defaultWeight = 0.25)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+  }
+
+  test("shuffleOrder: positions are a permutation and match the window-form rank") {
+    val df = (0L until 500L).map(i => Tuple1(i)).toDF("id")
+    val out = Curation.shuffleOrder(df, "id", seed = "s1")
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.length === 500)
+    assert(rows.map(_._2).sorted.toSeq === (0L until 500L))
+    // sequential oracle: rank by (md5("s1:" || id), id)
+    val expected = df
+      .withColumn("hk", md5(concat(lit("s1:"), col("id").cast("string"))))
+      .orderBy("hk", "id").collect().map(_.getLong(0)).zipWithIndex
+      .map { case (id, i) => (id, i.toLong) }.toMap
+    assert(rows.toMap === expected)
+    // a different seed produces a different permutation
+    val other = Curation.shuffleOrder(df, "id", seed = "s2")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(other !== rows.toMap)
+  }
+}
