@@ -16,18 +16,28 @@ import org.apache.spark.unsafe.types.UTF8String
  * `size(array_intersect(lsuf, rsuf))`, and with duplicates it is the
  * cross-product count the relational GROUP BY produces.
  *
- * Hybrid strategy: a nested byte-equality loop when the right suffix is
- * short (no allocation at all), else one count-map build + probe. Either
- * way it replaces, per candidate pair: two `slice` array copies, an
- * `array_intersect` hash set, and (bag path) two `array_distinct` probes
- * plus an INTERPRETED higher-order fold.
+ * Hybrid strategy: a nested byte-equality loop when the PRODUCT of the two
+ * suffix lengths is small (no allocation at all), else one count-map build +
+ * probe. Either way it replaces, per candidate pair: two `slice` array
+ * copies, an `array_intersect` hash set, and (bag path) two `array_distinct`
+ * probes plus an INTERPRETED higher-order fold.
+ *
+ * The crossover is product-based, not length-based: the nested loop's inner
+ * step is one UTF8String byte-equality (~ns for q-gram-sized tokens, no
+ * allocation), while the map path pays a HashMap allocation, per-token
+ * murmur hashes and Integer boxing — ~two orders of magnitude per op. A
+ * length-8 cutoff sent every q-gram join pair (suffixes ~16 tokens) down
+ * the map path; on a 15M-candidate R×S join that was ~40 μs/pair of pure
+ * HashMap churn — the entire query's CPU (measured via thread sampling).
+ * With the product bound, 16×16 suffixes run the 256-comparison loop in
+ * ~1 μs and only genuinely long suffix pairs (documents) pay for a map.
  *
  * Null elements never match (mirrors `y === x` three-valued logic and the
  * pipelines never emit null tokens).
  */
 object SuffixOverlapKernels {
 
-  private final val NestedLoopMax = 8
+  private final val NestedLoopMaxProduct = 4096L
 
   def overlap(larr: ArrayData, rarr: ArrayData, lStart: Int, rStart: Int): Long = {
     val ln = larr.numElements()
@@ -36,7 +46,7 @@ object SuffixOverlapKernels {
     val ri0 = math.max(0, rStart - 1)
     if (li0 >= ln || ri0 >= rn) return 0L
     var cnt = 0L
-    if (rn - ri0 <= NestedLoopMax) {
+    if ((ln - li0).toLong * (rn - ri0).toLong <= NestedLoopMaxProduct) {
       var i = li0
       while (i < ln) {
         val v = larr.getUTF8String(i)

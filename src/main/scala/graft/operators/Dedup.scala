@@ -232,7 +232,15 @@ object Dedup {
                  maxIter: Int = 50): DataFrame = {
     // both orientations from ONE scan of `pairs`: a union of two selects
     // would execute the (expensive) pair-producing plan twice — measured as
-    // the two dominant stages of the sf0.1 profile before this explode form
+    // the two dominant stages of the sf0.1 profile before this explode form.
+    // persistTracked caches the rows for cross-run plan-cache reuse;
+    // localCheckpoint then cuts the LINEAGE to an RDD leaf. The leaf matters
+    // for a different resource than labels' checkpoint below: every action
+    // in the loop posts a SQL-execution event whose plan STRING recursively
+    // prints nested cached subtrees (the pair join's own caches, the caches
+    // those embed, …) at every reference — measured at 900+ driver CPU
+    // seconds of TreeNode.generateTreeString across a bench run before this
+    // line. With edges a leaf, each round's plan prints in microseconds.
     val edges = pairs
       .select(explode(array(
         struct(col(lCol).cast("long").as("a"), col(rCol).cast("long").as("b")),
@@ -240,14 +248,19 @@ object Dedup {
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
       .persistTracked
+      .localCheckpoint(true)
     // labels only ever decrease, so the label-sum is a monotone convergence
     // witness: fixpoint reached exactly when the sum stops changing. One
     // aggregate per round, instead of a change-count join.
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO)
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
+    // seed with round 1's propagation fused in: label = min(id, min neighbor)
+    // directly from the edge list — one aggregation replaces a whole loop
+    // round (two joins + checkpoint + sum)
+    var labels = edges.groupBy("a")
+      .agg(least(col("a"), min(col("b"))).as("label"))
+      .select(col("a").as("id"), col("label"))
       .localCheckpoint(true)
     var prevSum = labelSum(labels)
     var iter = 0

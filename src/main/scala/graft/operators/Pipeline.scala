@@ -47,8 +47,14 @@ object Pipeline {
       .join(passL, col(key) === col("l_id"), "left_semi")
       .persistTracked
     val keepExact = Dedup.exact(gated, key, text).select(col("keep_id"))
+    // persist caches the rows (reused across re-constructions of the same
+    // plan); localCheckpoint cuts the lineage so the similarity join, the
+    // cluster loop, and the packing passes downstream all carry an RDD leaf
+    // instead of re-printing the gate/dedup subtree in every action's plan
+    // string (see clusterIds' edges note — same driver-side cost)
     val deduped = gated.join(keepExact, col(key) === col("keep_id"), "left_semi")
       .persistTracked
+      .localCheckpoint(true)
     val clusterKeep = Dedup.clusterKeepIds(deduped, key,
         JaccardJoin.selfJoinDeduped(deduped, key, text, tokenizer, nearDupThreshold),
         s"l_$key", s"r_$key")

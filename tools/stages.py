@@ -44,8 +44,13 @@ for ev in events:
         si = ev["Stage Info"]
         sid = si["Stage ID"]
         dur = (si.get("Completion Time", 0) - si.get("Submission Time", 0)) / 1000.0
+        # first graft frame in the call-site stack — far more telling than the
+        # generic stage name for broadcast/subquery stages
+        details = si.get("Details", "")
+        site = next((ln.strip() for ln in details.split("\n")
+                     if "graft" in ln and "Spec" not in ln), "")[:60]
         stages[sid] = {
-            "name": si["Stage Name"].split("\n")[0][:70],
+            "name": (si["Stage Name"].split("\n")[0][:40] + " | " + site)[:110],
             "dur": dur,
             "tasks": si["Number of Tasks"],
             "read": 0, "write": 0, "spill": 0, "out": 0,
