@@ -35,6 +35,8 @@ object Bench {
     "dedup_cluster_docs",       // connected components over near-dup pairs
     "fuzzy_cust_names",         // edit-distance join, hot-band salted
     "pipeline_curate_docs",     // the 5-stage curation pipeline end-to-end
+    "decontam_docs",            // 13-gram benchmark decontamination
+    "shuffle_order_docs",       // deterministic global shuffle (two-pass rank)
   )
 
   def main(args: Array[String]): Unit = {
