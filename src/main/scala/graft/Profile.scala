@@ -33,6 +33,11 @@ object Profile {
       .config("spark.sql.codegen.maxFields", 256)
       // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
+      // a single-JVM local run has no real executor liveness to police, and
+      // multi-minute host IO stalls (observed: 7-min freeze -> heartbeat
+      // timeout killed the context mid-bench) must not abort the run
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .config("spark.ui.enabled", false)
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()

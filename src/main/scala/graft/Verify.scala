@@ -15,6 +15,11 @@ object Verify {
       .config("spark.sql.codegen.maxFields", 256)
       // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs
       .config("spark.sql.legacy.parquet.nanosAsLong", true)
+      // a single-JVM local run has no real executor liveness to police, and
+      // multi-minute host IO stalls (observed: 7-min freeze -> heartbeat
+      // timeout killed the context mid-bench) must not abort the run
+      .config("spark.executor.heartbeatInterval", "60s")
+      .config("spark.network.timeout", "1200s")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

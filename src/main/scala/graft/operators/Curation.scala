@@ -24,6 +24,13 @@ object Curation {
   private def wsBagLower(c: Column): Column =
     filter(split(lower(c), "[\t\n\r ]"), x => trim(x) =!= "")
 
+  /** Distinct md5-prefix hashes of a text column's word n-grams, as one array
+    * per row — the decontamination gram key (shared with the streaming
+    * variant so stream and batch agree exactly). */
+  private[graft] def gramHashArray(text: Column, n: Int): Column =
+    array_distinct(transform(wordGrams(wsBagLower(text), n),
+      g => substring(md5(g), 1, 16)))
+
   /** Word n-grams of a token array: windows of `n` joined by one space.
     * Empty when the document has fewer than `n` tokens. */
   private def wordGrams(tks: Column, n: Int): Column = {
@@ -50,9 +57,7 @@ object Curation {
   def decontaminate(train: DataFrame, evalSet: DataFrame, key: String,
                     text: String, n: Int = 13, minShared: Int = 1): DataFrame = {
     def gramHashes(df: DataFrame): DataFrame =
-      df.select(col(key).as("id"),
-          explode(array_distinct(transform(wordGrams(wsBagLower(col(text)), n),
-            g => substring(md5(g), 1, 16)))).as("gh"))
+      df.select(col(key).as("id"), explode(gramHashArray(col(text), n)).as("gh"))
     val evalGrams = gramHashes(evalSet).select(col("gh")).distinct()
     gramHashes(train)
       .join(broadcast(evalGrams), "gh")

@@ -141,6 +141,39 @@ object Streaming {
       }
   }
 
+  /** Emitted contamination hit: a streamed doc sharing grams with the
+    * benchmark set. */
+  final case class Contaminated(id: String, n_shared_grams: Long)
+
+  /**
+   * Streaming benchmark decontamination: flag arriving documents that share
+   * at least `minShared` distinct word `n`-grams with a STATIC evaluation
+   * set — the ingestion-time counterpart of
+   * [[graft.operators.Curation.decontaminate]], same gram hashing
+   * ([[graft.operators.Curation.gramHashArray]]) so stream and batch verdicts
+   * agree doc-for-doc (pinned by StreamingSpec).
+   *
+   * The benchmark gram set is collected once at plan time and broadcast —
+   * benchmarks are thousands of documents, so the set is megabytes even at
+   * 100 TB corpus scale, and the per-doc check becomes a stateless map
+   * (append-mode composable, no shuffle, no state store): the right shape
+   * for a gate that every ingested document must pass.
+   */
+  def decontaminate(stream: DataFrame, evalSet: DataFrame, key: String,
+                    text: String, n: Int = 13, minShared: Int = 1): Dataset[Contaminated] = {
+    import stream.sparkSession.implicits._
+    val evalGrams: Set[String] = evalSet
+      .select(explode(graft.operators.Curation.gramHashArray(col(text), n)).as("gh"))
+      .distinct().as[String].collect().toSet
+    val bc = stream.sparkSession.sparkContext.broadcast(evalGrams)
+    stream
+      .select(col(key).cast("string").as("id"),
+        graft.operators.Curation.gramHashArray(col(text), n).as("ghs"))
+      .as[(String, Seq[String])]
+      .map { case (id, ghs) => Contaminated(id, ghs.count(bc.value.contains).toLong) }
+      .filter(_.n_shared_grams >= minShared)
+  }
+
   /**
    * Watermarked tumbling-window corpus quality monitor: per (window, lang)
    * doc counts and average quality signals over an ingestion stream. Late

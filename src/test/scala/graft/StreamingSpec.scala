@@ -121,4 +121,29 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getLong(1) === 2L)
     assert(rows(0).getDouble(2) === 2.5d)
   }
+
+  test("decontaminate flags streamed docs against the static eval set; agrees with batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val train = Seq(
+      1L -> "a b c d e f g h",     // shares 5-grams with the eval doc
+      2L -> "z y x w v u t s",     // disjoint
+      3L -> "q b c d e f q q q")   // one shared 5-gram, shifted
+    val evalSet = Seq(10L -> "b c d e f").toDF("id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.decontaminate(stream, evalSet, "id", "text", n = 5), "decontam") {
+      in.addData(train.take(1): _*)
+      in.addData(train.drop(1): _*)   // state-free: batches don't interact
+    }
+    val streamHits = spark.table("decontam")
+      .as[(String, Long)].collect().map { case (i, c) => (i.toLong, c) }.toMap
+
+    val batchHits = graft.operators.Curation.decontaminate(
+        train.toDF("id", "text"), evalSet, "id", "text", n = 5, minShared = 1)
+      .as[(Long, Long)].collect().toMap
+
+    assert(streamHits === batchHits)
+    assert(streamHits === Map(1L -> 1L, 3L -> 1L))
+  }
 }
