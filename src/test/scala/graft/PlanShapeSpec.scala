@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Plan-shape pins for the scale-critical properties the Scaladocs promise:
+ * what must broadcast, what must never shuffle, what must reach the scan.
+ * These fail loudly if a refactor silently reintroduces an exchange or a
+ * nested loop that only shows up at cluster scale.
+ */
+class PlanShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // finalize AQE so the string shows executed stages
+    df.queryExecution.executedPlan.toString
+  }
+
+  private def embeddings(n: Int): DataFrame =
+    (0 until n).map(i =>
+      (i.toLong, Array(i.toFloat, (i % 3).toFloat, (i % 5).toFloat, 1f)))
+      .toDF("vec_id", "embedding")
+
+  test("IVF: corpus assignment runs with zero corpus-side shuffle") {
+    val e = embeddings(40)
+    val plan = finalPlan(
+      Similarity.topKIvf(e, e.where(col("vec_id") < 3), "vec_id", "embedding",
+        k = 5, nCentroids = 4, nProbe = 2))
+    // the nearest-centroid argmax is a broadcast fold: partitioning the corpus
+    // by centroid id (or record id) before the probe join would be the r3
+    // regression — 16x the corpus through an exchange at 100 TB
+    assert(!plan.contains("hashpartitioning(cid"), plan)
+    assert(!plan.contains("hashpartitioning(id"), plan)
+  }
+
+  test("decontaminate: the eval-gram side joins as a broadcast, not a shuffle") {
+    val train = (0L until 50L).map(i => (i, s"w$i x$i a b c d e")).toDF("id", "txt")
+    val evalSet = Seq(100L -> "a b c d e").toDF("id", "txt")
+    val plan = finalPlan(
+      Curation.decontaminate(train, evalSet, "id", "txt", n = 3, minShared = 1))
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("filtered self-join plans no cartesian or nested-loop join") {
+    val df = Seq(1L -> "alpha beta gamma", 2L -> "alpha beta delta",
+      3L -> "epsilon zeta eta").toDF("id", "txt")
+    val plan = finalPlan(
+      JaccardJoin.selfJoinDeduped(df, "id", "txt", WhitespaceTokenizer(), 0.5))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("range filter reaches the parquet scan as a pushed filter") {
+    val dir = java.nio.file.Files.createTempDirectory("planshape").toString + "/t"
+    (0L until 1000L).map(i => (i, i * 2.5)).toDF("k", "v")
+      .write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).where(col("k") >= 100 && col("v") > 500.0)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters"), plan)
+    assert(plan.contains("GreaterThanOrEqual(k,100)"), plan)
+    assert(plan.contains("GreaterThan(v,500.0)"), plan)
+  }
+}
