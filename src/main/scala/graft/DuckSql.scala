@@ -631,8 +631,10 @@ HAVING count(*) >= $minShared"""
     * counts on the original text, masking email → phone → IP). */
   def piiScrub(tableExpr: String, key: String, text: String): String = {
     val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
-    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    val phone =
+      "(?:\\+?1[-. ])?(?:\\([0-9]{3}\\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}"
+    val octet = "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+    val ip = s"\\b$octet\\.$octet\\.$octet\\.$octet\\b"
     s"""SELECT $key AS id,
   regexp_replace(regexp_replace(regexp_replace($text,
     '$email', '<EMAIL>', 'g'),

@@ -66,9 +66,17 @@ object Curation {
       .where(col("n_shared_grams") >= minShared)
   }
 
+  // Patterns are DEMONSTRATIVE policy shapes, not a scrubbing guarantee:
+  // they cover the common NANP phone spellings (555-123-4567, 555.123.4567,
+  // (555) 123-4567, +1-555-123-4567) and range-valid dotted-quad IPv4s with
+  // word boundaries, but a dotted version string like "1.2.3.4" is textually
+  // an IP and still masks. Kept to the regex subset RE2 (DuckDB) and Java
+  // (Spark codegen) compile identically — mirrored in DuckSql.piiScrub.
   private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val phoneRe = "\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
-  private val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+  private val phoneRe =
+    "(?:\\+?1[-. ])?(?:\\([0-9]{3}\\) ?|[0-9]{3}[-. ])[0-9]{3}[-. ][0-9]{4}"
+  private val octetRe = "(?:25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
+  private val ipRe = s"\\b$octetRe\\.$octetRe\\.$octetRe\\.$octetRe\\b"
 
   /**
    * PII scrubbing: mask emails, phone numbers, and IPv4 literals with typed
@@ -100,6 +108,13 @@ object Curation {
    * generations light these up while clean prose stays low. All array-fold
    * column expressions over the per-row token list: zero shuffles. Ratios are
    * NULL when the document is too short to form the gram.
+   *
+   * Per-row cost bound: the top-gram count probes `filter(grams, ...)` once
+   * per DISTINCT gram — O(distinct × total) per document, quadratic on a
+   * pathologically long degenerate document (exactly what this filter
+   * targets). One such row makes ONE task slow but cannot skew others (no
+   * shuffle); pre-truncate the text column upstream if adversarial lengths
+   * are possible.
    *
    * Output: (id, n_tokens, dup_token_ratio, top_2gram_ratio, top_3gram_ratio).
    */
@@ -176,12 +191,24 @@ object Curation {
       .sortWithinPartitions("hk", "id")
       .persistTracked
     val counts = base.rdd
-      .mapPartitionsWithIndex { (pid, it) => Iterator((pid, it.size.toLong)) }
+      .mapPartitionsWithIndex { (pid, it) =>
+        // explicit Long accumulator: Iterator.size returns Int and would
+        // silently wrap past ~2.1B rows in one partition, corrupting every
+        // downstream position
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator((pid, c))
+      }
       .collect().sortBy(_._1).map(_._2)
     val starts = counts.scanLeft(0L)(_ + _).init
     val out = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       var pos = starts(pid)
       it.map { r =>
+        if (r.isNullAt(0))
+          // a null here means the key column had nulls or failed the long
+          // cast — getLong would silently read 0 and emit duplicate ids
+          throw new IllegalArgumentException(
+            s"shuffleOrder: key column '$key' has a null/uncastable id")
         val p = pos
         pos += 1L
         Row(r.getLong(0), p)

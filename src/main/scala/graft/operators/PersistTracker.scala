@@ -20,13 +20,23 @@ private[graft] object PersistTracker {
 
   private val tracked = mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Persist `df` at `level` and remember it for [[unpersistAll]]. */
+  /** Persist `df` at `level` and remember it for [[unpersistAll]].
+    *
+    * No-op when the plan is already cached (directly, or because the
+    * CacheManager matches an identical plan cached earlier — e.g. a bench
+    * re-run rebuilding the same query): re-persisting would log
+    * "Asked to cache already cached data" and, worse, re-tracking it would
+    * let [[unpersistAll]] release a cache some OTHER live consumer still
+    * counts on. `storageLevel` does the CacheManager lookup for us. */
   def persist(df: DataFrame,
               level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame =
     synchronized {
-      val p = df.persist(level)
-      tracked += p
-      p
+      if (df.storageLevel != StorageLevel.NONE) df
+      else {
+        val p = df.persist(level)
+        tracked += p
+        p
+      }
     }
 
   /** Unpersist every tracked intermediate; returns how many were released.

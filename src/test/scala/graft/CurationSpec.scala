@@ -39,15 +39,22 @@ class CurationSpec extends SparkSpec {
   test("piiScrub: masks email/phone/ip and counts on the original text") {
     val df = Seq(
       1L -> "mail a.b+c@ex-ample.org now",
+      // "+01 …": the "1 555.987.6543" tail is the country-coded match; the
+      // leading "+0" is not part of any NANP spelling and survives
       2L -> "call 555-123-4567 or +01 555.987.6543 x",
       3L -> "host 192.168.0.1 clean",
-      4L -> "nothing here").toDF("id", "txt")
+      4L -> "nothing here",
+      5L -> "dial (555) 123-4567 or +1-555-987-6543 ok",
+      // range-invalid octet and embedded-in-word quads must NOT mask
+      6L -> "ver 1.2.3.999 tag v10.20.30.40b ip 255.255.255.255").toDF("id", "txt")
     val out = Curation.piiScrub(df, "id", "txt").collect()
       .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
     assert(out(1L)._1 === "mail <EMAIL> now" && out(1L)._2 === 1L)
-    assert(out(2L)._1 === "call <PHONE> or +01 <PHONE> x" && out(2L)._3 === 2L)
+    assert(out(2L)._1 === "call <PHONE> or +0<PHONE> x" && out(2L)._3 === 2L)
     assert(out(3L)._1 === "host <IP> clean" && out(3L)._4 === 1L)
     assert(out(4L) === (("nothing here", 0L, 0L, 0L)))
+    assert(out(5L)._1 === "dial <PHONE> or <PHONE> ok" && out(5L)._3 === 2L)
+    assert(out(6L)._1 === "ver 1.2.3.999 tag v10.20.30.40b ip <IP>" && out(6L)._4 === 1L)
   }
 
   test("repetitionStats: hand-computed ratios") {

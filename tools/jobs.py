@@ -12,7 +12,15 @@ app = sys.argv[1] if len(sys.argv) > 1 else "latest"
 min_secs = float(sys.argv[2]) if len(sys.argv) > 2 else 0.3
 
 logs = sorted(glob.glob("/tmp/spark-events/*"), key=os.path.getmtime)
-path = logs[-1] if app == "latest" else f"/tmp/spark-events/{app}"
+if app == "latest":
+    if not logs:
+        sys.exit("no event logs in /tmp/spark-events — enable spark.eventLog.enabled")
+    path = logs[-1]
+else:
+    path = f"/tmp/spark-events/{app}"
+    if not os.path.exists(path):
+        sys.exit(f"no event log at {path} — try 'latest' or one of: "
+                 + ", ".join(os.path.basename(p) for p in logs[-5:]))
 
 
 def lines(p):
