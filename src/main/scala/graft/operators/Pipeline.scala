@@ -52,9 +52,9 @@ object Pipeline {
     // cluster loop, and the packing passes downstream all carry an RDD leaf
     // instead of re-printing the gate/dedup subtree in every action's plan
     // string (see clusterIds' edges note — same driver-side cost)
-    val deduped = gated.join(keepExact, col(key) === col("keep_id"), "left_semi")
-      .persistTracked
-      .localCheckpoint(true)
+    val deduped = Checkpoints.cut(
+      gated.join(keepExact, col(key) === col("keep_id"), "left_semi")
+        .persistTracked)
     val clusterKeep = Dedup.clusterKeepIds(deduped, key,
         JaccardJoin.selfJoinDeduped(deduped, key, text, tokenizer, nearDupThreshold),
         s"l_$key", s"r_$key")
