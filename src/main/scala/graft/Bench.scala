@@ -4,9 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /**
  * Benchmark main. Runs the headline queries on SPARK_GRAFT_SF_DIR and prints
- * ONE JSON line. Per-query time is the best of two runs (the first run pays
- * JIT/codegen warm-up; the reference's notebook timings are likewise warm
- * averages over n runs — BASELINE.md).
+ * ONE JSON line. Per-query time is the best of three runs (the first run
+ * pays JIT/codegen warm-up; the reference's notebook timings are likewise
+ * warm averages over n runs — BASELINE.md).
  */
 object Bench {
 
@@ -37,6 +37,21 @@ object Bench {
     "pipeline_curate_docs",     // the 5-stage curation pipeline end-to-end
     "decontam_docs",            // 13-gram benchmark decontamination
     "shuffle_order_docs",       // deterministic global shuffle (two-pass rank)
+  )
+
+  /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or
+    * SPARK_GRAFT_PROFILE=stress): the 8× uniform-length documents corpus has
+    * ONLY the documents table, so the headline narrows to the docs-side
+    * scale proofs (SCALE.md "Measured"). Single-run by default — the t=0.9
+    * self-join alone is ~100 s class; pair with
+    * SPARK_GRAFT_SHUFFLE_PARTITIONS=256 (~128 MB per shuffle partition,
+    * zero spill — the A/B in SCALE.md). */
+  private val stressHeadline = Seq(
+    "jac_self_docs_ws_t09",
+    "dedup_minhash_docs",
+    "dedup_cluster_docs",
+    "decontam_docs",
+    "shuffle_order_docs",
   )
 
   def main(args: Array[String]): Unit = {
@@ -73,12 +88,19 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = headline.flatMap { name =>
+    val stress = sys.env.get("SPARK_GRAFT_PROFILE").contains("stress") ||
+      sfDir.contains("stress")
+    val queries = if (stress) stressHeadline else headline
+    val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
+      .getOrElse(if (stress) 1 else 3)
+
+    val results = queries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         System.err.println(s"[bench] running $name")
-        // best of 3: first run pays persist materialization + codegen; the
-        // reference's BASELINE numbers are likewise warm averages over n runs
-        val t = try Seq.fill(3)(timeOnce(fn)).min catch { case _: Throwable => -1d }
+        // best of 3 (1 on the stress profile): the first run pays persist
+        // materialization + codegen; the reference's BASELINE numbers are
+        // likewise warm averages over n runs
+        val t = try Seq.fill(nRuns)(timeOnce(fn)).min catch { case _: Throwable => -1d }
         Api.clearCache() // drop graft-persisted intermediates between queries
         System.err.println(f"[bench] $name%-26s $t%.3f s")
         name -> t
@@ -86,7 +108,50 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val recallJson = recallField(spark, sfDir)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson,"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  /** Approximate-path recall vs the exact twins, emitted as a `"recall"` key
+    * INSIDE the single JSON line (a second line would break the driver's
+    * parse). Skipped when the profile's tables are missing (stress corpus
+    * has no embeddings) or SPARK_GRAFT_RECALL=0; never fails the bench. */
+  private def recallField(spark: SparkSession, sfDir: String): String = {
+    import graft.operators.{Dedup, JaccardJoin, Similarity, WhitespaceTokenizer}
+    import org.apache.spark.sql.functions.col
+    if (sys.env.get("SPARK_GRAFT_RECALL").contains("0")) return ""
+    if (!new java.io.File(s"$sfDir/embeddings.parquet").exists()) return ""
+    try {
+      val ws = WhitespaceTokenizer()
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      // 100 query points (vs the 5 of the oracle-checked queries) for a
+      // stable estimate; same k/planes/centroid params as the registered ops
+      val q = e.where(col("vec_id") < 100)
+      val exactTopK = Similarity.topKExact(e, q, "vec_id", "embedding", 10)
+        .persist()
+      val lsh = Recall.topK(exactTopK,
+        Similarity.topKLsh(e, q, "vec_id", "embedding", 10, 64))
+      val ivf = Recall.topK(exactTopK,
+        Similarity.topKIvf(e, q, "vec_id", "embedding", 10, 16, 4))
+      val ivfKm = Recall.topK(exactTopK,
+        Similarity.topKIvfKmeans(e, q, "vec_id", "embedding", 10, 16, 4, 3))
+      exactTopK.unpersist()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val exactPairs = JaccardJoin
+        .selfJoinDeduped(docs, "doc_id", "text", ws, 0.9)
+        .select("l_doc_id", "r_doc_id").persist()
+      val mh = Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
+        Dedup.minHashPairs(docs, "doc_id", "text", ws, 0.9), "lid", "rid")
+      val sh = Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
+        Dedup.simHashPairs(docs, "doc_id", "text", ws, 3), "lid", "rid")
+      exactPairs.unpersist()
+      Api.clearCache()
+      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f}"""
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] recall sidecar failed: $t")
+        ""
+    }
   }
 }
