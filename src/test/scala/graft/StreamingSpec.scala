@@ -122,6 +122,49 @@ class StreamingSpec extends SparkSpec {
     assert(rows(0).getDouble(2) === 2.5d)
   }
 
+  test("windowedStats: finalized windows equal the batch window aggregate") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val stream = in.toDF().toDF("ts", "text")
+    // three 1-minute windows of uneven sizes, delivered across two
+    // micro-batches, plus a far-future sentinel that advances the watermark
+    // past all three so append mode finalizes them
+    val docs = Seq(
+      Timestamp.valueOf("2026-01-01 00:00:05") -> "one two three",
+      Timestamp.valueOf("2026-01-01 00:00:40") -> "four",
+      Timestamp.valueOf("2026-01-01 00:01:10") -> "five six seven eight",
+      Timestamp.valueOf("2026-01-01 00:02:02") -> "nine ten",
+      Timestamp.valueOf("2026-01-01 00:02:59") -> "eleven")
+    val sentinel = Timestamp.valueOf("2026-01-01 00:30:00") -> "sentinel"
+    runToTable(Streaming.windowedStats(stream, "ts", "text",
+        windowDuration = "1 minute", watermarkDelay = "1 minute"), "win_batch_eq") {
+      in.addData(docs.take(2): _*)
+      in.addData(docs.drop(2): _*)
+      in.addData(sentinel)
+    }
+    def asTuples(df: org.apache.spark.sql.DataFrame) = df
+      .select("window_start", "window_end", "n_docs", "avg_tokens", "avg_chars")
+      .collect()
+      .map(r => (r.getTimestamp(0), r.getTimestamp(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSet
+    val streamed = asTuples(spark.table("win_batch_eq"))
+    // batch twin: the same expressions as a plain groupBy(window) over the
+    // SAME rows (sentinel excluded — its window never finalizes upstream)
+    val batch = asTuples(docs.toDF("ts", "text")
+      .select(col("ts"), col("text"),
+        size(array_distinct(filter(split(lower(col("text")), "[\t\n\r ]"),
+          x => trim(x) =!= ""))).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_docs"), avg("n_tokens").as("avg_tokens"),
+        avg("n_chars").as("avg_chars"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("n_docs"), col("avg_tokens"), col("avg_chars")))
+    assert(streamed.map(_._1).size === 3)
+    assert(streamed === batch)
+  }
+
   test("decontaminate flags streamed docs against the static eval set; agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq(
