@@ -123,6 +123,12 @@ object Bench {
     if (sys.env.get("SPARK_GRAFT_RECALL").contains("0")) return ""
     if (!new java.io.File(s"$sfDir/embeddings.parquet").exists()) return ""
     try {
+      def timed[A](label: String)(body: => A): A = {
+        val t0 = System.nanoTime()
+        val r = body
+        System.err.println(f"[bench] recall/$label%-18s ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        r
+      }
       val ws = WhitespaceTokenizer()
       val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
       // 100 query points (vs the 5 of the oracle-checked queries) for a
@@ -130,21 +136,21 @@ object Bench {
       val q = e.where(col("vec_id") < 100)
       val exactTopK = Similarity.topKExact(e, q, "vec_id", "embedding", 10)
         .persist()
-      val lsh = Recall.topK(exactTopK,
-        Similarity.topKLsh(e, q, "vec_id", "embedding", 10, 64))
-      val ivf = Recall.topK(exactTopK,
-        Similarity.topKIvf(e, q, "vec_id", "embedding", 10, 16, 4))
-      val ivfKm = Recall.topK(exactTopK,
-        Similarity.topKIvfKmeans(e, q, "vec_id", "embedding", 10, 16, 4, 3))
+      val lsh = timed("ann_lsh")(Recall.topK(exactTopK,
+        Similarity.topKLsh(e, q, "vec_id", "embedding", 10, 64, planes = 8, tables = 4)))
+      val ivf = timed("ann_ivf")(Recall.topK(exactTopK,
+        Similarity.topKIvf(e, q, "vec_id", "embedding", 10, 16, 4)))
+      val ivfKm = timed("ann_ivf_kmeans")(Recall.topK(exactTopK,
+        Similarity.topKIvfKmeans(e, q, "vec_id", "embedding", 10, 16, 4, 3)))
       exactTopK.unpersist()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val exactPairs = JaccardJoin
+      val exactPairs = timed("exact_pairs")(JaccardJoin
         .selfJoinDeduped(docs, "doc_id", "text", ws, 0.9)
-        .select("l_doc_id", "r_doc_id").persist()
-      val mh = Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
-        Dedup.minHashPairs(docs, "doc_id", "text", ws, 0.9), "lid", "rid")
-      val sh = Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
-        Dedup.simHashPairs(docs, "doc_id", "text", ws, 3), "lid", "rid")
+        .select("l_doc_id", "r_doc_id").persist())
+      val mh = timed("minhash_pairs")(Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
+        Dedup.minHashPairs(docs, "doc_id", "text", ws, 0.9), "lid", "rid"))
+      val sh = timed("simhash_pairs")(Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
+        Dedup.simHashPairs(docs, "doc_id", "text", ws, 3), "lid", "rid"))
       exactPairs.unpersist()
       Api.clearCache()
       f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f}"""

@@ -538,9 +538,11 @@ WHERE rank <= $k"""
   /** Random-hyperplane LSH bucket of a vector expression — plane components
     * baked in as literals from Similarity.planeComponent, the same
     * deterministic constants the Spark expressions use. */
-  private def lshBucketSql(v: String, dim: Int, planes: Int): String = {
+  private def lshBucketSql(v: String, dim: Int, planes: Int,
+                           planeOffset: Int = 0): String = {
     def dotPlane(i: Int): String = {
-      val comps = (0 until dim).map(j => operators.Similarity.planeComponent(i, j))
+      val comps =
+        (0 until dim).map(j => operators.Similarity.planeComponent(planeOffset + i, j))
       s"list_sum(list_transform(generate_series(1, $dim), jj -> " +
         s"CAST($v[jj] AS DOUBLE) * (list_value(${comps.mkString(", ")}))[jj]))"
     }
@@ -558,17 +560,23 @@ SELECT lid, rid, sim FROM (
   FROM b a, b b2 WHERE a.bucket = b2.bucket AND a.id < b2.id)
 WHERE sim >= ${d(minCosine)}"""
 
-  /** Mirrors Similarity.topKLsh: multi-probe (own bucket + every 1-bit flip),
-    * exact re-rank of distinct candidates. */
+  /** Mirrors Similarity.topKLsh: `tables` independent plane families with
+    * (table, sig)-folded bucket ids, multi-probe (own bucket + every 1-bit
+    * signature flip per table), exact re-rank of distinct candidates. */
   def annTopKLsh(table: String, key: String, vec: String, queryPred: String,
-                 k: Int, dim: Int, planes: Int): String = {
-    val probeList = ("bucket" +: (0 until planes).map(i => s"xor(bucket, ${1L << i})"))
+                 k: Int, dim: Int, planes: Int, tables: Int = 1): String = {
+    def foldedBucket(t: Int): String =
+      s"(${lshBucketSql(vec, dim, planes, t * planes)} + ${t.toLong * (1L << planes)})"
+    val corpusBuckets = (0 until tables).map(foldedBucket)
       .mkString("list_value(", ", ", ")")
-    s"""WITH c AS (
-  SELECT $key AS neighbor_id, $vec AS cv, ${lshBucketSql(vec, dim, planes)} AS bucket
-  FROM $table),
+    val probeList = (0 until tables)
+      .flatMap(t => s"b[${t + 1}]" +: (0 until planes).map(i => s"xor(b[${t + 1}], ${1L << i})"))
+      .mkString("list_value(", ", ", ")")
+    s"""WITH c0 AS (
+  SELECT $key AS neighbor_id, $vec AS cv, $corpusBuckets AS b FROM $table),
+c AS (SELECT neighbor_id, cv, unnest(b) AS bucket FROM c0),
 q0 AS (
-  SELECT $key AS query_id, $vec AS qv, ${lshBucketSql(vec, dim, planes)} AS bucket
+  SELECT $key AS query_id, $vec AS qv, $corpusBuckets AS b
   FROM $table WHERE $queryPred),
 probes AS (SELECT query_id, qv, unnest($probeList) AS bucket FROM q0),
 sims AS (

@@ -79,10 +79,14 @@ object Similarity {
   /** Random-hyperplane signature: bit i = sign(v · plane_i), as a long.
     * Backed by the native codegen'd [[graft.expressions.HyperplaneSig]] —
     * bit-identical buckets to [[lshBucketHof]] (spec-proven), compiled
-    * instead of one interpreted fold per plane. */
-  def lshBucket(vec: Column, dim: Int, planes: Int): Column = {
+    * instead of one interpreted fold per plane.
+    *
+    * `planeOffset` selects an independent plane family (table t of a
+    * multi-table index uses offset t·planes, giving planes the single-table
+    * form never draws — [[planeComponent]] is defined for all i). */
+  def lshBucket(vec: Column, dim: Int, planes: Int, planeOffset: Int = 0): Column = {
     require(planes <= 63, "bucket fits in a long")
-    val mat = Array.tabulate(planes, dim)((i, j) => planeComponent(i, j))
+    val mat = Array.tabulate(planes, dim)((i, j) => planeComponent(planeOffset + i, j))
     org.apache.spark.sql.GraftExpressionBridge.column(
       graft.expressions.HyperplaneSig(
         org.apache.spark.sql.GraftExpressionBridge.expression(vec), mat))
@@ -102,21 +106,42 @@ object Similarity {
   }
 
   /**
-   * LSH-bucketed approximate top-k: candidates are corpus vectors sharing the
-   * query's bucket or any bucket at Hamming distance 1 (multi-probe), exactly
-   * re-ranked by cosine. Recall measured against [[topKExact]] in the spec.
+   * LSH-bucketed approximate top-k over `tables` independent hyperplane
+   * tables: table t hashes with plane family t·planes, and a candidate is any
+   * corpus vector sharing the query's bucket in ANY table, or any bucket at
+   * Hamming distance 1 of it (multi-probe). The union is exactly re-ranked
+   * by cosine. Recall measured against [[topKExact]] in the spec and the
+   * bench recall sidecar.
+   *
+   * The two knobs are the classic LSH trade: `planes` sets bucket
+   * selectivity (size ~ n/2^planes — grow it with log₂(corpus) to keep
+   * buckets bounded) and `tables` buys recall at linear candidate cost
+   * (P[candidate] = 1-(1-p^planes)^tables per probe for bit-agreement
+   * probability p). A single 12-plane table over a few thousand vectors
+   * leaves ~6 candidates per query — recall@10 of 0.03; four tables of 8
+   * planes at the same corpus measure 0.9+ for ~300 candidates (bench
+   * RECALL sidecar, sf0.1).
+   *
+   * Scale shape: bucket ids are (table, signature)-folded longs, so the
+   * candidate join hashes 8-byte keys; per-query fan-out is bounded by
+   * tables × (planes+1) probe buckets regardless of corpus size.
    */
   def topKLsh(corpus: DataFrame, queries: DataFrame, key: String, vec: String,
-              k: Int, dim: Int, planes: Int = 12): DataFrame = {
+              k: Int, dim: Int, planes: Int = 12, tables: Int = 1): DataFrame = {
+    require(tables >= 1 && planes < 60, "table id must fit above the signature bits")
+    // (table, sig) folded into one long: table id above the signature bits
+    def buckets(v: Column): Seq[Column] = (0 until tables).map(t =>
+      lshBucket(v, dim, planes, t * planes)
+        .bitwiseOR(lit(t.toLong).multiply(lit(1L << planes))))
     val c = corpus.select(col(key).as("neighbor_id"), col(vec).as("cv"),
-      lshBucket(col(vec), dim, planes).as("bucket"))
+      explode(array(buckets(col(vec)): _*)).as("bucket"))
       .persistTracked
-    // multi-probe: query probes its own bucket and every 1-bit flip of it
-    val probes = (0 until planes).map(i => col("bucket").bitwiseXOR(shiftleft(lit(1L), i)))
+    // multi-probe: query probes its own bucket and every 1-bit flip of its
+    // signature bits, in every table
     val q = queries.select(col(key).as("query_id"), col(vec).as("qv"),
-        lshBucket(col(vec), dim, planes).as("bucket"))
-      .select(col("query_id"), col("qv"),
-        explode(array(col("bucket") +: probes: _*)).as("bucket"))
+        explode(array(buckets(col(vec)).flatMap(b =>
+          b +: (0 until planes).map(i => b.bitwiseXOR(shiftleft(lit(1L), i)))): _*))
+          .as("bucket"))
     val sims = q.join(c, Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),

@@ -52,6 +52,29 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"LSH recall too low: $recall")
   }
 
+  test("topKLsh: multi-table recall >= single-table; ranks well-formed") {
+    val df = clustered(3, 6, 15, 32).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 6)
+    def pairs(tables: Int) = Similarity
+      .topKLsh(df, q, "vec_id", "embedding", 5, dim = 32, planes = 8, tables = tables)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.topKExact(df, q, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(s: Set[(Long, Long)]) = (exact & s).size.toDouble / exact.size
+    val one = recall(pairs(1))
+    val four = recall(pairs(4))
+    // four tables union strictly more probe buckets than one, so candidate
+    // sets are supersets per query — recall can only go up
+    assert(four >= one, s"multi-table recall $four < single-table $one")
+    assert(four >= 0.8, s"4x8 LSH recall too low: $four")
+    val ranked = Similarity
+      .topKLsh(df, q, "vec_id", "embedding", 5, dim = 32, planes = 8, tables = 4)
+      .collect()
+    assert(ranked.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= 5L))
+  }
+
   test("nearDuplicatesExact finds same-cluster pairs above the cosine floor") {
     val df = clustered(4, 3, 6, 16).toDF("vec_id", "embedding")
     val out = Similarity.nearDuplicatesExact(df, "vec_id", "embedding", 0.95)
