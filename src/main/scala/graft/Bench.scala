@@ -90,7 +90,10 @@ object Bench {
 
     val stress = sys.env.get("SPARK_GRAFT_PROFILE").contains("stress") ||
       sfDir.contains("stress")
-    val queries = if (stress) stressHeadline else headline
+    // dev loop for tuning the approximate paths: skip the timed queries and
+    // emit only the recall sidecar
+    val recallOnly = sys.env.get("SPARK_GRAFT_RECALL_ONLY").contains("1")
+    val queries = if (recallOnly) Seq.empty else if (stress) stressHeadline else headline
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
       .getOrElse(if (stress) 1 else 3)
 
@@ -137,7 +140,7 @@ object Bench {
       val exactTopK = Similarity.topKExact(e, q, "vec_id", "embedding", 10)
         .persist()
       val lsh = timed("ann_lsh")(Recall.topK(exactTopK,
-        Similarity.topKLsh(e, q, "vec_id", "embedding", 10, 64, planes = 8, tables = 4)))
+        Similarity.topKLsh(e, q, "vec_id", "embedding", 10, 64, planes = 6, tables = 8)))
       val ivf = timed("ann_ivf")(Recall.topK(exactTopK,
         Similarity.topKIvf(e, q, "vec_id", "embedding", 10, 16, 4)))
       val ivfKm = timed("ann_ivf_kmeans")(Recall.topK(exactTopK,

@@ -117,10 +117,12 @@ object Similarity {
    * selectivity (size ~ n/2^planes — grow it with log₂(corpus) to keep
    * buckets bounded) and `tables` buys recall at linear candidate cost
    * (P[candidate] = 1-(1-p^planes)^tables per probe for bit-agreement
-   * probability p). A single 12-plane table over a few thousand vectors
-   * leaves ~6 candidates per query — recall@10 of 0.03; four tables of 8
-   * planes at the same corpus measure 0.9+ for ~300 candidates (bench
-   * RECALL sidecar, sf0.1).
+   * probability p). Measured on the sf0.1 embeddings (2000×64, bench RECALL
+   * sidecar): one 12-plane table leaves ~6 candidates per query — recall@10
+   * 0.03; 4×8 planes 0.43; 8×8 0.68; 8×6 0.92; 16×5 0.999. On a corpus this
+   * small, high recall necessarily probes a large corpus fraction — the
+   * index earns its keep once n/2^planes bounds bucket size at millions of
+   * rows, which is exactly why `planes` must scale with the data.
    *
    * Scale shape: bucket ids are (table, signature)-folded longs, so the
    * candidate join hashes 8-byte keys; per-query fan-out is bounded by
