@@ -129,13 +129,14 @@ object Dedup {
     * [[JaccardJoin]] results on the same data.
     *
     * Implementation: per-id token ARRAYS with a conservative length prefilter,
-    * then a codegen'd `array_intersect` per pair — O(|l|+|r|) per candidate
+    * then ONE `graft_suffix_overlap` kernel call per pair (start positions 1 =
+    * whole arrays) — the multiset product count, which equals set-intersection
+    * size for duplicate-free arrays and the reference join-count otherwise,
     * with no row explosion. The relational form (cand x tokens x tokens +
     * groupBy) streamed ~150M joined rows for 5.5M LSH candidates at sf0.1 and
-    * took 17 s; this takes ~3.5 s for identical output. Docs holding duplicate
-    * emitted tokens (case-variants merged by the tokenizer's lowercase-after-
-    * distinct) fall back to an exact multiset product count, matching the
-    * join-count semantics bit-for-bit. */
+    * took 17 s; the array form took ~3.5 s with `array_intersect`, and the
+    * native kernel removed the remaining per-pair SQLOpenHashSet churn that
+    * dominated the 8× stress corpus verify (thread-sampled). */
   private[operators] def verifyJaccard(cand: DataFrame, tokens: DataFrame,
                                        threshold: Double,
                                        assumeDupFree: Boolean = false): DataFrame = {
@@ -159,14 +160,21 @@ object Dedup {
       if (assumeDupFree)
         joined.where(col("llen") >= col("rlen") * t - eps && col("rlen") >= col("llen") * t - eps)
       else joined
-    val setOverlap = size(array_intersect(col("larr"), col("rarr"))).cast("long")
-    val overlapCol = if (assumeDupFree) setOverlap else {
-      val dupFree = (size(array_distinct(col("larr"))) === size(col("larr"))) &&
-        (size(array_distinct(col("rarr"))) === size(col("rarr")))
-      when(dupFree, setOverlap)
-        .otherwise(aggregate(col("larr"), lit(0L),
-          (acc, x) => acc + size(filter(col("rarr"), y => y === x)).cast("long")))
-    }
+    // One native kernel call per candidate (same hot instruction as the
+    // filtered joins, start positions 1 = whole arrays): the multiset product
+    // count equals set-intersection size when both arrays are duplicate-free,
+    // and IS the reference's join-count when they are not — so a single
+    // expression serves both tokenizer classes. Replaces per-pair
+    // SQLOpenHashSet builds (array_intersect + two array_distinct dup probes
+    // + an interpreted fold), which thread-sampling showed dominating the
+    // 18.4M-candidate stress verify (UTF8String re-hashing + boxed null-check
+    // lambdas, ~247 µs/pair of stage CPU).
+    val overlapCol = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SuffixOverlapCount(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("larr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("rarr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(lit(1)),
+        org.apache.spark.sql.GraftExpressionBridge.expression(lit(1))))
     paired.withColumn("overlap", overlapCol)
       .where(col("overlap") >= ((col("llen") + col("rlen")) * t / onePlusT))
       .select(col("lid"), col("rid"),
