@@ -99,21 +99,37 @@ object Dedup {
 
     // Fold each band's signature chunk into ONE join key via the family's
     // bandKey (xxhash64(band, chunk) on the fast path): the self-join then
-    // hashes on a compact key instead of an 8-element array (cross-band hash
-    // collisions only add false candidates, which exact verification
-    // removes). Persisted so the signature aggregation runs once, not once
-    // per join side.
-    val banded = sigs.select(col("id"), explode(
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => family.bandKey(b, slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
-      .as("bucket"))
+    // hashes on a compact key instead of an 8-element array. Persisted
+    // UNEXPLODED (bands keys per id — the small form) so the signature
+    // aggregation runs once, not once per join side; each side re-explodes
+    // from the cache.
+    val keyed = sigs.select(col("id"), array((0 until bands).map(b =>
+        family.bandKey(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+      .as("keys"))
       .persistTracked
+    val side = keyed.select(col("id"), col("keys"),
+      posexplode(col("keys")).as(Seq("band", "bucket")))
 
-    val cand = banded.alias("a")
-      .join(banded.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+    // First-matching-band emission: a pair that collides in k of the bands
+    // would reach the old `.distinct()` k times — on near-dup-heavy corpora
+    // that distinct was the path's largest exchange (the 8× stress corpus
+    // pushes ~200M pre-distinct candidate rows for 18.4M pairs; at 100 TB the
+    // candidate-stream shuffle+aggregate IS the bottleneck). Instead, emit a
+    // pair only from its lowest matching band: both sides carry their full
+    // band-key arrays, and an unrolled, codegen'd OR-chain over the (fixed,
+    // small) band count suppresses any row whose pair already matched in an
+    // earlier band — exactly-once without deduplication. The explicit
+    // same-band equi-term costs nothing (md5-family keys encode the band
+    // exactly; xxhash64 cross-band key collisions, previously admitted as
+    // false candidates for verification to discard, are 2^-64 noise).
+    val earlierBandMatches = (0 until bands).map(i =>
+        lit(i) < col("a.band") && col("a.keys").getItem(i) === col("b.keys").getItem(i))
+      .reduce(_ || _)
+    val cand = side.alias("a")
+      .join(side.alias("b"),
+        col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
+          col("a.id") < col("b.id") && !earlierBandMatches)
       .select(col("a.id").as("lid"), col("b.id").as("rid"))
-      .distinct()
 
     verifyJaccard(cand, tokens, threshold, tokenizer.emitsDistinctTokens)
   }

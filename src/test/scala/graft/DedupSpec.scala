@@ -45,6 +45,20 @@ class DedupSpec extends SparkSpec {
       s"LSH recall too low: ${mhPairs.size}/${exact.size}")
   }
 
+  test("minhash emits each pair exactly once (first-matching-band, both families)") {
+    // near-identical copies collide in MOST of the 16 bands, so duplicate
+    // emission (what the old `.distinct()` absorbed) would surface here as
+    // repeated (lid, rid) rows
+    val df = (corpus(11, 20, 40) ++ Seq(2000L -> "w1 w2 w3", 2001L -> "w1 w2 w3"))
+      .toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      val pairs = Dedup.minHashPairs(df, "id", "txt", ws, 0.8, family = fam)
+      val dupes = pairs.groupBy("lid", "rid").count().where($"count" > 1).collect()
+      assert(dupes.isEmpty, s"$fam emitted duplicates: ${dupes.take(3).mkString}")
+      assert(pairs.count() > 0, s"$fam found no pairs on a dup-heavy corpus")
+    }
+  }
+
   test("minhash verification uses the reference threshold operand order") {
     // true J = 27/30 = 0.9 exactly; the reference form computes a bound of
     // 27.000000000000004 and must DROP the pair (consistent with JaccardJoin)
