@@ -374,13 +374,25 @@ object Dedup {
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask)).as("bandval"))): _*)).as("bd"))
       .select(col("id"), col("simhash"),
         col("bd.band").as("band"), col("bd.bandval").as("bandval"))
+    // First-matching-band emission (same pattern as minHashPairs): a pair
+    // within hamming ≤ 3 of an identical doc agrees in MOST bands, so the
+    // old post-join `.distinct()` absorbed up to 4 copies of every hot pair
+    // — the dominant exchange on dup-heavy corpora. The simhash each side
+    // already carries encodes every band value, so "some earlier band also
+    // matched" is one XOR away: band i matches iff window i of a^b is zero.
+    // Emitting only from the lowest matching band is exactly-once by
+    // construction — no dedup shuffle.
+    val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val earlierBandMatches = (0 until 3).map(i =>
+        lit(i) < col("a.band") &&
+          shiftright(xor, i * bandBits).bitwiseAND(lit(bandMask)) === 0L)
+      .reduce(_ || _)
     withBand.alias("a")
       .join(withBand.alias("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
-        col("a.id") < col("b.id"))
+        col("a.id") < col("b.id") && !earlierBandMatches)
       .select(col("a.id").as("lid"), col("b.id").as("rid"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
-      .distinct()
+        bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
 }

@@ -59,6 +59,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("simhash emits each pair exactly once (first-matching-band, both families)") {
+    // identical copies have hamming 0 and collide in ALL 4 bands — the
+    // worst case for duplicate emission
+    val df = (corpus(13, 15, 30) ++ Seq(3000L -> "w1 w2 w3", 3001L -> "w1 w2 w3"))
+      .toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      val pairs = Dedup.simHashPairs(df, "id", "txt", ws, 3, family = fam)
+      val dupes = pairs.groupBy("lid", "rid").count().where($"count" > 1).collect()
+      assert(dupes.isEmpty, s"$fam emitted duplicates: ${dupes.take(3).mkString}")
+      assert(pairs.where($"lid" === 3000L && $"rid" === 3001L).count() === 1,
+        s"$fam must emit the identical pair exactly once")
+    }
+  }
+
   test("minhash verification uses the reference threshold operand order") {
     // true J = 27/30 = 0.9 exactly; the reference form computes a bound of
     // 27.000000000000004 and must DROP the pair (consistent with JaccardJoin)
