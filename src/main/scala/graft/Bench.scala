@@ -69,6 +69,15 @@ object Bench {
       .config("spark.sql.adaptive.enabled", true)
       .config("spark.sql.adaptive.coalescePartitions.enabled", true)
       .config("spark.sql.adaptive.skewJoin.enabled", true)
+      // let AQE broadcast the VALUE-side tables of the join pipelines (the
+      // deduped posArrays/vals frames: ~25 MB on the 8× stress corpus, just
+      // over the 10 MB default) — without this the verify and expansion
+      // joins fall back to SortMergeJoin and drag the 22-125M-row candidate
+      // stream through full Exchange+Sort passes. Measured on the stress
+      // t=0.9 self-join: 105.8 -> 36.7 s, stage-seconds 173 -> 53, identical
+      // output. Safe at any scale: AQE checks RUNTIME sizes, so a value
+      // table past the threshold keeps SMJ.
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // keep the 128-column MinHash aggregate inside whole-stage codegen
       .config("spark.sql.codegen.maxFields", 256)
       // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs

@@ -29,6 +29,9 @@ object Profile {
       .config("spark.sql.adaptive.skewJoin.enabled", true)
       .config("spark.eventLog.enabled", true)
       .config("spark.eventLog.dir", "/tmp/spark-events")
+      // match Bench's session (see there): value-side broadcast for the
+      // join pipelines, so profiled plans are the benched plans
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // keep the 128-column MinHash aggregate inside whole-stage codegen
       .config("spark.sql.codegen.maxFields", 256)
       // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs

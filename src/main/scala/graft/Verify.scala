@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // value-side broadcast for the join pipelines (see Bench.scala: AQE
+      // converts the verify/expansion SMJs to broadcast when the runtime
+      // size allows; 105.8 -> 36.7 s on the stress t=0.9 join)
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
       // keep the 128-column MinHash aggregate inside whole-stage codegen
       .config("spark.sql.codegen.maxFields", 256)
       // the events table stores TIMESTAMP(NANOS) parquet - read as epoch-nano longs

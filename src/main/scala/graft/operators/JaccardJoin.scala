@@ -262,13 +262,18 @@ object JaccardJoin {
       table: DataFrame, keyAttr: String, joinAttr: String,
       tokenizer: Tokenizer, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
-      saltBuckets: Int = 8, hotTokenDf: Int = 10000): DataFrame = {
-    // hotTokenDf is a VALUE-level df bound: a token crossing it contributes
-    // >= hotTokenDf² (1e8 at the default) candidate rows — past the measured
-    // local crossover where splitting beats the probe-replication cost
-    // (SCALE.md "Measured"). Tune DOWN on large clusters where per-core
-    // fan-out budgets are smaller.
+      saltBuckets: Int = 8, hotTokenDf: Int = 10000,
+      maxSaltBuckets: Int = 64): DataFrame = {
+    // hotTokenDf is a VALUE-level df calibration point: a token at vdf =
+    // hotTokenDf (fan-out hotTokenDf² = 1e8 at the defaults) is split
+    // saltBuckets ways, and every token's salt width scales with its own
+    // fan-out from there — ceil(saltBuckets·(vdf/hotTokenDf)²), capped at
+    // maxSaltBuckets — bounding per-bucket candidate work at
+    // hotTokenDf²/saltBuckets rows (1.25e7 ≈ seconds of join work at the
+    // defaults) no matter how degenerate the token. Tune hotTokenDf DOWN on
+    // large clusters where per-core fan-out budgets are smaller.
     require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
+    require(maxSaltBuckets >= saltBuckets, "maxSaltBuckets must be >= saltBuckets")
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
 
@@ -327,9 +332,16 @@ object JaccardJoin {
     //      in EXACTLY one partition (the one with L's salt), so candidates and
     //      per-pair prefix stats are unchanged; the cost is S x the probing
     //      prefix's shuffle rows — the small side of the fan-out by
-    //      construction. Measured on the 8x stress corpus: the candidate-join
-    //      stage's longest task dropped from the full stage duration to
-    //      ~1/S of it.
+    //      construction. S is PER-TOKEN and fan-out-proportional: a fixed
+    //      8-way split leaves a vdf=4·hotTokenDf token with 2·hotTokenDf²
+    //      rows in ONE bucket (measured as a 42 s straggler task on the 8×
+    //      stress corpus), so each token gets
+    //      S = ceil(saltBuckets · (vdf/hotTokenDf)²) buckets, capped at
+    //      maxSaltBuckets — per-bucket work is bounded by
+    //      hotTokenDf²·saltBuckets⁻¹ no matter how hot the token, and the
+    //      probe-replication cost stays proportional to the work it splits.
+    //      Both sides derive S from the SAME vdf column, so the widths agree
+    //      per token and the exactly-once-per-pair invariant is untouched.
     val lnInvT = math.log(1d / threshold)
     def bandOf(len: Column): Column =
       if (threshold >= 1d) len else floor(log(len.cast("double")) / lit(lnInvT)).cast("long")
@@ -341,16 +353,26 @@ object JaccardJoin {
     // waste (its expansion gate can never pass). Equal lenkeys (same len) keep
     // both orientations: record ids decide there.
     val lenkey = concat(col("len").cast("string"), lit("_"))
-    // df-ADAPTIVE salting: only tokens hot enough to matter (value-level df
-    // >= hotTokenDf, i.e. fan-out >= hotTokenDf²) pay the S-way split; cold
-    // tokens keep salt 0 on both sides, so mild corpora see near-zero probe
-    // replication while degenerate ones still split. Both sides read the
-    // SAME vdf column, so the condition agrees per token.
-    val hot = col("vdf") >= lit(hotTokenDf.toLong)
+    // df-ADAPTIVE salting: the width formula itself decides when to split —
+    // ceil(saltBuckets·(vdf/hotTokenDf)²) is ≥ 2 exactly when the token's
+    // fan-out vdf² crosses the per-bucket budget hotTokenDf²/saltBuckets
+    // (1.25e7 rows at the defaults), and 1 (= unsalted, salt 0 both sides)
+    // below it, so mild corpora see near-zero probe replication while every
+    // over-budget token splits — there is deliberately NO separate
+    // activation threshold: gating at vdf ≥ hotTokenDf left vdf≈6-9k tokens
+    // unsalted with 4-8e7-row buckets, reproducing the 42 s straggler the
+    // salt exists to kill (measured, 8× stress corpus). Both sides derive
+    // the width from the SAME vdf column through identical deterministic
+    // double math, so the widths agree per token. saltBuckets == 1 keeps
+    // its documented meaning: salting off.
+    val nsalt =
+      if (saltBuckets == 1) lit(1L)
+      else least(lit(maxSaltBuckets.toLong),
+        ceil(lit(saltBuckets.toDouble)
+          * pow(col("vdf").cast("double") / lit(hotTokenDf.toDouble), 2d)))
     val L = idxPfx(vtkdf).withColumn("band", bandOf(col("len")))
       .withColumn("lenkey", lenkey)
-      .withColumn("salt",
-        when(hot, pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).otherwise(lit(0L)))
+      .withColumn("salt", pmod(xxhash64(col("id")), nsalt))
       .alias("L")
     val R = prbPfx(vtkdf)
       .withColumn("band",
@@ -359,9 +381,7 @@ object JaccardJoin {
           bandOf(greatest(floor(col("len") * t), lit(1d))),
           bandOf(ceil(col("len") / t)))))
       .withColumn("lenkey", lenkey)
-      .withColumn("salt", explode(
-        when(hot, sequence(lit(0L), lit(saltBuckets.toLong - 1)))
-          .otherwise(array(lit(0L)))))
+      .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
       .alias("R")
     // The length filter is one-sided, exactly as the reference
     // (`L.len >= R.len * t`, jaccard_join.py:158). No mirror condition: a pair
@@ -480,10 +500,12 @@ object JaccardJoin {
       tokenizer: Tokenizer, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
       exactRecall: Boolean = false,
-      saltBuckets: Int = 8, hotTokenDf: Long = 100000000L): DataFrame = {
+      saltBuckets: Int = 8, hotTokenDf: Long = 100000000L,
+      maxSaltBuckets: Int = 64): DataFrame = {
     // hotTokenDf compares against df = l_df * r_df, which IS the token's
     // candidate fan-out: the 1e8 default matches selfJoinDeduped's bound
     require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
+    require(maxSaltBuckets >= saltBuckets, "maxSaltBuckets must be >= saltBuckets")
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
 
@@ -540,17 +562,23 @@ object JaccardJoin {
 
     // df-adaptive id-hash salt (see selfJoinDeduped's candidate-key
     // commentary): here df = l_df * r_df is EXACTLY the token's candidate
-    // fan-out before filters, so `hot` is a direct row-count bound; widow
+    // fan-out before filters, so `hot` is a direct row-count bound and the
+    // fan-out-proportional width is df/hotTokenDf directly (no square); widow
     // tokens (df = placeholder) match nothing and are never replicated.
-    val hot = col("df") >= lit(hotTokenDf) && col("df") < lit(widowPlaceholder)
+    // no separate activation threshold (see selfJoinDeduped): the width is
+    // ≥ 2 exactly when df crosses the per-bucket budget hotTokenDf/saltBuckets
+    val nsalt =
+      if (saltBuckets == 1) lit(1L)
+      else when(col("df") < lit(widowPlaceholder),
+        least(lit(maxSaltBuckets.toLong),
+          ceil(lit(saltBuckets.toDouble)
+            * col("df").cast("double") / lit(hotTokenDf.toDouble))))
+        .otherwise(lit(1L))
     val rPfx = (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf))
-      .withColumn("salt",
-        when(hot, pmod(xxhash64(col("id")), lit(saltBuckets.toLong))).otherwise(lit(0L)))
+      .withColumn("salt", pmod(xxhash64(col("id")), nsalt))
       .alias("Rpfx")
     val sPfx = probingPrefix(prbTkdf)
-      .withColumn("salt", explode(
-        when(hot, sequence(lit(0L), lit(saltBuckets.toLong - 1)))
-          .otherwise(array(lit(0L)))))
+      .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
       .alias("Spfx")
 
     // J13: candidates, two-sided length filter (jaccard_join.py:364-384)

@@ -56,6 +56,27 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("variable-width salting is output-invariant (self + R×S)") {
+    // hotTokenDf = 1 marks EVERY token hot; the 16-word vocabulary gives the
+    // tokens a spread of vdf values, so the fan-out-proportional widths
+    // genuinely differ per token (1×..cap) instead of all hitting the cap
+    val df = randomTable(21, 40).toDF("id", "val")
+    val plain = JaccardJoin.selfJoinDeduped(df, "id", "val", ws, 0.4,
+      saltBuckets = 1)
+    val salted = JaccardJoin.selfJoinDeduped(df, "id", "val", ws, 0.4,
+      saltBuckets = 2, hotTokenDf = 1, maxSaltBuckets = 16)
+    assert(unorderedPairSet(salted) === unorderedPairSet(plain))
+    assert(unorderedPairSet(plain).nonEmpty)
+
+    val right = randomTable(22, 30).toDF("id", "val")
+    val rsPlain = JaccardJoin.rsJoin(df, "id", "val", right, "id", "val",
+      ws, 0.4, saltBuckets = 1)
+    val rsSalted = JaccardJoin.rsJoin(df, "id", "val", right, "id", "val",
+      ws, 0.4, saltBuckets = 2, hotTokenDf = 1L, maxSaltBuckets = 16)
+    assert(unorderedPairSet(rsSalted) === unorderedPairSet(rsPlain))
+    assert(unorderedPairSet(rsPlain).nonEmpty)
+  }
+
   for (t <- Seq(0.3, 0.5); q <- Seq(2, 3)) {
     test(s"differential self-join qgrams($q) t=$t") {
       val df = randomTable(91, 30).toDF("id", "val")
