@@ -131,7 +131,8 @@ object Dedup {
           col("a.id") < col("b.id") && !earlierBandMatches)
       .select(col("a.id").as("lid"), col("b.id").as("rid"))
 
-    verifyJaccard(cand, tokens, threshold, tokenizer.emitsDistinctTokens)
+    verifyJaccard(cand, tokens, threshold, tokenizer.emitsDistinctTokens,
+      hashedVerify = family == XxHash64Family)
   }
 
   /** Exact set-Jaccard check of candidate (lid, rid) pairs against the token
@@ -153,13 +154,27 @@ object Dedup {
     * took 17 s; the array form took ~3.5 s with `array_intersect`, and the
     * native kernel removed the remaining per-pair SQLOpenHashSet churn that
     * dominated the 8× stress corpus verify (thread-sampled). */
-  private[operators] def verifyJaccard(cand: DataFrame, tokens: DataFrame,
+  private[graft] def verifyJaccard(cand: DataFrame, tokens: DataFrame,
                                        threshold: Double,
-                                       assumeDupFree: Boolean = false): DataFrame = {
+                                       assumeDupFree: Boolean = false,
+                                       hashedVerify: Boolean = false): DataFrame = {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
-    val docArr = tokens.groupBy("id")
-      .agg(collect_list(col("token")).as("arr"), first(col("len")).as("len"))
+    // hashedVerify (the xxhash64 fast path): overlap-count SORTED arrays of
+    // 64-bit token hashes instead of raw strings — equality through an
+    // injective-in-practice hash preserves every multiset count up to 2⁻⁶⁴
+    // collision noise, the sort happens ONCE per doc (not per pair), and the
+    // per-pair kernel drops from O(n·m) string byte-equality to an O(n+m)
+    // primitive merge ([[graft.expressions.SortedOverlapKernels]]). The
+    // md5 family keeps the string path: its purpose is bit-for-bit DuckDB
+    // oracle parity, and string verification is what the oracle SQL runs.
+    val docArr =
+      if (hashedVerify)
+        tokens.groupBy("id")
+          .agg(sort_array(collect_list(xxhash64(col("token")))).as("arr"),
+            first(col("len")).as("len"))
+      else tokens.groupBy("id")
+        .agg(collect_list(col("token")).as("arr"), first(col("len")).as("len"))
     val joined = cand
       .join(docArr.select(col("id").as("lid"), col("arr").as("larr"), col("len").as("llen")), "lid")
       .join(docArr.select(col("id").as("rid"), col("arr").as("rarr"), col("len").as("rlen")), "rid")
@@ -185,12 +200,19 @@ object Dedup {
     // + an interpreted fold), which thread-sampling showed dominating the
     // 18.4M-candidate stress verify (UTF8String re-hashing + boxed null-check
     // lambdas, ~247 µs/pair of stage CPU).
-    val overlapCol = org.apache.spark.sql.GraftExpressionBridge.column(
-      graft.expressions.SuffixOverlapCount(
-        org.apache.spark.sql.GraftExpressionBridge.expression(col("larr")),
-        org.apache.spark.sql.GraftExpressionBridge.expression(col("rarr")),
-        org.apache.spark.sql.GraftExpressionBridge.expression(lit(1)),
-        org.apache.spark.sql.GraftExpressionBridge.expression(lit(1))))
+    val overlapCol =
+      if (hashedVerify)
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.expressions.SortedOverlapCount(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("larr")),
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("rarr"))))
+      else
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.expressions.SuffixOverlapCount(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("larr")),
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("rarr")),
+            org.apache.spark.sql.GraftExpressionBridge.expression(lit(1)),
+            org.apache.spark.sql.GraftExpressionBridge.expression(lit(1))))
     paired.withColumn("overlap", overlapCol)
       .where(col("overlap") >= ((col("llen") + col("rlen")) * t / onePlusT))
       .select(col("lid"), col("rid"),

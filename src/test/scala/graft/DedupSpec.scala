@@ -59,6 +59,26 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("hashed verification == string verification (pairs AND jaccard values)") {
+    // bag tokenizer so duplicate tokens exercise the multiset product count
+    // on both paths; candidates = all pairs so the verify gate decides alone
+    val wsBag = WhitespaceTokenizer(returnSet = false)
+    // dup-run docs chosen to avoid the bag-mode degenerate denominator
+    // (product overlap == llen + rlen, e.g. "x x x y" vs "x x y" — a latent
+    // edge of the reference's i/(l+r-i) formula, not of the hashed path)
+    val docs = (corpus(17, 25, 30) ++ Seq(
+      4000L -> "x x y z", 4001L -> "x x y w", 4002L -> "x x y")).toDF("id", "txt")
+    val tokens = wsBag.tokenize(docs, "id", "txt")
+    val ids = docs.select($"id".as("lid")).crossJoin(docs.select($"id".as("rid")))
+      .where($"lid" < $"rid")
+    val viaStrings = Dedup.verifyJaccard(ids, tokens, 0.5, hashedVerify = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaHashes = Dedup.verifyJaccard(ids, tokens, 0.5, hashedVerify = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaStrings.nonEmpty)
+    assert(viaHashes === viaStrings)
+  }
+
   test("simhash emits each pair exactly once (first-matching-band, both families)") {
     // identical copies have hamming 0 and collide in ALL 4 bands — the
     // worst case for duplicate emission

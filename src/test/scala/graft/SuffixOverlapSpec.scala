@@ -37,6 +37,38 @@ class SuffixOverlapSpec extends SparkSpec {
     assert(diff.isEmpty, s"first divergence: ${diff.headOption}")
   }
 
+  test("sorted-long kernel == HOF product count on random sorted bags") {
+    val rnd = new scala.util.Random(43)
+    // tiny value domain -> heavy duplicate runs, the regime the run-jumping
+    // merge must count as a*b products
+    val rows = Seq.fill(400) {
+      val l = Seq.fill(rnd.nextInt(12))(rnd.nextInt(6).toLong).sorted
+      val r = Seq.fill(rnd.nextInt(12))(rnd.nextInt(6).toLong).sorted
+      (l, r)
+    }
+    val df = rows.toDF("larr", "rarr")
+    val hofCnt = aggregate(col("larr"), lit(0L),
+      (acc, x) => acc + size(filter(col("rarr"), y => y === x)).cast("long"))
+    val newCnt = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SortedOverlapCount(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("larr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("rarr"))))
+    val diff = df.select(hofCnt.as("o"), newCnt.as("n"), col("larr"), col("rarr"))
+      .where(col("o") =!= col("n")).collect()
+    assert(diff.isEmpty, s"first divergence: ${diff.headOption}")
+  }
+
+  test("sorted-long kernel directly: runs, empties, no overlap") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    def arr(xs: Long*) = new GenericArrayData(xs.toArray[Any])
+    val k = graft.expressions.SortedOverlapKernels
+    assert(k.overlap(arr(1L, 2L, 2L, 3L), arr(2L, 2L, 4L)) === 4L) // 2x2 run
+    assert(k.overlap(arr(), arr(1L)) === 0L)
+    assert(k.overlap(arr(1L), arr()) === 0L)
+    assert(k.overlap(arr(1L, 3L), arr(2L, 4L)) === 0L)
+    assert(k.overlap(arr(5L, 5L, 5L), arr(5L, 5L)) === 6L) // 3x2
+  }
+
   test("graft_suffix_overlap registers as a SQL function") {
     graft.Api.registerSqlFunctions(spark)
     val out = spark.sql(
