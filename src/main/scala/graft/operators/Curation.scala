@@ -58,8 +58,12 @@ object Curation {
                     text: String, n: Int = 13, minShared: Int = 1): DataFrame = {
     def gramHashes(df: DataFrame): DataFrame =
       df.select(col(key).as("id"), explode(gramHashArray(col(text), n)).as("gh"))
-    val evalGrams = gramHashes(evalSet).select(col("gh")).distinct()
-    gramHashes(train)
+    val evalGrams = gramHashes(Parallelize.ensureMinParallelism(evalSet))
+      .select(col("gh")).distinct()
+    // gram generation is the CPU of this operator (~28 13-word joins + md5
+    // per doc) and runs inside the scan stage — floor its parallelism for
+    // small-split inputs (no-op at scale; see Parallelize)
+    gramHashes(Parallelize.ensureMinParallelism(train))
       .join(broadcast(evalGrams), "gh")
       .groupBy("id")
       .agg(count(lit(1)).as("n_shared_grams"))
