@@ -94,7 +94,11 @@ object Dedup {
                    threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
                    family: HashFamily = XxHash64Family): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val tokens = tokenizer.tokenize(df, key, value).persistTracked
+    // the 128-hash partial aggregate and the verify arrays both run map-side
+    // in the scan stage — floor its parallelism on small-split inputs
+    // (no-op at scale; see Parallelize)
+    val tokens = tokenizer.tokenize(Parallelize.ensureMinParallelism(df), key, value)
+      .persistTracked
     val sigs = minHashSignatures(tokens, numHashes, family)
 
     // Fold each band's signature chunk into ONE join key via the family's
@@ -385,7 +389,7 @@ object Dedup {
                    maxHamming: Int = 3,
                    family: HashFamily = XxHash64Family): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
-    val tokens = tokenizer.tokenize(df, key, value)
+    val tokens = tokenizer.tokenize(Parallelize.ensureMinParallelism(df), key, value)
     val sigs = simHash64(tokens, family)
     val bandBits = family.bits / 4
     val bandMask = (1L << bandBits) - 1L
