@@ -23,6 +23,7 @@ object Bench {
     "jac_self_docs_ws_t05",
     "jac_rs_cust_supp_q3_t02",
     "dedup_minhash_docs",       // MinHash+LSH cascade
+    "dedup_minhash_rs_docs",    // incremental: new batch vs corpus, R×S LSH
     "dedup_exact_docs",
     "ann_topk_exact",           // brute-force cosine top-k baseline
     "ann_topk_lsh",             // bucketed scale path
@@ -49,6 +50,7 @@ object Bench {
   private val stressHeadline = Seq(
     "jac_self_docs_ws_t09",
     "dedup_minhash_docs",
+    "dedup_minhash_rs_docs",
     "dedup_cluster_docs",
     "decontam_docs",
     "shuffle_order_docs",

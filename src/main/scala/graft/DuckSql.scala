@@ -404,6 +404,73 @@ FROM ver WHERE overlap >= ((llen + rlen) * $T / $T1)"""
   }
 
   /**
+   * Mirrors Dedup.minHashPairsRs with the Md5Family: both sides banded with
+   * the same hash family and geometry, candidates where a corpus bucket meets
+   * an incoming bucket (no id-order constraint — independent id spaces), then
+   * exact multiset-Jaccard verification against the two token tables.
+   * Output (lid, rid, jaccard) with lid from the corpus side.
+   */
+  def minHashMd5Rs(lTokensSql: String, rTokensSql: String, t: Double,
+                   bands: Int, rowsPerBand: Int): String = {
+    val T = d(t); val T1 = d(1 + t)
+    val n = bands * rowsPerBand
+    val mins = (0 until n)
+      .map(i => s"    min(${md5TokenHash(i, "token")}) AS h$i").mkString(",\n")
+    def bandSelects(src: String) = (0 until bands).map { b =>
+      val key = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => s"h$i").mkString(s"'${b}_' || ", " || '_' || ", "")
+      s"  SELECT id, $key AS bucket FROM $src"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ltokens AS ($lTokensSql),
+rtokens AS ($rTokensSql),
+lsigs AS (
+  SELECT id,
+$mins
+  FROM ltokens GROUP BY id),
+rsigs AS (
+  SELECT id,
+$mins
+  FROM rtokens GROUP BY id),
+lbanded AS (
+${bandSelects("lsigs")}),
+rbanded AS (
+${bandSelects("rsigs")}),
+cand AS (
+  SELECT DISTINCT a.id AS lid, b.id AS rid
+  FROM lbanded a, rbanded b
+  WHERE a.bucket = b.bucket),
+ver AS (
+  SELECT c.lid, c.rid, L.len AS llen, R.len AS rlen, count(*) AS overlap
+  FROM cand c, ltokens L, rtokens R
+  WHERE L.id = c.lid AND R.id = c.rid AND L.token = R.token
+  GROUP BY 1, 2, 3, 4)
+SELECT lid, rid, CAST(overlap AS DOUBLE) / (llen + rlen - overlap) AS jaccard
+FROM ver WHERE overlap >= ((llen + rlen) * $T / $T1)"""
+  }
+
+  /**
+   * Mirrors Dedup.incrementalKeepIds on the md5 family: drop incoming ids
+   * near-dup'd by the corpus ([[minHashMd5Rs]]), then collapse within-batch
+   * clusters of the survivors to their min-id representative
+   * ([[minHashMd5]] + [[clusterIds]]). `corpusTable` / `incomingTable` may be
+   * parenthesized subqueries. Output: one `key` column of surviving ids.
+   */
+  def incrementalKeep(corpusTable: String, incomingTable: String, key: String,
+                      text: String, sepClass: String, t: Double,
+                      bands: Int, rowsPerBand: Int): String = {
+    val corpusTok = delimTokens(corpusTable, key, text, sepClass)
+    val incomingTok = delimTokens(incomingTable, key, text, sepClass)
+    val rs = minHashMd5Rs(corpusTok, incomingTok, t, bands, rowsPerBand)
+    val survivorsTable =
+      s"(SELECT * FROM $incomingTable i WHERE i.$key NOT IN (SELECT rid FROM ($rs)))"
+    val survTok = delimTokens(survivorsTable, key, text, sepClass)
+    val selfPairs = minHashMd5(survTok, t, bands, rowsPerBand)
+    val clusters = clusterIds(s"SELECT lid AS l, rid AS r FROM ($selfPairs)")
+    s"""SELECT s.$key AS $key FROM $survivorsTable s
+WHERE s.$key NOT IN (SELECT id FROM ($clusters) WHERE cluster_id != id)"""
+  }
+
+  /**
    * Mirrors Dedup.simHashPairs with the Md5Family: 60-bit SimHash from
    * per-bit sign sums, 4×15-bit pigeonhole banding, Hamming ≤ maxHamming.
    * Output (lid, rid, hamming) with hamming as BIGINT.

@@ -13,7 +13,9 @@ import graft.operators.PersistTracker.TrackedPersist
  *   3. [[minHashPairs]] — MinHash signatures + LSH banding: candidates only
  *      form inside equal (band, chunk) buckets, then exact set-Jaccard
  *      verification. The scale path for corpora where even prefix-filtering
- *      fans out too wide.
+ *      fans out too wide. [[minHashPairsRs]] / [[incrementalKeepIds]] are the
+ *      incremental shape: a new batch against an existing corpus, never
+ *      re-self-joining the corpus.
  *   4. [[simHashPairs]] — 64-bit SimHash with pigeonhole band blocking for
  *      Hamming-distance near-dup detection.
  *
@@ -93,27 +95,7 @@ object Dedup {
   def minHashPairs(df: DataFrame, key: String, value: String, tokenizer: Tokenizer,
                    threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
                    family: HashFamily = XxHash64Family): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // the 128-hash partial aggregate and the verify arrays both run map-side
-    // in the scan stage — floor its parallelism on small-split inputs
-    // (no-op at scale; see Parallelize)
-    val tokens = tokenizer.tokenize(Parallelize.ensureMinParallelism(df), key, value)
-      .persistTracked
-    val sigs = minHashSignatures(tokens, numHashes, family)
-
-    // Fold each band's signature chunk into ONE join key via the family's
-    // bandKey (xxhash64(band, chunk) on the fast path): the self-join then
-    // hashes on a compact key instead of an 8-element array. Persisted
-    // UNEXPLODED (bands keys per id — the small form) so the signature
-    // aggregation runs once, not once per join side; each side re-explodes
-    // from the cache.
-    val keyed = sigs.select(col("id"), array((0 until bands).map(b =>
-        family.bandKey(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
-      .as("keys"))
-      .persistTracked
-    val side = keyed.select(col("id"), col("keys"),
-      posexplode(col("keys")).as(Seq("band", "bucket")))
-
+    val (tokens, side) = bandedSide(df, key, value, tokenizer, bands, rowsPerBand, family)
     // First-matching-band emission: a pair that collides in k of the bands
     // would reach the old `.distinct()` k times — on near-dup-heavy corpora
     // that distinct was the path's largest exchange (the 8× stress corpus
@@ -126,17 +108,106 @@ object Dedup {
     // same-band equi-term costs nothing (md5-family keys encode the band
     // exactly; xxhash64 cross-band key collisions, previously admitted as
     // false candidates for verification to discard, are 2^-64 noise).
-    val earlierBandMatches = (0 until bands).map(i =>
-        lit(i) < col("a.band") && col("a.keys").getItem(i) === col("b.keys").getItem(i))
-      .reduce(_ || _)
     val cand = side.alias("a")
-      .join(side.alias("b"),
-        col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
-          col("a.id") < col("b.id") && !earlierBandMatches)
+      .join(side.alias("b"), firstBandCond(bands) && col("a.id") < col("b.id"))
       .select(col("a.id").as("lid"), col("b.id").as("rid"))
 
     verifyJaccard(cand, tokens, threshold, tokenizer.emitsDistinctTokens,
       hashedVerify = family == XxHash64Family)
+  }
+
+  /**
+   * Incremental (R×S) MinHash+LSH near-duplicate pairs: an INCOMING batch
+   * checked against an existing CORPUS without ever self-joining the corpus.
+   * This is the shape a production ingest runs daily — the corpus side is the
+   * accumulated training set (at 100 TB the dominant side), the incoming side
+   * is the new crawl slice. Candidates only form where a corpus band bucket
+   * meets an incoming band bucket, so corpus-internal duplicates — already
+   * resolved by a previous [[minHashPairs]] run — generate no candidates and
+   * no verify work; cross-side cost scales with the INCOMING batch.
+   *
+   * Both sides are banded with the same hash family and band geometry, so
+   * bucket keys are comparable, and first-matching-band emission (see
+   * [[minHashPairs]]) applies unchanged: the suppression predicate only
+   * compares the two rows' band-key arrays. Verification is exact
+   * set/multiset Jaccard from the two token tables.
+   *
+   * Output: (lid, rid, jaccard) with lid from `corpus`, rid from `incoming`
+   * — no id-order constraint, the two id spaces are independent.
+   */
+  def minHashPairsRs(corpus: DataFrame, incoming: DataFrame, key: String,
+                     value: String, tokenizer: Tokenizer, threshold: Double,
+                     bands: Int = 16, rowsPerBand: Int = 8,
+                     family: HashFamily = XxHash64Family): DataFrame = {
+    val (lTokens, lSide) = bandedSide(corpus, key, value, tokenizer, bands, rowsPerBand, family)
+    val (rTokens, rSide) = bandedSide(incoming, key, value, tokenizer, bands, rowsPerBand, family)
+    val cand = lSide.alias("a").join(rSide.alias("b"), firstBandCond(bands))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"))
+    verifyJaccardRs(cand, lTokens, rTokens, threshold, tokenizer.emitsDistinctTokens,
+      hashedVerify = family == XxHash64Family)
+  }
+
+  /**
+   * End-to-end incremental dedup: which INCOMING records survive against an
+   * existing corpus? Two stages, both LSH-bucketed:
+   *
+   *   1. cross-side — any incoming record that is a near-dup of a corpus
+   *      record ([[minHashPairsRs]]) is dropped: the corpus copy already won;
+   *   2. within-batch — the survivors are near-dup'd among themselves
+   *      ([[minHashPairs]]) and collapsed to one representative per
+   *      transitive cluster ([[clusterKeepIds]]).
+   *
+   * Returns the surviving incoming keys (one column, named `key`).
+   * Deterministic given the hash family, so the md5-family composition is
+   * DuckDB-oracle-checked end-to-end ([[graft.DuckSql.incrementalKeep]]).
+   */
+  def incrementalKeepIds(corpus: DataFrame, incoming: DataFrame, key: String,
+                         value: String, tokenizer: Tokenizer, threshold: Double,
+                         bands: Int = 16, rowsPerBand: Int = 8,
+                         family: HashFamily = XxHash64Family): DataFrame = {
+    val vsCorpus = minHashPairsRs(corpus, incoming, key, value, tokenizer,
+      threshold, bands, rowsPerBand, family)
+    val survivors = incoming.join(vsCorpus.select(col("rid")).distinct(),
+        incoming(key) === col("rid"), "left_anti")
+      .persistTracked
+    val selfPairs = minHashPairs(survivors, key, value, tokenizer, threshold,
+      bands, rowsPerBand, family)
+    clusterKeepIds(survivors, key, selfPairs, "lid", "rid")
+  }
+
+  /** Tokenize one input and build its LSH side: the persisted token table
+    * plus one (id, keys, band, bucket) row per band. Each band's signature
+    * chunk is folded into ONE join key via the family's bandKey
+    * (xxhash64(band, chunk) on the fast path) so joins hash a compact key
+    * instead of an 8-element array. Keys are persisted UNEXPLODED (bands
+    * keys per id — the small form) so the signature aggregation runs once,
+    * not once per join side; consumers re-explode from the cache. The
+    * hash partial aggregate and the verify arrays both run map-side in the
+    * scan stage — floor its parallelism on small-split inputs (no-op at
+    * scale; see Parallelize). */
+  private def bandedSide(df: DataFrame, key: String, value: String,
+                         tokenizer: Tokenizer, bands: Int, rowsPerBand: Int,
+                         family: HashFamily): (DataFrame, DataFrame) = {
+    val tokens = tokenizer.tokenize(Parallelize.ensureMinParallelism(df), key, value)
+      .persistTracked
+    val sigs = minHashSignatures(tokens, bands * rowsPerBand, family)
+    val keyed = sigs.select(col("id"), array((0 until bands).map(b =>
+        family.bandKey(lit(b), slice(col("sig"), b * rowsPerBand + 1, rowsPerBand))): _*)
+      .as("keys"))
+      .persistTracked
+    (tokens, keyed.select(col("id"), col("keys"),
+      posexplode(col("keys")).as(Seq("band", "bucket"))))
+  }
+
+  /** First-matching-band join condition over two banded sides aliased
+    * "a"/"b": equal bucket in the same band, and NOT already matched in an
+    * earlier band (the unrolled OR-chain — rationale at [[minHashPairs]]). */
+  private def firstBandCond(bands: Int): Column = {
+    val earlierBandMatches = (0 until bands).map(i =>
+        lit(i) < col("a.band") && col("a.keys").getItem(i) === col("b.keys").getItem(i))
+      .reduce(_ || _)
+    col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
+      !earlierBandMatches
   }
 
   /** Exact set-Jaccard check of candidate (lid, rid) pairs against the token
@@ -161,7 +232,18 @@ object Dedup {
   private[graft] def verifyJaccard(cand: DataFrame, tokens: DataFrame,
                                        threshold: Double,
                                        assumeDupFree: Boolean = false,
-                                       hashedVerify: Boolean = false): DataFrame = {
+                                       hashedVerify: Boolean = false): DataFrame =
+    verifyJaccardRs(cand, tokens, tokens, threshold, assumeDupFree, hashedVerify)
+
+  /** Two-table form of [[verifyJaccard]] for R×S candidates: lid resolves in
+    * `lTokens`, rid in `rTokens`. The self-join form passes the same token
+    * table twice — the resulting plan is identical to the historical
+    * single-table version (the doc-array aggregate appears once per join
+    * side either way; the persisted token cache deduplicates the scans). */
+  private[graft] def verifyJaccardRs(cand: DataFrame, lTokens: DataFrame,
+                                     rTokens: DataFrame, threshold: Double,
+                                     assumeDupFree: Boolean = false,
+                                     hashedVerify: Boolean = false): DataFrame = {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
     // hashedVerify (the xxhash64 fast path): overlap-count SORTED arrays of
@@ -172,7 +254,7 @@ object Dedup {
     // primitive merge ([[graft.expressions.SortedOverlapKernels]]). The
     // md5 family keeps the string path: its purpose is bit-for-bit DuckDB
     // oracle parity, and string verification is what the oracle SQL runs.
-    val docArr =
+    def docArr(tokens: DataFrame) =
       if (hashedVerify)
         tokens.groupBy("id")
           .agg(sort_array(collect_list(xxhash64(col("token")))).as("arr"),
@@ -180,8 +262,8 @@ object Dedup {
       else tokens.groupBy("id")
         .agg(collect_list(col("token")).as("arr"), first(col("len")).as("len"))
     val joined = cand
-      .join(docArr.select(col("id").as("lid"), col("arr").as("larr"), col("len").as("llen")), "lid")
-      .join(docArr.select(col("id").as("rid"), col("arr").as("rarr"), col("len").as("rlen")), "rid")
+      .join(docArr(lTokens).select(col("id").as("lid"), col("arr").as("larr"), col("len").as("llen")), "lid")
+      .join(docArr(rTokens).select(col("id").as("rid"), col("arr").as("rarr"), col("len").as("rlen")), "rid")
     // The symmetric length prefilter is a SUPERSET gate ONLY under set
     // semantics, where overlap <= min(llen, rlen) (eps guards FP boundaries;
     // the exact reference-operand-order threshold test below makes the final

@@ -209,4 +209,70 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(drops === Set(2L))
   }
+
+  /** Cross-side exact pairs by brute force: every (corpus, incoming) pair
+    * meeting the reference threshold test. */
+  private def exactRsPairs(corpus: Seq[(Long, String)], incoming: Seq[(Long, String)],
+                           t: Double): Set[(Long, Long)] = {
+    def toks(s: String) = s.split("\\s+").filter(_.nonEmpty).map(_.toLowerCase).toSet
+    (for {
+      (lid, ltxt) <- corpus; (rid, rtxt) <- incoming
+      l = toks(ltxt); r = toks(rtxt)
+      ov = (l intersect r).size
+      if ov >= (l.size + r.size) * t / (1 + t)
+    } yield (lid, rid)).toSet
+  }
+
+  test("minhash R×S pairs: no false positives, high recall, both families agree") {
+    // corpus ids 0-39 (base+dups), incoming ids 5000+: half near-dups of
+    // corpus docs, half fresh — the daily-ingest shape
+    val rnd = new Random(23)
+    val corp = corpus(23, 30, 10)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val incoming = (0 until 12).map { i =>
+      if (i % 2 == 0) {
+        val (_, text) = corp(rnd.nextInt(corp.size))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (5000L + i) -> words.distinct.mkString(" ")
+      } else
+        (5000L + i) -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val exact = exactRsPairs(corp, incoming, 0.8)
+    assert(exact.nonEmpty, "incoming must contain engineered corpus near-dups")
+    val lDf = corp.toDF("id", "txt"); val rDf = incoming.toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      val got = Dedup.minHashPairsRs(lDf, rDf, "id", "txt", ws, 0.8, family = fam)
+        .select("lid", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact), s"$fam produced false positives: ${(got -- exact).take(3)}")
+      assert(got.size >= (exact.size * 0.9).toInt,
+        s"$fam LSH recall too low: ${got.size}/${exact.size}")
+    }
+  }
+
+  test("minhash R×S emits each pair exactly once (first-matching-band)") {
+    // identical cross-side copies collide in ALL bands — worst case for
+    // duplicate emission through the banded join
+    val lDf = (corpus(29, 15, 20) ++ Seq(900L -> "w1 w2 w3")).toDF("id", "txt")
+    val rDf = Seq(7000L -> "w1 w2 w3", 7001L -> "w1 w2 w9").toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      val pairs = Dedup.minHashPairsRs(lDf, rDf, "id", "txt", ws, 0.5, family = fam)
+      val dupes = pairs.groupBy("lid", "rid").count().where($"count" > 1).collect()
+      assert(dupes.isEmpty, s"$fam emitted duplicates: ${dupes.take(3).mkString}")
+      assert(pairs.where($"lid" === 900L && $"rid" === 7000L).count() === 1,
+        s"$fam must emit the identical cross-side pair exactly once")
+    }
+  }
+
+  test("incrementalKeepIds: corpus matches dropped, batch clusters collapsed, fresh kept") {
+    val corpusDf = Seq(1L -> "a b c d e f g h").toDF("id", "txt")
+    val incoming = Seq(
+      10L -> "a b c d e f g h",   // dup of corpus 1 -> dropped
+      11L -> "p q r s t u v w",   // dup family {11, 12} -> keep 11
+      12L -> "p q r s t u v w",
+      13L -> "m n o x y z k j").toDF("id", "txt") // fresh -> kept
+    val keep = Dedup.incrementalKeepIds(corpusDf, incoming, "id", "txt", ws, 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(keep === Set(11L, 13L))
+  }
 }
