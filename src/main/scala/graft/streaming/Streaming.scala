@@ -16,6 +16,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *   - [[nearDupPairs]] — MinHash+LSH near-dup pair detection with
  *     `flatMapGroupsWithState` keyed by LSH bucket; per-bucket state holds the
  *     docs seen so far, new docs are exact-verified against them on arrival.
+ *   - [[dedupAgainstCorpus]] — stateless stream-static LSH join: arriving
+ *     docs checked against a static corpus (the ingestion-time counterpart
+ *     of [[graft.operators.Dedup.minHashPairsRs]]).
  *   - [[windowedStats]] — watermarked tumbling-window corpus quality
  *     aggregates for ingestion monitoring.
  *
@@ -139,6 +142,83 @@ object Streaming {
             out.result().iterator
           }
       }
+  }
+
+  /** One row per (id, band): the full band-key array plus this band's bucket
+    * key (the same band construction [[nearDupPairs]] uses for its state
+    * keys). Stateless column expressions only, so the same banding runs on
+    * streaming and static frames alike — both sides of
+    * [[dedupAgainstCorpus]] go through here. */
+  private def bandedRows(df: DataFrame, key: String, text: String,
+                         bands: Int, rowsPerBand: Int): DataFrame = {
+    val toks = wsTokenSet(col(text))
+    df.select(col(key).cast("string").as("id"), toks.as("tokens"))
+      .withColumn("harr", sort_array(transform(col("tokens"), tk => xxhash64(tk))))
+      .withColumn("len", size(col("tokens")).cast("long"))
+      .withColumn("sig", minHashSigCol(col("tokens"), bands * rowsPerBand))
+      .withColumn("keys", transform(sequence(lit(0), lit(bands - 1)), b =>
+        concat_ws("_", b.cast("string"),
+          hash(slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand))).cast("string"))))
+      .select(col("id"), col("harr"), col("len"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "bucket")))
+  }
+
+  /** Emitted match of a streamed doc against the static corpus. */
+  final case class CorpusMatch(id: String, corpus_id: String, jaccard: Double)
+
+  /**
+   * Streaming incremental dedup against a STATIC corpus: flag arriving
+   * documents that are MinHash+LSH near-duplicates of any corpus document —
+   * the ingestion-time counterpart of
+   * [[graft.operators.Dedup.minHashPairsRs]], for the pipeline that admits
+   * a crawl stream only if it adds novel content.
+   *
+   * Entirely STATELESS: both sides are banded by the same column expressions
+   * ([[bandedRows]]), and each micro-batch runs a stream-static inner join
+   * on the band bucket plus an exact-verification filter — one
+   * `graft_sorted_overlap` kernel call per candidate over per-doc SORTED
+   * token-hash arrays computed once per row, never per pair. No state store,
+   * append-mode composable. First-matching-band suppression (the batch
+   * operator's trick, a pure join predicate) makes emission exactly-once per
+   * (doc, corpus doc) pair. Verification uses the reference threshold
+   * operand order `overlap >= (l+r)*t/(1+t)` so stream and batch verdicts
+   * agree on boundary pairs (pinned by StreamingSpec).
+   *
+   * Scale: the banded corpus is persisted — scanned once, then every
+   * micro-batch joins against the cached form. Catalyst picks the join from
+   * the static side's size: broadcast while the banded corpus fits the
+   * threshold, shuffled hash join keyed by bucket beyond that (the stream
+   * side shuffles only the arriving micro-batch, never the corpus).
+   *
+   * Output: `CorpusMatch(id, corpus_id, jaccard)` — one row per verified
+   * (streamed doc, corpus doc) pair; `dropDuplicates("id")` downstream if
+   * only the flag matters.
+   */
+  def dedupAgainstCorpus(stream: DataFrame, corpus: DataFrame, key: String,
+                         text: String, threshold: Double, bands: Int = 8,
+                         rowsPerBand: Int = 4): Dataset[CorpusMatch] = {
+    import stream.sparkSession.implicits._
+    import graft.operators.PersistTracker.TrackedPersist
+    val corpusSide = bandedRows(corpus, key, text, bands, rowsPerBand).persistTracked
+    val streamSide = bandedRows(stream, key, text, bands, rowsPerBand)
+    val earlierBandMatches = (0 until bands).map(i =>
+        lit(i) < col("s.band") && col("s.keys").getItem(i) === col("c.keys").getItem(i))
+      .reduce(_ || _)
+    val overlap = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SortedOverlapCount(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("s.harr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("c.harr"))))
+    streamSide.alias("s")
+      .join(corpusSide.alias("c"),
+        col("s.bucket") === col("c.bucket") && col("s.band") === col("c.band") &&
+          !earlierBandMatches)
+      .withColumn("overlap", overlap)
+      .where(col("overlap") >=
+        (col("s.len") + col("c.len")) * lit(threshold) / lit(1d + threshold))
+      .select(col("s.id").as("id"), col("c.id").as("corpus_id"),
+        (col("overlap").cast("double") /
+          (col("s.len") + col("c.len") - col("overlap"))).as("jaccard"))
+      .as[CorpusMatch]
   }
 
   /** Emitted contamination hit: a streamed doc sharing grams with the

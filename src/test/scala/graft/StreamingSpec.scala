@@ -189,4 +189,49 @@ class StreamingSpec extends SparkSpec {
     assert(streamHits === batchHits)
     assert(streamHits === Map(1L -> 1L, 3L -> 1L))
   }
+
+  test("dedupAgainstCorpus: stream-static matches agree with batch minHashPairsRs") {
+    // engineered corpus + an incoming stream that is half near-dups of it,
+    // half fresh; stream verdicts (pairs AND jaccard values) must equal the
+    // batch R×S operator's on the same docs
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(31)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val corpusDocs = (0 until 30).map { i =>
+      i.toLong -> Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val incoming = (0 until 16).map { i =>
+      if (i % 2 == 0) {
+        val (_, text) = corpusDocs(rnd.nextInt(30))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (1000L + i) -> words.distinct.mkString(" ")
+      } else
+        (1000L + i) -> Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val corpusDf = corpusDocs.toDF("id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.dedupAgainstCorpus(stream, corpusDf, "id", "text", 0.8), "vs_corpus") {
+      incoming.grouped(7).foreach(chunk => in.addData(chunk: _*))
+    }
+    val streamPairs = spark.table("vs_corpus")
+      .as[(String, String, Double)].collect()
+      .map { case (sid, cid, j) => ((cid.toLong, sid.toLong), j) }.toMap
+
+    val batchPairs = Dedup.minHashPairsRs(
+        corpusDf, incoming.toDF("id", "text"), "id", "text",
+        WhitespaceTokenizer(), 0.8, bands = 8, rowsPerBand = 4)
+      .select("lid", "rid", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (l, r, j) => ((l, r), j) }.toMap
+
+    assert(streamPairs.nonEmpty, "incoming must contain engineered corpus near-dups")
+    assert(streamPairs === batchPairs)
+
+    // exactly-once: no duplicate (id, corpus_id) rows despite multi-band hits
+    val dupes = spark.table("vs_corpus").groupBy("id", "corpus_id").count()
+      .where($"count" > 1).collect()
+    assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
+  }
 }
