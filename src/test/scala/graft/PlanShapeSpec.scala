@@ -53,6 +53,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("incremental R×S minhash join: equi-join on buckets, no cartesian") {
+    val corpus = (0L until 40L).map(i => (i, s"w$i x$i y$i z$i a b")).toDF("id", "txt")
+    val incoming = (100L until 110L).map(i => (i, s"w$i x$i y$i z$i a b")).toDF("id", "txt")
+    val plan = finalPlan(Dedup.minHashPairsRs(
+      corpus, incoming, "id", "txt", WhitespaceTokenizer(), 0.8))
+    // the candidate join must key on the band bucket — an expression that
+    // degraded to a non-equi condition would nested-loop the full corpus
+    // against every incoming batch
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
   test("range filter reaches the parquet scan as a pushed filter") {
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString + "/t"
     (0L until 1000L).map(i => (i, i * 2.5)).toDF("k", "v")

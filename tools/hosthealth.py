@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Host-health probe for interpreting bench numbers (BENCH_NOTES protocol).
+
+Three independent measurements, each targeting one way this host has
+degraded mid-round before:
+
+  1. disk cold read + direct write (round-5 failure mode: 12-53 MB/s)
+  2. single-thread CPU (rules out clock throttling)
+  3. effective parallel CPU via 32 full-workload PROCESSES (round-6 failure
+     mode: nproc reports 32 but the hypervisor delivers ~9 cores' worth —
+     invisible to load/steal/vmstat, fatal to 32-thread Spark stages).
+     Threads would be GIL-bound for this probe; processes are not.
+
+Healthy reference (this hardware): read >= 200 MB/s, write >= 250 MB/s,
+1-thread ~0.3 s, parallel efficiency >= 0.7 (>= 22 effective cores).
+"""
+import os, subprocess, sys, tempfile, time
+
+def dd(cmd):
+    out = subprocess.run(cmd, shell=True, capture_output=True, text=True).stderr
+    return out.strip().splitlines()[-1] if out.strip() else "?"
+
+src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1/lineitem.parquet"
+subprocess.run("sync", shell=True)
+try:
+    open("/proc/sys/vm/drop_caches", "w").write("3")
+except OSError:
+    print("(could not drop caches — cold-read number is an upper bound)")
+print("cold read :", dd(f"dd if={src} of=/dev/null bs=1M"))
+tmp = tempfile.mktemp(dir="/tmp")
+print("direct wr :", dd(f"dd if=/dev/zero of={tmp} bs=1M count=300 oflag=direct"))
+os.unlink(tmp)
+
+import hashlib
+def work(_=None):
+    h = hashlib.md5()
+    for _ in range(2_000_000):
+        h.update(b"x" * 50)
+
+t0 = time.time(); work(); single = time.time() - t0
+print(f"1-thread  : {single:.2f}s")
+
+from concurrent.futures import ProcessPoolExecutor
+n = os.cpu_count() or 1
+t0 = time.time()
+with ProcessPoolExecutor(n) as ex:
+    list(ex.map(work, range(n)))
+par = time.time() - t0
+eff = single / par  # 1.0 = perfect scaling (n full workloads in single's time)
+print(f"{n}-proc   : {par:.2f}s -> parallel efficiency {eff:.2f} "
+      f"(~{eff * n:.0f}/{n} effective cores)")
+if eff < 0.7:
+    print("DEGRADED: parallel stages will inflate ~%.0fx; bench numbers from "
+          "this window are not comparable" % (1 / max(eff, 0.01)))
