@@ -166,8 +166,19 @@ object Bench {
       val sh = timed("simhash_pairs")(Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
         Dedup.simHashPairs(docs, "doc_id", "text", ws, 3), "lid", "rid"))
       exactPairs.unpersist()
+      // incremental path: same 90/10 split as the registered rs queries;
+      // the exact baseline is the token-join brute force (no prefix-filter
+      // recall edge), cheap at corpus×batch scale
+      val corpus = docs.where(col("doc_id") % 10 =!= 0)
+      val incoming = docs.where(col("doc_id") % 10 === 0)
+      val exactRs = timed("exact_rs_pairs")(JaccardJoin
+        .bruteForceRs(corpus, "doc_id", "text", incoming, "doc_id", "text", ws, 0.9)
+        .persist())
+      val mhRs = timed("minhash_rs_pairs")(Recall.pairs(exactRs, "l_doc_id", "r_doc_id",
+        Dedup.minHashPairsRs(corpus, incoming, "doc_id", "text", ws, 0.9), "lid", "rid"))
+      exactRs.unpersist()
       Api.clearCache()
-      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f}"""
+      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] recall sidecar failed: $t")
