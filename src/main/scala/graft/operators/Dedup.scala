@@ -175,6 +175,80 @@ object Dedup {
     clusterKeepIds(survivors, key, selfPairs, "lid", "rid")
   }
 
+  /**
+   * Materializable LSH INDEX of a corpus for incremental dedup: one row per
+   * (id, band) carrying the full band-key array (`keys`), this band's join
+   * key (`bucket`), and the verification payload — the SORTED xxhash64
+   * token-hash array (`harr`) and token count (`len`) — so later batches
+   * join and verify against the index without ever touching corpus text
+   * again. XxHash64 family only: the stored verification arrays are hashes.
+   *
+   * Persist durably with `Stages.writeBucketed(index, table, "bucket", n)`
+   * and the daily [[minHashPairsRsIndexed]] join is EXCHANGE-FREE on the
+   * corpus side — only the incoming batch shuffles (DedupSpec pins both the
+   * plan and result parity with [[minHashPairsRs]]). The one-shuffle index
+   * build is paid at write time, the corpus/batch asymmetry every day after.
+   */
+  def minHashIndex(df: DataFrame, key: String, value: String,
+                   tokenizer: Tokenizer, bands: Int = 16,
+                   rowsPerBand: Int = 8): DataFrame = {
+    val (tokens, side) = bandedSide(df, key, value, tokenizer, bands, rowsPerBand,
+      XxHash64Family)
+    val docArr = tokens.groupBy("id")
+      .agg(sort_array(collect_list(xxhash64(col("token")))).as("harr"),
+        first(col("len")).as("len"))
+    side.join(docArr, "id")
+      .select(col("id"), col("keys"), col("harr"), col("len"),
+        col("band"), col("bucket"))
+  }
+
+  /**
+   * [[minHashPairsRs]] against a prebuilt corpus [[minHashIndex]]: the
+   * incoming batch is indexed on the fly with the SAME band geometry (pass
+   * identical `bands`/`rowsPerBand` or candidates are meaningless) and
+   * joined bucket-to-bucket; verification runs inside the join from the two
+   * stored `harr` arrays — one sorted-merge kernel call per candidate.
+   *
+   * The equi key is `bucket` ALONE — deliberately. Spark only treats a
+   * bucketed side as co-partitioned when its bucketing covers the FULL
+   * equi-key set (`spark.sql.requireAllClusterKeysForCoPartition`), so
+   * adding a `band` equality here would re-shuffle BOTH sides on
+   * (bucket, band) and waste the index. The xxhash64 bucket key already
+   * encodes the band (`xxhash64(band, chunk)`): a cross-band bucket
+   * collision is 2⁻⁶⁴ noise, and verification discards any false candidate
+   * it admits. First-matching-band suppression rides along as a join
+   * predicate (its per-band equality terms sit inside OR clauses, so they
+   * are not extracted as equi keys). Unlike [[minHashPairsRs]] —
+   * which keeps candidates skinny and joins the verification arrays
+   * afterwards — this path carries `harr` through the band join: the price
+   * of corpus-side co-location, right when the corpus dwarfs the batch.
+   *
+   * Output: (lid, rid, jaccard), lid from the index.
+   */
+  def minHashPairsRsIndexed(corpusIndex: DataFrame, incoming: DataFrame,
+                            key: String, value: String, tokenizer: Tokenizer,
+                            threshold: Double, bands: Int = 16,
+                            rowsPerBand: Int = 8): DataFrame = {
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+    val batch = minHashIndex(incoming, key, value, tokenizer, bands, rowsPerBand)
+    val earlierBandMatches = (0 until bands).map(i =>
+        lit(i) < col("a.band") && col("a.keys").getItem(i) === col("b.keys").getItem(i))
+      .reduce(_ || _)
+    val overlap = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SortedOverlapCount(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("a.harr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("b.harr"))))
+    corpusIndex.alias("a")
+      .join(batch.alias("b"),
+        col("a.bucket") === col("b.bucket") && !earlierBandMatches)
+      .withColumn("overlap", overlap)
+      .where(col("overlap") >= ((col("a.len") + col("b.len")) * t / onePlusT))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"),
+        (col("overlap").cast("double") /
+          (col("a.len") + col("b.len") - col("overlap"))).as("jaccard"))
+  }
+
   /** Tokenize one input and build its LSH side: the persisted token table
     * plus one (id, keys, band, bucket) row per band. Each band's signature
     * chunk is folded into ONE join key via the family's bandKey

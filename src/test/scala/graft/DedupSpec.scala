@@ -264,6 +264,29 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("indexed R×S pairs == direct R×S pairs (pairs AND jaccard values)") {
+    val rnd = new Random(41)
+    val corp = corpus(41, 30, 12)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val incoming = (0 until 10).map { i =>
+      if (i % 2 == 0) {
+        val (_, text) = corp(rnd.nextInt(corp.size))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (6000L + i) -> words.distinct.mkString(" ")
+      } else
+        (6000L + i) -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val lDf = corp.toDF("id", "txt"); val rDf = incoming.toDF("id", "txt")
+    def asSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val direct = asSet(Dedup.minHashPairsRs(lDf, rDf, "id", "txt", ws, 0.8))
+    val indexed = asSet(Dedup.minHashPairsRsIndexed(
+      Dedup.minHashIndex(lDf, "id", "txt", ws), rDf, "id", "txt", ws, 0.8))
+    assert(direct.nonEmpty, "corpus must contain engineered near-dups")
+    assert(indexed === direct)
+  }
+
   test("incrementalKeepIds: corpus matches dropped, batch clusters collapsed, fresh kept") {
     val corpusDf = Seq(1L -> "a b c d e f g h").toDF("id", "txt")
     val incoming = Seq(

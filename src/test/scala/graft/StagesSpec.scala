@@ -31,4 +31,41 @@ class StagesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_bkt_r")
     }
   }
+
+  test("bucketed minhash index joins the incoming batch with no corpus-side exchange") {
+    import graft.operators.{Dedup, WhitespaceTokenizer}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val ws = WhitespaceTokenizer()
+    val corpus = (0L until 60L).map(i => (i, s"a b c d w$i x$i y$i")).toDF("id", "txt")
+    val incoming = (100L until 110L).map(i => (i, s"a b c d w${i - 100} x${i - 100} y${i - 100}"))
+      .toDF("id", "txt")
+    Stages.writeBucketed(
+      Dedup.minHashIndex(corpus, "id", "txt", ws, bands = 8, rowsPerBand = 4),
+      "graft_mh_idx", "bucket", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      // static plan + forced shuffle strategy, so the assertion is about the
+      // bucketed corpus side's co-location
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = Dedup.minHashPairsRsIndexed(spark.table("graft_mh_idx"),
+        incoming, "id", "txt", ws, 0.8, bands = 8, rowsPerBand = 4)
+      val exec = pairs.queryExecution.executedPlan
+      val smjSides = exec.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }.flatten
+      val corpusSides = smjSides.filter(_.toString.contains("graft_mh_idx"))
+      assert(corpusSides.nonEmpty, s"expected a sort-merge join over the index:\n$exec")
+      def shuffles(p: SparkPlan) = p.collect { case e: ShuffleExchangeExec => e }
+      assert(corpusSides.forall(s => shuffles(s).isEmpty),
+        s"corpus side of the indexed join must not shuffle:\n$exec")
+      // and the join is real: the engineered near-dups come back
+      assert(pairs.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_mh_idx")
+    }
+  }
 }
