@@ -123,8 +123,59 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val recallJson = recallField(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson${hostField()},"sf":"$sfDir"}""")
     spark.stop()
+  }
+
+  @volatile private var probeSink = 0L
+
+  /** Host parallel-efficiency probes, embedded in the JSON line so every
+    * bench artifact records the window it ran in. Two workloads, one
+    * reference run single-threaded vs one full copy per advertised core
+    * (1.0 = perfect scaling):
+    *
+    *   - `par_eff_cpu` — register-only xor/multiply loop: pure CPU-slot
+    *     availability;
+    *   - `par_eff_mem` — strided sums over a per-thread 32 MB array:
+    *     aggregate memory bandwidth, the resource Spark's token-explosion
+    *     and join stages actually contend on.
+    *
+    * The host has repeatedly degraded mid-round in ways invisible to load
+    * average/steal/single-thread checks (BENCH_NOTES rounds 5–6); a 5×
+    * bench inflation was observed while the CPU probe still read 0.87, so
+    * the MEM number is the one to compare round-over-round before trusting
+    * timings. tools/hosthealth.py is the standalone form. */
+  private def hostField(): String = {
+    val n = Runtime.getRuntime.availableProcessors()
+    def eff(work: () => Long): Double = {
+      probeSink = work() // JIT warm-up
+      val t0 = System.nanoTime(); probeSink = work(); val single = System.nanoTime() - t0
+      val threads = (0 until n).map(_ => new Thread(() => { probeSink = work() }))
+      val t1 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      single.toDouble / (System.nanoTime() - t1)
+    }
+    def cpuWork(): Long = {
+      var h = 1469598103934665603L
+      var i = 0
+      while (i < 200000000) { h = (h ^ i) * 1099511628211L; i += 1 }
+      h
+    }
+    val memBytes = 32 << 20
+    def memWork(): Long = {
+      val arr = new Array[Long](memBytes / 8) // per-run: thread-local traffic
+      var pass = 0
+      var h = 0L
+      while (pass < 4) {
+        var i = 0
+        while (i < arr.length) { arr(i) = arr(i) + i; i += 8 } // one line per 64B
+        var j = 0
+        while (j < arr.length) { h += arr(j); j += 8 }
+        pass += 1
+      }
+      h
+    }
+    f""","host":{"cores":$n,"par_eff_cpu":${eff(cpuWork _)}%.2f,"par_eff_mem":${eff(memWork _)}%.2f}"""
   }
 
   /** Approximate-path recall vs the exact twins, emitted as a `"recall"` key
