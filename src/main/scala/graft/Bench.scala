@@ -108,6 +108,9 @@ object Bench {
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
       .getOrElse(if (stress) 1 else 3)
 
+    // probe + gate BEFORE the timed section: r5/r6 both produced official
+    // artifacts whose numbers describe a degraded host, not the binary
+    val (preWindow, waitedSec) = gateOnHealthyWindow()
     val results = queries.flatMap { name =>
       SparkEntry.queries.get(name).map { fn =>
         System.err.println(s"[bench] running $name")
@@ -123,47 +126,59 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val recallJson = recallField(spark, sfDir)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson${hostField()},"sf":"$sfDir"}""")
+    val postWindow = HostProbe.measure(samples = 2)
+    HostProbe.release()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson${hostField(preWindow, postWindow, waitedSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 
   @volatile private var probeSink = 0L
 
-  /** Host parallel-efficiency probes, embedded in the JSON line so every
-    * bench artifact records the window it ran in. Two workloads, one
-    * reference run single-threaded vs one full copy per advertised core
-    * (1.0 = perfect scaling):
+  /** One host-window measurement: parallel efficiency of (a) a register-only
+    * xor/multiply loop (`cpu` — pure CPU-slot availability) and (b) strided
+    * sums over pre-allocated per-thread arrays (`mem` — aggregate memory
+    * bandwidth, the resource Spark's token-explosion and join stages actually
+    * contend on). 1.0 = perfect scaling of one single-threaded reference run
+    * to one copy per probe thread. */
+  private case class HostWindow(cpu: Double, mem: Double) {
+    def healthy(minCpu: Double, minMem: Double): Boolean = cpu >= minCpu && mem >= minMem
+  }
+
+  /** Host parallel-efficiency probe. The host has repeatedly degraded
+    * mid-round in ways invisible to load average/steal/single-thread checks
+    * (BENCH_NOTES rounds 5–6); a 5× bench inflation was observed while the
+    * CPU probe still read 0.87, so the MEM number is the primary gate.
+    * tools/hosthealth.py is the standalone form.
     *
-    *   - `par_eff_cpu` — register-only xor/multiply loop: pure CPU-slot
-    *     availability;
-    *   - `par_eff_mem` — strided sums over a per-thread 32 MB array:
-    *     aggregate memory bandwidth, the resource Spark's token-explosion
-    *     and join stages actually contend on.
-    *
-    * The host has repeatedly degraded mid-round in ways invisible to load
-    * average/steal/single-thread checks (BENCH_NOTES rounds 5–6); a 5×
-    * bench inflation was observed while the CPU probe still read 0.87, so
-    * the MEM number is the one to compare round-over-round before trusting
-    * timings. tools/hosthealth.py is the standalone form. */
-  private def hostField(): String = {
-    val n = Runtime.getRuntime.availableProcessors()
-    def eff(work: () => Long): Double = {
-      probeSink = work() // JIT warm-up
-      val t0 = System.nanoTime(); probeSink = work(); val single = System.nanoTime() - t0
-      val threads = (0 until n).map(_ => new Thread(() => { probeSink = work() }))
-      val t1 = System.nanoTime()
-      threads.foreach(_.start()); threads.foreach(_.join())
-      single.toDouble / (System.nanoTime() - t1)
-    }
-    def cpuWork(): Long = {
+    * Probe shape (changed round 7 per ADVICE): the memory workload runs on
+    * min(cores, 16) threads over per-thread 16 MB arrays that are allocated
+    * ONCE here and reused for every sample — the timed loop measures only
+    * traversal bandwidth, not allocation+GC, and the transient footprint is
+    * bounded at 256 MB instead of cores×32 MB. Each number is the best of
+    * `samples` runs (one-sample noise under-reads a healthy window; a
+    * degraded window cannot over-read, so max is the faithful estimate). */
+  private object HostProbe {
+    private val cores = Runtime.getRuntime.availableProcessors()
+    private val memThreads = math.min(cores, 16)
+    private val memWords = (16 << 20) / 8
+    // per-thread arrays, allocated once; index 0 doubles as the single-thread
+    // reference array so the reference and parallel runs touch identical memory
+    private var arrays: Array[Array[Long]] = null
+
+    private def ensureArrays(): Unit =
+      if (arrays == null) arrays = Array.fill(memThreads)(new Array[Long](memWords))
+
+    /** Drop the probe buffers once no more probes will run. */
+    def release(): Unit = { arrays = null }
+
+    private def cpuWork(): Long = {
       var h = 1469598103934665603L
       var i = 0
       while (i < 200000000) { h = (h ^ i) * 1099511628211L; i += 1 }
       h
     }
-    val memBytes = 32 << 20
-    def memWork(): Long = {
-      val arr = new Array[Long](memBytes / 8) // per-run: thread-local traffic
+
+    private def memWork(arr: Array[Long]): Long = {
       var pass = 0
       var h = 0L
       while (pass < 4) {
@@ -175,7 +190,62 @@ object Bench {
       }
       h
     }
-    f""","host":{"cores":$n,"par_eff_cpu":${eff(cpuWork _)}%.2f,"par_eff_mem":${eff(memWork _)}%.2f}"""
+
+    private def eff(nThreads: Int, work: Int => Long): Double = {
+      probeSink = work(0) // JIT warm-up
+      val t0 = System.nanoTime(); probeSink = work(0); val single = System.nanoTime() - t0
+      val threads = (0 until nThreads).map(t => new Thread(() => { probeSink = work(t) }))
+      val t1 = System.nanoTime()
+      threads.foreach(_.start()); threads.foreach(_.join())
+      math.min(1.0, single.toDouble / (System.nanoTime() - t1))
+    }
+
+    def measure(samples: Int): HostWindow = {
+      ensureArrays()
+      val runs = Seq.fill(samples)(
+        (eff(cores, _ => cpuWork()), eff(memThreads, t => memWork(arrays(t)))))
+      HostWindow(runs.map(_._1).max, runs.map(_._2).max)
+    }
+  }
+
+  /** Gate the timed section on a healthy host window (round-7 task: the
+    * r5/r6 official artifacts both recorded degraded-window numbers the
+    * binary demonstrably beats). Probes BEFORE timing; on a degraded window
+    * sleeps and re-probes until the window clears or `SPARK_GRAFT_PROBE_WAIT_SEC`
+    * (default 600 s; 0 disables the gate entirely) is exhausted, then
+    * proceeds regardless — the artifact must exist even on a sick host, it
+    * just self-documents the window it ran in. Thresholds via
+    * SPARK_GRAFT_MIN_MEM_EFF (default 0.55) / SPARK_GRAFT_MIN_CPU_EFF (0.75). */
+  private def gateOnHealthyWindow(): (HostWindow, Int) = {
+    val minMem = sys.env.get("SPARK_GRAFT_MIN_MEM_EFF").map(_.toDouble).getOrElse(0.55)
+    val minCpu = sys.env.get("SPARK_GRAFT_MIN_CPU_EFF").map(_.toDouble).getOrElse(0.75)
+    val budgetSec = sys.env.get("SPARK_GRAFT_PROBE_WAIT_SEC").map(_.toInt).getOrElse(600)
+    val pollSec = 45
+    var w = HostProbe.measure(samples = 2)
+    var waited = 0
+    while (budgetSec > 0 && !w.healthy(minCpu, minMem) && waited < budgetSec) {
+      System.err.println(
+        f"[bench] host window degraded (par_eff_cpu ${w.cpu}%.2f, par_eff_mem ${w.mem}%.2f" +
+          f" vs min $minCpu%.2f/$minMem%.2f) - waiting ${pollSec}s (${waited}s/${budgetSec}s used)")
+      Thread.sleep(pollSec * 1000L)
+      waited += pollSec
+      w = HostProbe.measure(samples = 2)
+    }
+    if (!w.healthy(minCpu, minMem) && budgetSec > 0)
+      System.err.println(f"[bench] wait budget exhausted; proceeding in degraded window" +
+        f" (par_eff_cpu ${w.cpu}%.2f, par_eff_mem ${w.mem}%.2f)")
+    (w, waited)
+  }
+
+  /** `"host"` JSON field. Top-level par_eff_* are the PRE-probe (the window
+    * the timed section STARTED in — the number to compare round-over-round);
+    * post_* record the window at completion so mid-run shifts are visible.
+    * `degraded` is the pre-probe verdict against the gate thresholds at
+    * their defaults; `waited_sec` is time spent in the gate. */
+  private def hostField(pre: HostWindow, post: HostWindow, waitedSec: Int): String = {
+    val n = Runtime.getRuntime.availableProcessors()
+    val degraded = !pre.healthy(0.75, 0.55)
+    f""","host":{"cores":$n,"par_eff_cpu":${pre.cpu}%.2f,"par_eff_mem":${pre.mem}%.2f,"post_par_eff_cpu":${post.cpu}%.2f,"post_par_eff_mem":${post.mem}%.2f,"samples":2,"waited_sec":$waitedSec,"degraded":$degraded}"""
   }
 
   /** Approximate-path recall vs the exact twins, emitted as a `"recall"` key

@@ -17,8 +17,13 @@ Healthy reference (this hardware): read >= 200 MB/s, write >= 250 MB/s,
 import os, subprocess, sys, tempfile, time
 
 def dd(cmd):
-    out = subprocess.run(cmd, shell=True, capture_output=True, text=True).stderr
-    return out.strip().splitlines()[-1] if out.strip() else "?"
+    # a failed probe must say so loudly — a silent "?" reads as a formatting
+    # quirk while the measurement is actually missing
+    r = subprocess.run(cmd, shell=True, capture_output=True, text=True)
+    if r.returncode != 0:
+        return f"PROBE FAILED (dd rc={r.returncode}): {r.stderr.strip().splitlines()[-1] if r.stderr.strip() else 'no output'}"
+    out = r.stderr.strip()
+    return out.splitlines()[-1] if out else "PROBE FAILED: dd produced no stats"
 
 src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1/lineitem.parquet"
 subprocess.run("sync", shell=True)
@@ -27,9 +32,12 @@ try:
 except OSError:
     print("(could not drop caches — cold-read number is an upper bound)")
 print("cold read :", dd(f"dd if={src} of=/dev/null bs=1M"))
-tmp = tempfile.mktemp(dir="/tmp")
-print("direct wr :", dd(f"dd if=/dev/zero of={tmp} bs=1M count=300 oflag=direct"))
-os.unlink(tmp)
+with tempfile.NamedTemporaryFile(dir="/tmp", delete=False) as f:
+    tmp = f.name
+try:
+    print("direct wr :", dd(f"dd if=/dev/zero of={tmp} bs=1M count=300 oflag=direct"))
+finally:
+    os.unlink(tmp)
 
 import hashlib
 def work(_=None):
@@ -71,6 +79,11 @@ with ProcessPoolExecutor(n) as ex:
         eff = single / par  # 1.0 = perfect scaling (n full copies in single's time)
         print(f"{n}-proc {label}: {par:.2f}s -> parallel efficiency {eff:.2f} "
               f"(~{eff * n:.0f}/{n} effective cores)")
-        if eff < (0.7 if label == "cpu" else 0.15):
+        # mem threshold 0.3: the round-6 correlation put 0.26 at ~1.4x bench
+        # inflation and 0.06 at ~5x; 0.19 (round-7 degraded window) inflated
+        # parallel Spark stages measurably. Bench.scala's own gate (JVM-side
+        # probe, min 0.55 on its differently-shaped workload) is the
+        # authoritative go/no-go; this one is the quick standalone read.
+        if eff < (0.7 if label == "cpu" else 0.3):
             print("DEGRADED (%s): parallel stages will inflate; bench numbers "
                   "from this window are not comparable" % label)
