@@ -153,6 +153,13 @@ object Streaming {
                          bands: Int, rowsPerBand: Int): DataFrame = {
     val toks = wsTokenSet(col(text))
     df.select(col(key).cast("string").as("id"), toks.as("tokens"))
+      // a token-less (empty/whitespace-only) doc has no MinHash signature:
+      // every sig slice hashes the all-null window to the SAME bucket on both
+      // sides, the overlap gate degenerates to 0 >= 0 (true), and
+      // jaccard = 0/0 deserializes as null into a non-nullable Double. Batch
+      // minHashPairsRs drops such docs at token explosion, so filtering here
+      // keeps the pinned stream == batch equivalence (and the join finite).
+      .where(size(col("tokens")) > 0)
       .withColumn("harr", sort_array(transform(col("tokens"), tk => xxhash64(tk))))
       .withColumn("len", size(col("tokens")).cast("long"))
       .withColumn("sig", minHashSigCol(col("tokens"), bands * rowsPerBand))

@@ -234,4 +234,40 @@ class StreamingSpec extends SparkSpec {
       .where($"count" > 1).collect()
     assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
   }
+
+  test("dedupAgainstCorpus: empty/whitespace-only docs emit nothing (stream == batch)") {
+    // a token-less doc has an all-null MinHash signature whose band slices
+    // hash identically on both sides; before the zero-token filter this
+    // produced a 0>=0 overlap pass and a null jaccard that crashed the
+    // Dataset[CorpusMatch] deserializer (and diverged from batch, which drops
+    // such docs at token explosion)
+    implicit val sqlCtx = spark.sqlContext
+    val corpusDf = Seq(
+      1L -> "alpha beta gamma delta",
+      2L -> "",            // token-less corpus doc
+      3L -> "   \t  ").toDF("id", "text") // whitespace-only corpus doc
+    val incoming = Seq(
+      100L -> "alpha beta gamma delta", // true near-dup of corpus doc 1
+      101L -> "",
+      102L -> "  ",
+      103L -> "zeta eta theta iota")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.dedupAgainstCorpus(stream, corpusDf, "id", "text", 0.8), "vs_corpus_empty") {
+      in.addData(incoming: _*)
+    }
+    val streamPairs = spark.table("vs_corpus_empty")
+      .as[(String, String, Double)].collect()
+      .map { case (sid, cid, j) => ((cid.toLong, sid.toLong), j) }.toMap
+    val batchPairs = Dedup.minHashPairsRs(
+        corpusDf, incoming.toDF("id", "text"), "id", "text",
+        WhitespaceTokenizer(), 0.8, bands = 8, rowsPerBand = 4)
+      .select("lid", "rid", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (l, r, j) => ((l, r), j) }.toMap
+    assert(streamPairs === batchPairs)
+    assert(streamPairs.keySet === Set((1L, 100L)), "only the real near-dup pair survives")
+    assert(!streamPairs.keys.exists { case (l, r) =>
+      Set(2L, 3L)(l) || Set(101L, 102L)(r) }, "token-less docs never pair")
+  }
 }
