@@ -505,6 +505,52 @@ SELECT lid, rid, hamming FROM (
 WHERE hamming <= $maxHamming"""
   }
 
+  /**
+   * Mirrors Dedup.simHashPairsRs with the Md5Family: both sides get the same
+   * 60-bit SimHash and 4×15-bit pigeonhole banding; candidates where a corpus
+   * band window meets an incoming one (no id-order constraint — independent
+   * id spaces). Output (lid, rid, hamming) with lid from the corpus side and
+   * hamming as BIGINT.
+   */
+  def simHashMd5Rs(lTokensSql: String, rTokensSql: String, maxHamming: Int): String = {
+    val bits = 60
+    val bandBits = bits / 4
+    val bandMask = (1L << bandBits) - 1L
+    val bitSums = (0 until bits)
+      .map(i => s"    sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n")
+    val orChain = (0 until bits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN (CAST(1 AS BIGINT) << $i) ELSE CAST(0 AS BIGINT) END)")
+      .mkString(" | ")
+    def bandSelects(src: String) = (0 until 4).map { b =>
+      s"  SELECT id, simhash, $b AS band, ((simhash >> ${b * bandBits}) & $bandMask) AS bandval FROM $src"
+    }.mkString("\n  UNION ALL\n")
+    s"""WITH ltokens AS ($lTokensSql),
+rtokens AS ($rTokensSql),
+lth AS (SELECT id, ${md5TokenHash(0, "token")} AS h FROM ltokens),
+rth AS (SELECT id, ${md5TokenHash(0, "token")} AS h FROM rtokens),
+lbitsums AS (
+  SELECT id,
+$bitSums
+  FROM lth GROUP BY id),
+rbitsums AS (
+  SELECT id,
+$bitSums
+  FROM rth GROUP BY id),
+lsigs AS (SELECT id, ($orChain) AS simhash FROM lbitsums),
+rsigs AS (SELECT id, ($orChain) AS simhash FROM rbitsums),
+lbanded AS (
+${bandSelects("lsigs")}),
+rbanded AS (
+${bandSelects("rsigs")})
+SELECT lid, rid, hamming FROM (
+  SELECT DISTINCT a.id AS lid, b.id AS rid,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+  FROM lbanded a, rbanded b
+  WHERE a.band = b.band AND a.bandval = b.bandval)
+WHERE hamming <= $maxHamming"""
+  }
+
   /** Mirrors Multimodal.withPayload + extractMeta (payload = utf8 bytes of text). */
   def mmMeta(table: String, key: String, text: String): String =
     s"""SELECT $key AS id,

@@ -188,14 +188,29 @@ object Dedup {
    * corpus side — only the incoming batch shuffles (DedupSpec pins both the
    * plan and result parity with [[minHashPairsRs]]). The one-shuffle index
    * build is paid at write time, the corpus/batch asymmetry every day after.
+   *
+   * Family: the xxhash64 default stores SORTED 64-bit token-hash arrays
+   * (the O(n+m) merge-kernel fast path). The md5 family stores the 60-bit
+   * md5-derived hashes instead — same sorted-merge verification, and every
+   * step expressible in DuckDB SQL, which is what makes the registered
+   * indexed query hash-checkable against the same oracle as the direct
+   * [[minHashPairsRs]] (overlap counts through an injective-in-practice
+   * hash equal token-equality counts).
    */
   def minHashIndex(df: DataFrame, key: String, value: String,
                    tokenizer: Tokenizer, bands: Int = 16,
-                   rowsPerBand: Int = 8): DataFrame = {
+                   rowsPerBand: Int = 8,
+                   family: HashFamily = XxHash64Family): DataFrame = {
     val (tokens, side) = bandedSide(df, key, value, tokenizer, bands, rowsPerBand,
-      XxHash64Family)
+      family)
+    // xxhash64 keeps the historical 1-arg form (seed 42) so indexed == direct
+    // stays bit-identical with verifyJaccardRs's hashed arrays
+    val tokHash = family match {
+      case XxHash64Family => xxhash64(col("token"))
+      case f => f.tokenHash(0, col("token"))
+    }
     val docArr = tokens.groupBy("id")
-      .agg(sort_array(collect_list(xxhash64(col("token")))).as("harr"),
+      .agg(sort_array(collect_list(tokHash)).as("harr"),
         first(col("len")).as("len"))
     side.join(docArr, "id")
       .select(col("id"), col("keys"), col("harr"), col("len"),
@@ -228,10 +243,11 @@ object Dedup {
   def minHashPairsRsIndexed(corpusIndex: DataFrame, incoming: DataFrame,
                             key: String, value: String, tokenizer: Tokenizer,
                             threshold: Double, bands: Int = 16,
-                            rowsPerBand: Int = 8): DataFrame = {
+                            rowsPerBand: Int = 8,
+                            family: HashFamily = XxHash64Family): DataFrame = {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
-    val batch = minHashIndex(incoming, key, value, tokenizer, bands, rowsPerBand)
+    val batch = minHashIndex(incoming, key, value, tokenizer, bands, rowsPerBand, family)
     val earlierBandMatches = (0 until bands).map(i =>
         lit(i) < col("a.band") && col("a.keys").getItem(i) === col("b.keys").getItem(i))
       .reduce(_ || _)
@@ -545,17 +561,7 @@ object Dedup {
                    maxHamming: Int = 3,
                    family: HashFamily = XxHash64Family): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
-    val tokens = tokenizer.tokenize(Parallelize.ensureMinParallelism(df), key, value)
-    val sigs = simHash64(tokens, family)
-    val bandBits = family.bits / 4
-    val bandMask = (1L << bandBits) - 1L
-    // band value: bandBits-wide window b of the signature (b is a Scala literal)
-    val withBand = sigs.select(col("id"), col("simhash"),
-        explode(array((0 until 4).map(b => struct(
-          lit(b).as("band"),
-          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask)).as("bandval"))): _*)).as("bd"))
-      .select(col("id"), col("simhash"),
-        col("bd.band").as("band"), col("bd.bandval").as("bandval"))
+    val withBand = simHashBanded(df, key, value, tokenizer, family)
     // First-matching-band emission (same pattern as minHashPairs): a pair
     // within hamming ≤ 3 of an identical doc agrees in MOST bands, so the
     // old post-join `.distinct()` absorbed up to 4 copies of every hot pair
@@ -564,6 +570,8 @@ object Dedup {
     // matched" is one XOR away: band i matches iff window i of a^b is zero.
     // Emitting only from the lowest matching band is exactly-once by
     // construction — no dedup shuffle.
+    val bandBits = family.bits / 4
+    val bandMask = (1L << bandBits) - 1L
     val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
     val earlierBandMatches = (0 until 3).map(i =>
         lit(i) < col("a.band") &&
@@ -576,5 +584,60 @@ object Dedup {
       .select(col("a.id").as("lid"), col("b.id").as("rid"),
         bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Incremental (R×S) SimHash near-dup pairs: an INCOMING batch checked
+   * against an existing CORPUS without self-joining either side — the
+   * Hamming-side counterpart of [[minHashPairsRs]], completing the
+   * daily-ingest story for both hash families. Same 4-band pigeonhole as
+   * [[simHashPairs]]: Hamming ≤ 3 guarantees at least one identical
+   * bandBits-wide signature window, so candidates form only on an equi-join
+   * of (band, bandval) between the two sides — corpus-internal duplicates
+   * generate no candidates, and cross-side cost scales with the incoming
+   * batch. First-matching-band emission applies unchanged (the XOR windows
+   * both sides carry decide "an earlier band also matched"), so each
+   * (corpus doc, incoming doc) pair is emitted exactly once, no dedup
+   * shuffle.
+   *
+   * Output: (lid, rid, hamming), lid from `corpus`, rid from `incoming` —
+   * no id-order constraint, the two id spaces are independent.
+   */
+  def simHashPairsRs(corpus: DataFrame, incoming: DataFrame, key: String,
+                     value: String, tokenizer: Tokenizer, maxHamming: Int = 3,
+                     family: HashFamily = XxHash64Family): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val bandBits = family.bits / 4
+    val bandMask = (1L << bandBits) - 1L
+    val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    val earlierBandMatches = (0 until 3).map(i =>
+        lit(i) < col("a.band") &&
+          shiftright(xor, i * bandBits).bitwiseAND(lit(bandMask)) === 0L)
+      .reduce(_ || _)
+    simHashBanded(corpus, key, value, tokenizer, family).alias("a")
+      .join(simHashBanded(incoming, key, value, tokenizer, family).alias("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          !earlierBandMatches)
+      .select(col("a.id").as("lid"), col("b.id").as("rid"),
+        bit_count(xor).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /** One (id, simhash, band, bandval) row per signature window: the 4-band
+    * pigeonhole blocking both [[simHashPairs]] and [[simHashPairsRs]] join
+    * on (band index is a Scala literal, so the window shift is codegen'd
+    * constant arithmetic). */
+  private def simHashBanded(df: DataFrame, key: String, value: String,
+                            tokenizer: Tokenizer, family: HashFamily): DataFrame = {
+    val tokens = tokenizer.tokenize(Parallelize.ensureMinParallelism(df), key, value)
+    val sigs = simHash64(tokens, family)
+    val bandBits = family.bits / 4
+    val bandMask = (1L << bandBits) - 1L
+    sigs.select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask)).as("bandval"))): _*)).as("bd"))
+      .select(col("id"), col("simhash"),
+        col("bd.band").as("band"), col("bd.bandval").as("bandval"))
   }
 }

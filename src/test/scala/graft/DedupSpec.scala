@@ -285,6 +285,56 @@ class DedupSpec extends SparkSpec {
       Dedup.minHashIndex(lDf, "id", "txt", ws), rDf, "id", "txt", ws, 0.8))
     assert(direct.nonEmpty, "corpus must contain engineered near-dups")
     assert(indexed === direct)
+    // md5 family (the oracle-checkable registered twin): the stored 60-bit
+    // hash arrays must verify to the same pairs and jaccard values as the
+    // direct path's raw-string verification (distinct-token docs: sorted-
+    // merge overlap == string product count)
+    val directMd5 = asSet(Dedup.minHashPairsRs(lDf, rDf, "id", "txt", ws, 0.8,
+      family = Dedup.Md5Family))
+    val indexedMd5 = asSet(Dedup.minHashPairsRsIndexed(
+      Dedup.minHashIndex(lDf, "id", "txt", ws, family = Dedup.Md5Family),
+      rDf, "id", "txt", ws, 0.8, family = Dedup.Md5Family))
+    assert(directMd5.nonEmpty)
+    assert(indexedMd5 === directMd5)
+  }
+
+  test("simhash R×S == brute-force cross hamming (pigeonhole recall, both families)") {
+    // hamming <= 3 GUARANTEES a matching band, so the R×S operator must
+    // equal the exact cross-side hamming filter — not merely approximate it
+    val rnd = new Random(43)
+    val corp = corpus(43, 25, 10)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val incoming = (0 until 12).map { i =>
+      if (i % 3 == 0) {
+        val (_, text) = corp(rnd.nextInt(corp.size))
+        (8000L + i) -> text // identical cross-side copy: hamming 0
+      } else if (i % 3 == 1) {
+        val (_, text) = corp(rnd.nextInt(corp.size))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (8000L + i) -> words.distinct.mkString(" ")
+      } else
+        (8000L + i) -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val lDf = corp.toDF("id", "txt"); val rDf = incoming.toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      def sigMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+        Dedup.simHash64(ws.tokenize(df, "id", "txt"), fam)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val lSigs = sigMap(lDf); val rSigs = sigMap(rDf)
+      val exact = (for {
+        (lid, ls) <- lSigs; (rid, rs) <- rSigs
+        h = java.lang.Long.bitCount(ls ^ rs) if h <= 3
+      } yield (lid, rid, h.toLong)).toSet
+      assert(exact.nonEmpty, "incoming must contain engineered cross-side near-dups")
+      val pairs = Dedup.simHashPairsRs(lDf, rDf, "id", "txt", ws, 3, family = fam)
+      val got = pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+      assert(got === exact, s"$fam R×S != exact cross hamming")
+      // first-matching-band: exactly-once even for all-band colliders
+      val dupes = pairs.groupBy("lid", "rid").count().where($"count" > 1).collect()
+      assert(dupes.isEmpty, s"$fam emitted duplicates: ${dupes.take(3).mkString}")
+    }
   }
 
   test("incrementalKeepIds: corpus matches dropped, batch clusters collapsed, fresh kept") {

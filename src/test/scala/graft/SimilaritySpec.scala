@@ -100,6 +100,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("topKIvfKmeans: Lloyd refinement beats raw sample centroids on clustered vectors") {
+    // the sensitivity pin for centroid quality: on data with real cluster
+    // structure (which production embeddings have — and, since round 7, the
+    // driver's embeddings.parquet too, via its label column), k-means-refined
+    // centroids must yield strictly better-or-equal IVF recall than the raw
+    // md5-sample init at the same nProbe. A regression in kmeansCentroids
+    // (bad means, dropped iteration, broken assignment) shows up here, not
+    // just as a silent sidecar drift.
+    val df = clustered(7, 8, 20, 32).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 8)
+    val exact = Similarity.topKExact(df, q, "vec_id", "embedding", 10)
+    def recallOf(approx: org.apache.spark.sql.DataFrame): Double =
+      Recall.topK(exact, approx)
+    val sample = recallOf(Similarity.topKIvf(df, q, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 2))
+    val kmeans = recallOf(Similarity.topKIvfKmeans(df, q, "vec_id", "embedding", 10,
+      nCentroids = 8, nProbe = 2, iters = 3))
+    assert(kmeans >= sample,
+      s"k-means refinement must not lose recall: kmeans=$kmeans sample=$sample")
+    assert(kmeans >= 0.6, s"k-means IVF recall too low on clustered vectors: $kmeans")
+  }
+
   test("nearDuplicates (LSH) is a subset of exact near-duplicates with good recall") {
     val df = clustered(8, 4, 8, 16).toDF("vec_id", "embedding")
     val exact = Similarity.nearDuplicatesExact(df, "vec_id", "embedding", 0.95)
