@@ -228,6 +228,82 @@ object Streaming {
       .as[CorpusMatch]
   }
 
+  /** Per-doc 64-bit SimHash as a pure column expression over a token-array
+    * column — the stateless (streaming-capable) form of
+    * [[graft.operators.Dedup.simHash64]]'s groupBy. Same hash
+    * (xxhash64(0, token)), same sign rule (bit i set iff Σ ±1 > 0), so
+    * signatures agree bit-for-bit with the batch operator on the same
+    * tokens (pinned by StreamingSpec's stream == batch equivalence). */
+  private def simHashCol(tokens: Column): Column = {
+    val hs = transform(tokens, tk => xxhash64(lit(0), tk))
+    (0 until 64).map { i =>
+      val mask = lit(1L << i) // sign bit included: & MinValue != 0 tests bit 63
+      val s = aggregate(hs, lit(0),
+        (acc, h) => acc + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1))
+      when(s > 0, mask).otherwise(lit(0L))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** One (id, simhash, band, bandval) row per 16-bit signature window — the
+    * 4-band pigeonhole both sides of [[simHashAgainstCorpus]] join on.
+    * Token-less docs are dropped for the same reason as [[bandedRows]]:
+    * batch emits no signature for them, and an all-docs-match bucket is
+    * semantically meaningless. */
+  private def simBandedRows(df: DataFrame, key: String, text: String): DataFrame = {
+    val bandMask = lit(0xFFFFL)
+    df.select(col(key).cast("string").as("id"), wsTokenSet(col(text)).as("tokens"))
+      .where(size(col("tokens")) > 0)
+      .withColumn("simhash", simHashCol(col("tokens")))
+      .select(col("id"), col("simhash"),
+        explode(array((0 until 4).map(b => struct(
+          lit(b).as("band"),
+          shiftright(col("simhash"), b * 16).bitwiseAND(bandMask).as("bandval"))): _*)).as("bd"))
+      .select(col("id"), col("simhash"),
+        col("bd.band").as("band"), col("bd.bandval").as("bandval"))
+  }
+
+  /** Emitted Hamming match of a streamed doc against the static corpus. */
+  final case class CorpusSimMatch(id: String, corpus_id: String, hamming: Int)
+
+  /**
+   * Streaming incremental SimHash dedup against a STATIC corpus: flag
+   * arriving documents within Hamming distance `maxHamming` (≤ 3) of any
+   * corpus document — the ingestion-time counterpart of
+   * [[graft.operators.Dedup.simHashPairsRs]], completing the stream-side
+   * story for both hash families (MinHash has [[dedupAgainstCorpus]]).
+   *
+   * Entirely STATELESS, same shape as [[dedupAgainstCorpus]]: the corpus is
+   * banded once and persisted; each micro-batch equi-joins on the
+   * (band, bandval) pigeonhole key — Hamming ≤ 3 guarantees at least one of
+   * the 4 windows matches, so the join provably loses nothing — and
+   * first-matching-band suppression (one XOR over the two signatures both
+   * rows already carry) keeps emission exactly-once per pair with no dedup
+   * shuffle and no state store.
+   *
+   * Output: `CorpusSimMatch(id, corpus_id, hamming)`.
+   */
+  def simHashAgainstCorpus(stream: DataFrame, corpus: DataFrame, key: String,
+                           text: String, maxHamming: Int = 3): Dataset[CorpusSimMatch] = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    import stream.sparkSession.implicits._
+    import graft.operators.PersistTracker.TrackedPersist
+    val corpusSide = simBandedRows(corpus, key, text).persistTracked
+    val streamSide = simBandedRows(stream, key, text)
+    val xor = col("s.simhash").bitwiseXOR(col("c.simhash"))
+    val earlierBandMatches = (0 until 3).map(i =>
+        lit(i) < col("s.band") &&
+          shiftright(xor, i * 16).bitwiseAND(lit(0xFFFFL)) === 0L)
+      .reduce(_ || _)
+    streamSide.alias("s")
+      .join(corpusSide.alias("c"),
+        col("s.band") === col("c.band") && col("s.bandval") === col("c.bandval") &&
+          !earlierBandMatches)
+      .select(col("s.id").as("id"), col("c.id").as("corpus_id"),
+        bit_count(xor).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .as[CorpusSimMatch]
+  }
+
   /** Emitted contamination hit: a streamed doc sharing grams with the
     * benchmark set. */
   final case class Contaminated(id: String, n_shared_grams: Long)

@@ -270,4 +270,49 @@ class StreamingSpec extends SparkSpec {
     assert(!streamPairs.keys.exists { case (l, r) =>
       Set(2L, 3L)(l) || Set(101L, 102L)(r) }, "token-less docs never pair")
   }
+
+  test("simHashAgainstCorpus: stream-static Hamming matches == batch simHashPairsRs") {
+    // identical and near-identical cross-side docs plus token-less docs on
+    // both sides; stream verdicts (pairs AND hamming values) must equal the
+    // batch R×S operator's, exactly-once despite all-band collisions
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 150).map(i => s"w$i")
+    val corpusDocs = (0 until 25).map { i =>
+      i.toLong -> Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    } ++ Seq(500L -> "", 501L -> "   ")
+    val incoming = (0 until 12).map { i =>
+      if (i % 3 == 0) {
+        val (_, text) = corpusDocs(rnd.nextInt(25))
+        (2000L + i) -> text // identical: hamming 0, collides in all 4 bands
+      } else if (i % 3 == 1) {
+        val (_, text) = corpusDocs(rnd.nextInt(25))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (2000L + i) -> words.distinct.mkString(" ")
+      } else
+        (2000L + i) -> Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    } ++ Seq(2100L -> "", 2101L -> "\t ")
+    val corpusDf = corpusDocs.toDF("id", "text")
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.simHashAgainstCorpus(stream, corpusDf, "id", "text", 3), "sim_vs_corpus") {
+      incoming.grouped(5).foreach(chunk => in.addData(chunk: _*))
+    }
+    val streamPairs = spark.table("sim_vs_corpus")
+      .as[(String, String, Int)].collect()
+      .map { case (sid, cid, h) => ((cid.toLong, sid.toLong), h) }.toMap
+    val batchPairs = Dedup.simHashPairsRs(
+        corpusDf, incoming.toDF("id", "text"), "id", "text",
+        WhitespaceTokenizer(), 3)
+      .select("lid", "rid", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (l, r, h) => ((l, r), h) }.toMap
+    assert(streamPairs.nonEmpty, "incoming must contain engineered corpus near-dups")
+    assert(streamPairs === batchPairs)
+    assert(streamPairs.exists(_._2 == 0), "identical cross-side copies must appear")
+    val dupes = spark.table("sim_vs_corpus").groupBy("id", "corpus_id").count()
+      .where($"count" > 1).collect()
+    assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
+  }
 }
