@@ -248,6 +248,24 @@ object Bench {
     f""","host":{"cores":$n,"par_eff_cpu":${pre.cpu}%.2f,"par_eff_mem":${pre.mem}%.2f,"post_par_eff_cpu":${post.cpu}%.2f,"post_par_eff_mem":${post.mem}%.2f,"samples":2,"waited_sec":$waitedSec,"degraded":$degraded}"""
   }
 
+  /** Deterministic clustered embedding fixture: `n` vectors in `nClusters`
+    * well-separated clusters (center components and per-vector noise both
+    * hash-derived from (cluster|id, dim index) — reproducible across runs
+    * and machines, no RNG). Noise amplitude 0.15 of the center component
+    * range keeps members far closer to their own center than to any other,
+    * the geometry ANN workloads presuppose. */
+  private def clusteredEmbeddings(spark: SparkSession, n: Int, nClusters: Int,
+                                  dim: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    def unit(h: org.apache.spark.sql.Column) = // hash -> float in [-1, 1]
+      ((pmod(h, lit(2001L)) - 1000L).cast("float") / 1000.0f)
+    spark.range(n).select(col("id").cast("long").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), j =>
+        (unit(xxhash64(col("id") % nClusters, j)) +
+          unit(xxhash64(col("id"), j, lit(7))) * lit(0.15f)).cast("float"))
+        .as("embedding"))
+  }
+
   /** Approximate-path recall vs the exact twins, emitted as a `"recall"` key
     * INSIDE the single JSON line (a second line would break the driver's
     * parse). Skipped when the profile's tables are missing (stress corpus
@@ -278,6 +296,22 @@ object Bench {
       val ivfKm = timed("ann_ivf_kmeans")(Recall.topK(exactTopK,
         Similarity.topKIvfKmeans(e, q, "vec_id", "embedding", 10, 16, 4, 3)))
       exactTopK.unpersist()
+      // IVF on a CLUSTERED fixture: the driver's embeddings are isotropic
+      // random vectors, where IVF recall has a ~0.5 structural ceiling at
+      // nProbe/nCentroids = 1/4 regardless of centroid quality (BENCH_NOTES
+      // round 6/7) — a centroid-quality regression is invisible there. Real
+      // embedding corpora are clustered, so measure ivf and kmeans-ivf on a
+      // deterministic 16-cluster fixture too (hash-derived, no RNG): THESE
+      // are the numbers that move when kmeansCentroids breaks.
+      val ce = clusteredEmbeddings(spark, 2000, 16, 64)
+        .persist()
+      val cq = ce.where(col("vec_id") < 100)
+      val cExact = Similarity.topKExact(ce, cq, "vec_id", "embedding", 10).persist()
+      val cIvf = timed("ann_ivf_clus")(Recall.topK(cExact,
+        Similarity.topKIvf(ce, cq, "vec_id", "embedding", 10, 16, 4)))
+      val cIvfKm = timed("ann_ivf_km_clus")(Recall.topK(cExact,
+        Similarity.topKIvfKmeans(ce, cq, "vec_id", "embedding", 10, 16, 4, 3)))
+      cExact.unpersist(); ce.unpersist()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val exactPairs = timed("exact_pairs")(JaccardJoin
         .selfJoinDeduped(docs, "doc_id", "text", ws, 0.9)
@@ -299,7 +333,7 @@ object Bench {
         Dedup.minHashPairsRs(corpus, incoming, "doc_id", "text", ws, 0.9), "lid", "rid"))
       exactRs.unpersist()
       Api.clearCache()
-      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
+      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] recall sidecar failed: $t")
