@@ -263,20 +263,30 @@ object JaccardJoin {
       tokenizer: Tokenizer, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
       saltBuckets: Int = 8, hotTokenDf: Int = 10000,
-      maxSaltBuckets: Int = 64): DataFrame = {
-    // hotTokenDf is a VALUE-level df calibration point: a token at vdf =
-    // hotTokenDf (fan-out hotTokenDf² = 1e8 at the defaults) is split
-    // saltBuckets ways, and every token's salt width scales with its own
-    // fan-out from there — ceil(saltBuckets·(vdf/hotTokenDf)²), capped at
-    // maxSaltBuckets — bounding per-bucket candidate work at
-    // hotTokenDf²/saltBuckets rows (1.25e7 ≈ seconds of join work at the
-    // defaults) no matter how degenerate the token. Tune hotTokenDf DOWN on
-    // large clusters where per-core fan-out budgets are smaller.
-    require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
-    require(maxSaltBuckets >= saltBuckets, "maxSaltBuckets must be >= saltBuckets")
-    val t = lit(threshold)
-    val onePlusT = lit(1d + threshold)
+      maxSaltBuckets: Int = 64): DataFrame =
+    selfJoinDedupedPrepared(prepareSelfDeduped(table, keyAttr, joinAttr, tokenizer),
+      threshold, lOutPrefix, rOutPrefix, saltBuckets, hotTokenDf, maxSaltBuckets)
 
+  /**
+   * The threshold-INDEPENDENT state of [[selfJoinDeduped]]'s pipeline:
+   * distinct values + multiplicities, the ranked value-level token table, and
+   * the per-value position arrays. Document frequency and rarest-first
+   * position depend only on (table, joinAttr, tokenizer) — never on the
+   * threshold — so a threshold sweep (the reference's precision/recall sweep,
+   * test.ipynb cells 41-74) can tokenize ONCE and run every threshold against
+   * the same persisted frames via [[selfJoinDedupedPrepared]]. All three
+   * frames are persist-tracked; `Api.clearCache()` releases them.
+   */
+  final case class SelfJoinPrep private[operators] (
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      emitsDistinctTokens: Boolean,
+      vals: DataFrame, vtkdf: DataFrame, varr: DataFrame)
+
+  /** Build [[SelfJoinPrep]] — the tokenize/df/rank stages shared by every
+    * threshold. See [[selfJoinDeduped]] for the stage semantics. */
+  def prepareSelfDeduped(
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      tokenizer: Tokenizer): SelfJoinPrep = {
     // Compact 128-bit BINARY surrogate per distinct value: every downstream
     // shuffle row (tokens, prefixes, candidates, verification) keys on the
     // 16-byte digest instead of the raw value — on long-text corpora
@@ -303,6 +313,39 @@ object JaccardJoin {
       .select(col("id"), col("len"), col("token"), col("df"), col("vdf"),
         row_number().over(w).cast("long").as("pos"))
       .persistTracked
+
+    // position arrays persist too: verification scans this frame TWICE per
+    // action (L and R side of the verify join) and it is the frame AQE
+    // broadcasts — rebuilding the aggregation + broadcast from scratch every
+    // action was the measured ~1.5-2.3 s warm floor on the sub-second
+    // part/ws/t=0.3 flagship (BENCH_NOTES round 6)
+    SelfJoinPrep(table, keyAttr, joinAttr, tokenizer.emitsDistinctTokens,
+      vals, vtkdf, posArrays(vtkdf).persistTracked)
+  }
+
+  /** Threshold-dependent tail of [[selfJoinDeduped]] over a shared
+    * [[SelfJoinPrep]]: prefix selection, banded/salted candidate generation,
+    * verification, record expansion. Output is identical to
+    * [[selfJoinDeduped]] at the same threshold. */
+  def selfJoinDedupedPrepared(
+      prep: SelfJoinPrep, threshold: Double,
+      lOutPrefix: String = "l_", rOutPrefix: String = "r_",
+      saltBuckets: Int = 8, hotTokenDf: Int = 10000,
+      maxSaltBuckets: Int = 64): DataFrame = {
+    // hotTokenDf is a VALUE-level df calibration point: a token at vdf =
+    // hotTokenDf (fan-out hotTokenDf² = 1e8 at the defaults) is split
+    // saltBuckets ways, and every token's salt width scales with its own
+    // fan-out from there — ceil(saltBuckets·(vdf/hotTokenDf)²), capped at
+    // maxSaltBuckets — bounding per-bucket candidate work at
+    // hotTokenDf²/saltBuckets rows (1.25e7 ≈ seconds of join work at the
+    // defaults) no matter how degenerate the token. Tune hotTokenDf DOWN on
+    // large clusters where per-core fan-out budgets are smaller.
+    require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
+    require(maxSaltBuckets >= saltBuckets, "maxSaltBuckets must be >= saltBuckets")
+    val t = lit(threshold)
+    val onePlusT = lit(1d + threshold)
+    val vals = prep.vals
+    val vtkdf = prep.vtkdf
 
     def idxPfx(d: DataFrame) =
       d.where(col("len") - col("pos") + lit(1) >= (col("len") * lit(2) * t / onePlusT))
@@ -404,12 +447,13 @@ object JaccardJoin {
         count(lit(1)).as("pfxOverlap"))
       .alias("c")
 
-    val varr = posArrays(vtkdf)
+    val varr = prep.varr
     val vm = verifySuffix(cand.toDF(), varr, varr,
-        "Lv", "Rv", "LmaxPos", "RmaxPos", threshold, tokenizer.emitsDistinctTokens)
+        "Lv", "Rv", "LmaxPos", "RmaxPos", threshold, prep.emitsDistinctTokens)
       .select(col("Lv").as("lval"), col("Rv").as("rval"))
 
-    expandSelf(table, keyAttr, joinAttr, vals, vtkdf, vm, lOutPrefix, rOutPrefix)
+    expandSelf(prep.table, prep.keyAttr, prep.joinAttr, vals, vtkdf, vm,
+      lOutPrefix, rOutPrefix)
   }
 
   /** Brute-force self-join over deduplicated values; identical output to

@@ -142,6 +142,17 @@ class JaccardJoinSpec extends SparkSpec {
     }
   }
 
+  test("shared SelfJoinPrep across a threshold sweep == per-threshold pipelines") {
+    // one tokenize/df/rank pass feeding three thresholds (the eval_sweep
+    // path) must match a fresh record-level selfJoin at each threshold
+    val df = dupHeavyTable(5, 60).toDF("id", "val")
+    val prep = JaccardJoin.prepareSelfDeduped(df, "id", "val", ws)
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      assert(pairSet(JaccardJoin.selfJoinDedupedPrepared(prep, t)) ===
+        pairSet(JaccardJoin.selfJoin(df, "id", "val", ws, t)), s"t=$t")
+    }
+  }
+
   test("bruteForceSelfDeduped == bruteForceSelf on duplicate-heavy data") {
     val df = dupHeavyTable(9, 60).toDF("id", "val")
     for (t <- Seq(0.4, 0.7)) {
