@@ -228,6 +228,76 @@ object Streaming {
       .as[CorpusMatch]
   }
 
+  /** Stream-side rows in the DURABLE-INDEX layout: the same columns
+    * [[graft.operators.Dedup.minHashIndex]] stores (xxhash64 family —
+    * sig hash `xxhash64(i, token)`, band key `xxhash64(band, chunk)`,
+    * verification array `sort_array(xxhash64(token))`), built statelessly so
+    * they compute per-row on a streaming frame. Bit-identical keys are what
+    * let a micro-batch join the prebuilt corpus index directly. */
+  private def indexLayoutRows(df: DataFrame, key: String, text: String,
+                              bands: Int, rowsPerBand: Int): DataFrame = {
+    val toks = wsTokenSet(col(text))
+    df.select(col(key).cast("string").as("id"), toks.as("tokens"))
+      .where(size(col("tokens")) > 0) // see bandedRows: batch emits no rows for token-less docs
+      .withColumn("harr", sort_array(transform(col("tokens"), tk => xxhash64(tk))))
+      .withColumn("len", size(col("tokens")).cast("long"))
+      .withColumn("sig", minHashSigCol(col("tokens"), bands * rowsPerBand))
+      .withColumn("keys", transform(sequence(lit(0), lit(bands - 1)), b =>
+        graft.operators.Dedup.XxHash64Family.bandKey(b,
+          slice(col("sig"), b * lit(rowsPerBand) + 1, lit(rowsPerBand)))))
+      .select(col("id"), col("harr"), col("len"), col("keys"),
+        posexplode(col("keys")).as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Streaming incremental dedup against a DURABLE corpus index: like
+   * [[dedupAgainstCorpus]], but the static side is a prebuilt
+   * [[graft.operators.Dedup.minHashIndex]] table (typically persisted with
+   * `Stages.writeBucketed(index, table, "bucket", n)`) instead of raw corpus
+   * text — the streaming counterpart of
+   * [[graft.operators.Dedup.minHashPairsRsIndexed]].
+   *
+   * Why it matters at 100 TB: [[dedupAgainstCorpus]] re-tokenizes, re-hashes
+   * and re-bands the whole corpus once per run before caching it; here the
+   * corpus-side work was paid once at index-build time, and when the index is
+   * read from a `bucket`-bucketed table each micro-batch's join is
+   * EXCHANGE-FREE on the corpus side — the equi key is `bucket` ALONE for
+   * exactly the co-partition reason documented at `minHashPairsRsIndexed`
+   * (the xxhash64 bucket key already encodes the band; a `band` equality
+   * term here would force both sides to re-shuffle on (bucket, band)).
+   * Only the arriving micro-batch is hashed and shuffled. Stateless,
+   * append-mode composable, exactly-once per pair via first-matching-band
+   * suppression (a pure join predicate over the two band-key arrays).
+   *
+   * Pass the SAME `bands`/`rowsPerBand` the index was built with, or bucket
+   * keys are meaningless. XxHash64 family only — the layout stores hashes.
+   *
+   * Output: [[CorpusMatch]] rows, `corpus_id` from the index.
+   */
+  def dedupAgainstIndex(stream: DataFrame, corpusIndex: DataFrame, key: String,
+                        text: String, threshold: Double, bands: Int = 16,
+                        rowsPerBand: Int = 8): Dataset[CorpusMatch] = {
+    import stream.sparkSession.implicits._
+    val streamSide = indexLayoutRows(stream, key, text, bands, rowsPerBand)
+    val earlierBandMatches = (0 until bands).map(i =>
+        lit(i) < col("s.band") && col("s.keys").getItem(i) === col("c.keys").getItem(i))
+      .reduce(_ || _)
+    val overlap = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.SortedOverlapCount(
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("s.harr")),
+        org.apache.spark.sql.GraftExpressionBridge.expression(col("c.harr"))))
+    streamSide.alias("s")
+      .join(corpusIndex.alias("c"),
+        col("s.bucket") === col("c.bucket") && !earlierBandMatches)
+      .withColumn("overlap", overlap)
+      .where(col("overlap") >=
+        (col("s.len") + col("c.len")) * lit(threshold) / lit(1d + threshold))
+      .select(col("s.id").as("id"), col("c.id").cast("string").as("corpus_id"),
+        (col("overlap").cast("double") /
+          (col("s.len") + col("c.len") - col("overlap"))).as("jaccard"))
+      .as[CorpusMatch]
+  }
+
   /** Per-doc 64-bit SimHash as a pure column expression over a token-array
     * column — the stateless (streaming-capable) form of
     * [[graft.operators.Dedup.simHash64]]'s groupBy. Same hash

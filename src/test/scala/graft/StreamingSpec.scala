@@ -235,6 +235,55 @@ class StreamingSpec extends SparkSpec {
     assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
   }
 
+  test("dedupAgainstIndex: stream vs durable index agrees with batch minHashPairsRsIndexed") {
+    // the corpus is banded ONCE into the minHashIndex layout; the stream
+    // joins the prebuilt index per micro-batch. Verdicts (pairs AND jaccard)
+    // must equal the batch indexed R×S operator's on the same docs.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(47)
+    val vocab = (0 until 120).map(i => s"w$i")
+    val corpusDocs = (0 until 30).map { i =>
+      i.toLong -> Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val incoming = (0 until 16).map { i =>
+      if (i % 2 == 0) {
+        val (_, text) = corpusDocs(rnd.nextInt(30))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (1000L + i) -> words.distinct.mkString(" ")
+      } else
+        (1000L + i) -> Seq.fill(20)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val corpusDf = corpusDocs.toDF("id", "text")
+    val index = Dedup.minHashIndex(corpusDf, "id", "text",
+      WhitespaceTokenizer(), bands = 8, rowsPerBand = 4).persist()
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.dedupAgainstIndex(stream, index, "id", "text", 0.8,
+        bands = 8, rowsPerBand = 4), "vs_index") {
+      incoming.grouped(7).foreach(chunk => in.addData(chunk: _*))
+    }
+    val streamPairs = spark.table("vs_index")
+      .as[(String, String, Double)].collect()
+      .map { case (sid, cid, j) => ((cid.toLong, sid.toLong), j) }.toMap
+
+    val batchPairs = Dedup.minHashPairsRsIndexed(
+        index, incoming.toDF("id", "text"), "id", "text",
+        WhitespaceTokenizer(), 0.8, bands = 8, rowsPerBand = 4)
+      .select("lid", "rid", "jaccard").as[(Long, Long, Double)].collect()
+      .map { case (l, r, j) => ((l, r), j) }.toMap
+    index.unpersist()
+
+    assert(streamPairs.nonEmpty, "incoming must contain engineered corpus near-dups")
+    assert(streamPairs === batchPairs)
+
+    // exactly-once despite multi-band collisions
+    val dupes = spark.table("vs_index").groupBy("id", "corpus_id").count()
+      .where($"count" > 1).collect()
+    assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
+  }
+
   test("dedupAgainstCorpus: empty/whitespace-only docs emit nothing (stream == batch)") {
     // a token-less doc has an all-null MinHash signature whose band slices
     // hash identically on both sides; before the zero-token filter this
