@@ -24,6 +24,9 @@ object Bench {
     "jac_rs_cust_supp_q3_t02",
     "dedup_minhash_docs",       // MinHash+LSH cascade
     "dedup_minhash_rs_docs",    // incremental: new batch vs corpus, R×S LSH
+    // durable-index daily join incl. bucketed write + catalog read-back —
+    // times the production ingest path end-to-end
+    "dedup_minhash_rs_indexed_docs",
     "dedup_exact_docs",
     "ann_topk_exact",           // brute-force cosine top-k baseline
     "ann_topk_lsh",             // bucketed scale path
@@ -104,7 +107,13 @@ object Bench {
     // dev loop for tuning the approximate paths: skip the timed queries and
     // emit only the recall sidecar
     val recallOnly = sys.env.get("SPARK_GRAFT_RECALL_ONLY").contains("1")
-    val queries = if (recallOnly) Seq.empty else if (stress) stressHeadline else headline
+    // SPARK_GRAFT_QUERIES=name1,name2 narrows the run for per-query tuning
+    // loops (e.g. warm-floor pinning one flagship) without touching the
+    // code; any registered query is reachable, not just the headline set
+    val filter = sys.env.get("SPARK_GRAFT_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val queries = filter.getOrElse(
+      if (recallOnly) Seq.empty else if (stress) stressHeadline else headline)
     val nRuns = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt)
       .getOrElse(if (stress) 1 else 3)
 
@@ -116,10 +125,14 @@ object Bench {
         System.err.println(s"[bench] running $name")
         // best of 3 (1 on the stress profile): the first run pays persist
         // materialization + codegen; the reference's BASELINE numbers are
-        // likewise warm averages over n runs
-        val t = try Seq.fill(nRuns)(timeOnce(fn)).min catch { case _: Throwable => -1d }
+        // likewise warm averages over n runs. Per-run times go to stderr so
+        // warm-floor stability (run-to-run variance, not just the min) is
+        // visible in the artifact's tail.
+        val runs = try Seq.fill(nRuns)(timeOnce(fn)) catch { case _: Throwable => Seq(-1d) }
+        val t = runs.min
         Api.clearCache() // drop graft-persisted intermediates between queries
-        System.err.println(f"[bench] $name%-26s $t%.3f s")
+        System.err.println(f"[bench] $name%-26s $t%.3f s" +
+          (if (runs.size > 1) runs.map(r => f"$r%.2f").mkString("  (runs: ", " ", ")") else ""))
         name -> t
       }
     }
@@ -128,6 +141,15 @@ object Bench {
     val recallJson = recallField(spark, sfDir)
     val postWindow = HostProbe.measure(samples = 2)
     HostProbe.release()
+    // one-line self-classification so the artifact's tail says whether its
+    // numbers describe the binary or the host (round-7 task: the r5/r6
+    // round-over-round probe comparison was manual)
+    val verdict =
+      if (preWindow.healthy(0.75, 0.55) && postWindow.healthy(0.75, 0.55)) "HEALTHY"
+      else if (preWindow.healthy(0.75, 0.55)) "SHIFTED (started healthy, degraded mid-run)"
+      else "DEGRADED (timings inflate; not comparable round-over-round)"
+    System.err.println(f"[bench] window verdict: $verdict - pre cpu ${preWindow.cpu}%.2f" +
+      f"/mem ${preWindow.mem}%.2f, post cpu ${postWindow.cpu}%.2f/mem ${postWindow.mem}%.2f")
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs$recallJson${hostField(preWindow, postWindow, waitedSec)},"sf":"$sfDir"}""")
     spark.stop()
   }

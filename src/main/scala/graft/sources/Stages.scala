@@ -59,8 +59,20 @@ object Stages {
    * where pipelines repeat" — StagesSpec pins the exchange-free plan.
    */
   def writeBucketed(df: DataFrame, table: String,
-                    bucketCol: String, nBuckets: Int): Unit =
+                    bucketCol: String, nBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    // A managed-table directory left behind by a PREVIOUS session is not in
+    // this session's in-memory catalog, so the DROP above can't see it and
+    // saveAsTable refuses the name with LOCATION_ALREADY_EXISTS (observed:
+    // two Verify runs in a row, the second inheriting the first's
+    // spark-warehouse). Remove the orphaned location explicitly.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write.mode("overwrite").format("parquet")
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
+  }
 }
