@@ -165,13 +165,34 @@ object Dedup {
                          value: String, tokenizer: Tokenizer, threshold: Double,
                          bands: Int = 16, rowsPerBand: Int = 8,
                          family: HashFamily = XxHash64Family): DataFrame = {
-    val vsCorpus = minHashPairsRs(corpus, incoming, key, value, tokenizer,
-      threshold, bands, rowsPerBand, family)
-    val survivors = incoming.join(vsCorpus.select(col("rid")).distinct(),
-        incoming(key) === col("rid"), "left_anti")
+    // The incoming batch is banded ONCE and both stages share the persisted
+    // tokens + signatures: tokenize + bands×rowsPerBand hashes per token is
+    // the dominant per-doc compute of the whole path, and composing the two
+    // stages naively (minHashPairsRs then minHashPairs(survivors)) re-pays
+    // all of it for the surviving batch. Signatures and token arrays are
+    // strictly per-doc, so filtering the banded/token frames down to the
+    // survivors is exactly equal to re-banding the survivor subset — the
+    // end-to-end md5-family oracle pins the composition unchanged.
+    val (cTokens, cSide) = bandedSide(corpus, key, value, tokenizer, bands,
+      rowsPerBand, family)
+    val (inTokens, inSide) = bandedSide(incoming, key, value, tokenizer, bands,
+      rowsPerBand, family)
+    // stage 1: cross-side — corpus near-dups drop the incoming copy
+    val crossCand = cSide.alias("a").join(inSide.alias("b"), firstBandCond(bands))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"))
+    val vsCorpus = verifyJaccardRs(crossCand, cTokens, inTokens, threshold,
+      tokenizer.emitsDistinctTokens, hashedVerify = family == XxHash64Family)
+    val dropIds = vsCorpus.select(col("rid")).distinct().persistTracked
+    val survivors = incoming.join(dropIds, incoming(key) === col("rid"), "left_anti")
       .persistTracked
-    val selfPairs = minHashPairs(survivors, key, value, tokenizer, threshold,
-      bands, rowsPerBand, family)
+    // stage 2: within-batch — over the surviving subset of the already-banded rows
+    val survSide = inSide.join(dropIds, inSide("id") === dropIds("rid"), "left_anti")
+    val survTokens = inTokens.join(dropIds, inTokens("id") === dropIds("rid"), "left_anti")
+    val selfCand = survSide.alias("a")
+      .join(survSide.alias("b"), firstBandCond(bands) && col("a.id") < col("b.id"))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"))
+    val selfPairs = verifyJaccard(selfCand, survTokens, threshold,
+      tokenizer.emitsDistinctTokens, hashedVerify = family == XxHash64Family)
     clusterKeepIds(survivors, key, selfPairs, "lid", "rid")
   }
 
