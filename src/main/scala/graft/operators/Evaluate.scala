@@ -114,4 +114,43 @@ object Evaluate {
     an.join(bn, Seq("k1", "k2"), "full_outer")
       .where(col("ina").isNull || col("inb").isNull)
   }
+
+  /**
+   * Threshold sweep as a first-class operator (the reference's quality sweep,
+   * test.ipynb cells 41-43/56/63/74): one fixed ground truth (`gtTokenizer` at
+   * `gtThreshold`), one filtered self-join per sweep threshold, one row per
+   * threshold with confusion counts and precision/recall/F1 under the
+   * reference's `tp > 0` guard (similarity_join/__init__.py:46-62).
+   *
+   * Cost shape: the GT join runs once and is persisted; the sweep side
+   * tokenizes/ranks ONCE ([[JaccardJoin.prepareSelfDeduped]] — df and
+   * rarest-first position are threshold-free) and every threshold reuses the
+   * persisted frames, so an N-point sweep pays one tokenization plus N
+   * candidate/verify passes, not N full pipelines. Counts use the
+   * normalized-pair equi-join (the scale path), never the nested loop.
+   */
+  def thresholdSweep(
+      table: DataFrame, keyAttr: String, joinAttr: String,
+      gtTokenizer: Tokenizer, gtThreshold: Double,
+      sweepTokenizer: Tokenizer, thresholds: Seq[Double]): DataFrame = {
+    require(thresholds.nonEmpty, "thresholds must be non-empty")
+    val lk = "l_" + keyAttr
+    val rk = "r_" + keyAttr
+    val gt = PersistTracker.persist(
+      JaccardJoin.selfJoinDeduped(table, keyAttr, joinAttr, gtTokenizer, gtThreshold))
+    val prep = JaccardJoin.prepareSelfDeduped(table, keyAttr, joinAttr, sweepTokenizer)
+    thresholds.map { t =>
+      val sj = JaccardJoin.selfJoinDedupedPrepared(prep, t)
+      countsNormalized(gt, sj, lk, rk, lk, rk)
+        .select(lit(t).as("threshold"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") > 0, col("tp").cast("double") / (col("tp") + col("fp")))
+            .otherwise(lit(0d)).as("pr"),
+          when(col("tp") > 0, col("tp").cast("double") / (col("tp") + col("fn")))
+            .otherwise(lit(0d)).as("rc"))
+        .select(col("threshold"), col("tp"), col("fp"), col("fn"),
+          col("pr"), col("rc"),
+          when(col("tp") > 0, lit(2) * col("pr") * col("rc") / (col("pr") + col("rc")))
+            .otherwise(lit(0d)).as("f1"))
+    }.reduce(_ union _)
+  }
 }

@@ -56,5 +56,32 @@ class EvaluateSpec extends SparkSpec {
     }
   }
 
+  test("thresholdSweep: one row per threshold, reference count semantics, sane metrics") {
+    // whitespace GT at 0.5 vs whitespace sweep: at t=0.5 the sweep IS the GT
+    // (fp=fn=0, f1=1); stricter thresholds only drop sweep pairs (fp=0),
+    // looser only add them (fn=0). NOTE the reference's literal tp counts
+    // every confusion-row with a non-null SJ side — fp rows INCLUDED
+    // (similarity_join/__init__.py:25-36, replicated by countsNormalized) —
+    // so the invariant is |GT| = tp - fp + fn, not tp + fn.
+    val words = Vector("ant", "bee", "cat", "dog", "elk", "fox")
+    val rnd = new scala.util.Random(11)
+    val df = (1L to 40L).map(i =>
+      i -> Seq.fill(3 + rnd.nextInt(3))(words(rnd.nextInt(words.size))).mkString(" "))
+      .toDF("id", "val")
+    val ws = WhitespaceTokenizer()
+    val out = Evaluate.thresholdSweep(df, "id", "val", ws, 0.5, ws,
+      Seq(0.8, 0.5, 0.3)).collect().map(r =>
+        (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(6)))
+    assert(out.map(_._1).toSeq === Seq(0.8, 0.5, 0.3))
+    val gtSize = out.map { case (_, tp, fp, fn, _) => tp - fp + fn }.distinct
+    assert(gtSize.size === 1, s"tp - fp + fn must be |GT| in every row: $out")
+    val at05 = out.find(_._1 == 0.5).get
+    assert(at05._3 === 0L && at05._4 === 0L && at05._5 === 1.0d)
+    val at08 = out.find(_._1 == 0.8).get // stricter: only drops pairs
+    assert(at08._3 === 0L && at08._4 > 0L)
+    val at03 = out.find(_._1 == 0.3).get // looser: only adds pairs
+    assert(at03._4 === 0L && at03._3 > 0L)
+  }
+
   private def col(n: String) = org.apache.spark.sql.functions.col(n)
 }
