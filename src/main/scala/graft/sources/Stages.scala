@@ -75,4 +75,24 @@ object Stages {
       .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
       .saveAsTable(table)
   }
+
+  /**
+   * Append rows to a bucketed table created by [[writeBucketed]] — the
+   * MAINTENANCE half of the durable-index lifecycle: a daily ingest joins
+   * the batch against the index ([[graft.operators.Dedup.minHashPairsRsIndexed]]),
+   * admits the survivors, and appends THEIR index rows
+   * (`minHashIndex(admitted)`) so tomorrow's batch sees them — no
+   * from-scratch rebuild of the accumulated corpus index, ever. Pass the
+   * SAME bucket column/count the table was created with (Spark refuses a
+   * mismatched spec). Each append adds one file set per bucket; the bucket
+   * METADATA is unchanged, so joins stay exchange-free on the table —
+   * compact occasionally (re-`writeBucketed` the read-back) when
+   * small-file counts grow. StagesSpec pins append-then-join ==
+   * from-scratch-index-then-join.
+   */
+  def appendBucketed(df: DataFrame, table: String,
+                     bucketCol: String, nBuckets: Int): Unit =
+    df.write.mode("append").format("parquet")
+      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
 }

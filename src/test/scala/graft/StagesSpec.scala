@@ -68,4 +68,37 @@ class StagesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_mh_idx")
     }
   }
+
+  test("appendBucketed index maintenance: day-2 join == from-scratch index join") {
+    import graft.operators.{Dedup, WhitespaceTokenizer}
+    val ws = WhitespaceTokenizer()
+    // day 0 corpus, day-1 admitted batch, day-2 incoming batch engineered to
+    // near-dup docs from BOTH generations of the index
+    val corpus = (0L until 40L).map(i => (i, s"a b c d w$i x$i y$i")).toDF("id", "txt")
+    val batch1 = (100L until 120L).map(i => (i, s"p q r s w$i x$i y$i")).toDF("id", "txt")
+    val batch2 = ((0L until 5L).map(i => (200L + i, s"a b c d w$i x$i z$i")) ++
+      (0L until 5L).map(i => (300L + i, s"p q r s w${100 + i} x${100 + i} z$i")))
+      .toDF("id", "txt")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashIndex(df, "id", "txt", ws, bands = 8, rowsPerBand = 4)
+    def pairsOf(table: String) =
+      Dedup.minHashPairsRsIndexed(spark.table(table), batch2, "id", "txt", ws,
+        0.7, bands = 8, rowsPerBand = 4)
+        .as[(Long, Long, Double)].collect().toSet
+    try {
+      Stages.writeBucketed(idx(corpus), "graft_idx_acc", "bucket", 8)
+      Stages.appendBucketed(idx(batch1), "graft_idx_acc", "bucket", 8)
+      Stages.writeBucketed(idx(corpus.unionByName(batch1)), "graft_idx_full", "bucket", 8)
+      val viaAppend = pairsOf("graft_idx_acc")
+      val viaFull = pairsOf("graft_idx_full")
+      assert(viaAppend.nonEmpty, "engineered near-dups must match")
+      // matches must span both index generations, or the test proves nothing
+      assert(viaAppend.exists(_._1 < 100L) && viaAppend.exists(_._1 >= 100L),
+        s"expected matches against day-0 AND day-1 rows: $viaAppend")
+      assert(viaAppend === viaFull)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_idx_acc")
+      spark.sql("DROP TABLE IF EXISTS graft_idx_full")
+    }
+  }
 }
