@@ -54,6 +54,7 @@ object Bench {
     "jac_self_docs_ws_t09",
     "dedup_minhash_docs",
     "dedup_minhash_rs_docs",
+    "dedup_minhash_rs_indexed_docs",
     "dedup_cluster_docs",
     "decontam_docs",
     "shuffle_order_docs",
