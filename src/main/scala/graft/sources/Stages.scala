@@ -60,6 +60,13 @@ object Stages {
    */
   def writeBucketed(df: DataFrame, table: String,
                     bucketCol: String, nBuckets: Int): Unit = {
+    // Simple unqualified managed-table names ONLY: the orphaned-location
+    // cleanup below derives the path as <warehouse>/<table.toLowerCase>,
+    // which is wrong for a database-qualified name ('db.tbl') or an
+    // external/custom-LOCATION table — a mis-resolved path there could
+    // delete an unrelated directory.
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"writeBucketed requires a simple unqualified table name, got '$table'")
     val spark = df.sparkSession
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     // A managed-table directory left behind by a PREVIOUS session is not in
@@ -86,13 +93,74 @@ object Stages {
    * SAME bucket column/count the table was created with (Spark refuses a
    * mismatched spec). Each append adds one file set per bucket; the bucket
    * METADATA is unchanged, so joins stay exchange-free on the table —
-   * compact occasionally (re-`writeBucketed` the read-back) when
-   * small-file counts grow. StagesSpec pins append-then-join ==
-   * from-scratch-index-then-join.
+   * run [[compactBucketed]] occasionally when small-file counts grow.
+   * StagesSpec pins append-then-join == from-scratch-index-then-join.
    */
   def appendBucketed(df: DataFrame, table: String,
                      bucketCol: String, nBuckets: Int): Unit =
-    df.write.mode("append").format("parquet")
-      .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
-      .saveAsTable(table)
+    // When the catalog lacks the table, `append`-saveAsTable would CREATE it
+    // — and trip LOCATION_ALREADY_EXISTS on a warehouse directory orphaned
+    // by a previous session (the case writeBucketed recovers from). Routing
+    // first-write through writeBucketed gets the same cleanup; true appends
+    // (table known to this catalog) take the append path unchanged.
+    if (!df.sparkSession.catalog.tableExists(table))
+      writeBucketed(df, table, bucketCol, nBuckets)
+    else
+      df.write.mode("append").format("parquet")
+        .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
+        .saveAsTable(table)
+
+  /**
+   * Compact a bucketed table written by [[writeBucketed]] and grown by
+   * [[appendBucketed]]: each append adds one file set per bucket, so after
+   * many ingest days a bucket is dozens of small files — correctness is
+   * unaffected (bucket METADATA never changed, joins stay exchange-free) but
+   * scan cost and open-file overhead creep up. Compaction reads the table
+   * back and rewrites it as one file set via a TEMP table + atomic-ish swap
+   * (write `<table>__compact`, drop the original, rename the directory,
+   * recreate the catalog entry): the read-back must be fully materialized
+   * before the original is dropped, because the rewrite reads the very table
+   * it replaces.
+   *
+   * When to trigger (SCALE.md): file count per bucket > ~16, or average
+   * file size < ~1/4 of the parquet row-group target — i.e. roughly every
+   * 16 appended batches at daily-ingest cadence.
+   *
+   * Shape: two bucketed rewrites through a scratch table, NOT an in-place
+   * overwrite — `writeBucketed(spark.table(t), t, …)` would delete the files
+   * its own (lazy) input scan still needs, and a filesystem rename-swap
+   * would have to re-register the files without `saveAsTable`'s bucket-spec
+   * metadata, silently forfeiting the exchange-free joins this table exists
+   * for. Copying table→scratch→table keeps every step a plain bucketed CTAS
+   * whose reads and writes never touch the same location, and the catalog
+   * entry that survives carries the full bucket spec (StagesSpec pins the
+   * post-compaction plan stays exchange-free and rows are unchanged). The
+   * second copy is the price of safety; compaction is an occasional
+   * maintenance job, not a per-ingest step.
+   *
+   * The whole operation is EXCHANGE-FREE: with the auto-bucketed-scan
+   * heuristic pinned off, each copy's input scan is the BUCKETED read — one
+   * task per bucket, every file of that bucket in that task — so bucketBy's
+   * one-file-per-(task, bucket) layout emits exactly ONE file per bucket
+   * with no shuffle anywhere. (A `repartition(nBuckets, col)` would NOT do
+   * this: the scan already advertises the bucket HashPartitioning, so the
+   * planner elides the exchange while the heuristic may still pick a
+   * file-split read underneath — tasks then hold mixed buckets and the
+   * "compacted" table keeps multiple files per bucket.)
+   */
+  def compactBucketed(spark: SparkSession, table: String,
+                      bucketCol: String, nBuckets: Int): Unit = {
+    require(table.matches("[A-Za-z0-9_]+"),
+      s"compactBucketed requires a simple unqualified table name, got '$table'")
+    val scratch = table + "__compact"
+    val autoScanKey = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prevAutoScan = spark.conf.get(autoScanKey)
+    try {
+      spark.conf.set(autoScanKey, "false") // always take the bucketed read
+      writeBucketed(spark.table(table), scratch, bucketCol, nBuckets)
+      writeBucketed(spark.table(scratch), table, bucketCol, nBuckets)
+    } finally spark.conf.set(autoScanKey, prevAutoScan)
+    spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+    ()
+  }
 }

@@ -101,4 +101,60 @@ class StagesSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS graft_idx_full")
     }
   }
+
+  test("compactBucketed: fewer files, identical rows, join still exchange-free") {
+    val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
+    def tableFiles(table: String): Int = {
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      Option(loc.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      Stages.writeBucketed(rows.where(col("k") < 400), "graft_cpt", "k", 4)
+      Stages.appendBucketed(rows.where(col("k") >= 400 && col("k") < 700), "graft_cpt", "k", 4)
+      Stages.appendBucketed(rows.where(col("k") >= 700), "graft_cpt", "k", 4)
+      val before = spark.table("graft_cpt").collect().map(_.getLong(0)).toSet
+      val filesBefore = tableFiles("graft_cpt")
+      assert(filesBefore > 4, s"three writes into 4 buckets must leave >4 files, got $filesBefore")
+      Stages.compactBucketed(spark, "graft_cpt", "k", 4)
+      assert(tableFiles("graft_cpt") === 4, "compaction must leave one file per bucket")
+      assert(spark.table("graft_cpt").collect().map(_.getLong(0)).toSet === before)
+      assert(!spark.catalog.tableExists("graft_cpt__compact"), "scratch table must be dropped")
+      // the property compaction exists to preserve: a same-bucketing join
+      // still plans with no exchange on either side
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      Stages.writeBucketed(rows, "graft_cpt_probe", "k", 4)
+      val joined = spark.table("graft_cpt").join(spark.table("graft_cpt_probe"), "k")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"post-compaction bucketed join must not shuffle:\n$plan")
+      assert(joined.count() === 1000L)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS graft_cpt")
+      spark.sql("DROP TABLE IF EXISTS graft_cpt__compact")
+      spark.sql("DROP TABLE IF EXISTS graft_cpt_probe")
+    }
+  }
+
+  test("appendBucketed with no catalog entry routes through writeBucketed's cleanup") {
+    // simulate the orphaned-location case: a warehouse directory exists but
+    // the (in-memory) catalog has no entry — the documented two-sessions-in-
+    // a-row failure appendBucketed previously hit with LOCATION_ALREADY_EXISTS
+    val rows = (0L until 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    val loc = new java.io.File(
+      new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, "graft_orphan")
+    try {
+      assert(!spark.catalog.tableExists("graft_orphan"))
+      loc.mkdirs()
+      val junk = new java.io.File(loc, "stale-file")
+      java.nio.file.Files.write(junk.toPath, "stale".getBytes)
+      Stages.appendBucketed(rows, "graft_orphan", "k", 4)
+      assert(spark.table("graft_orphan").count() === 100L)
+      assert(!junk.exists(), "the stale pre-existing file must have been cleaned up")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_orphan")
+    }
+  }
 }
