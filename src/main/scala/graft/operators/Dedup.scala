@@ -265,25 +265,110 @@ object Dedup {
                             key: String, value: String, tokenizer: Tokenizer,
                             threshold: Double, bands: Int = 16,
                             rowsPerBand: Int = 8,
-                            family: HashFamily = XxHash64Family): DataFrame = {
+                            family: HashFamily = XxHash64Family): DataFrame =
+    indexFramePairs(corpusIndex,
+      minHashIndex(incoming, key, value, tokenizer, bands, rowsPerBand, family),
+      threshold, bands, selfDedup = false)
+
+  /** The index-layout join both indexed operators run: two frames in the
+    * [[minHashIndex]] column layout (id, keys, harr, len, band, bucket),
+    * joined on `bucket` ALONE (the co-partition decision documented at
+    * [[minHashPairsRsIndexed]]) with first-matching-band suppression, then
+    * verified inside the join from the two stored `harr` arrays — one
+    * sorted-merge kernel call per candidate. `selfDedup = true` adds the
+    * `a.id < b.id` orientation for a frame joined with itself. Output
+    * (lid, rid, jaccard), lid from the left frame. */
+  private def indexFramePairs(lIdx: DataFrame, rIdx: DataFrame,
+                              threshold: Double, bands: Int,
+                              selfDedup: Boolean): DataFrame = {
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
-    val batch = minHashIndex(incoming, key, value, tokenizer, bands, rowsPerBand, family)
-    val earlierBandMatches = (0 until bands).map(i =>
-        lit(i) < col("a.band") && col("a.keys").getItem(i) === col("b.keys").getItem(i))
-      .reduce(_ || _)
     val overlap = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.expressions.SortedOverlapCount(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("a.harr")),
         org.apache.spark.sql.GraftExpressionBridge.expression(col("b.harr"))))
-    corpusIndex.alias("a")
-      .join(batch.alias("b"),
-        col("a.bucket") === col("b.bucket") && !earlierBandMatches)
+    val base = col("a.bucket") === col("b.bucket") &&
+      !earlierBandMatches(bands, col("a.keys"), col("a.band"), col("b.keys"))
+    val cond = if (selfDedup) base && col("a.id") < col("b.id") else base
+    lIdx.alias("a")
+      .join(rIdx.alias("b"), cond)
       .withColumn("overlap", overlap)
       .where(col("overlap") >= ((col("a.len") + col("b.len")) * t / onePlusT))
       .select(col("a.id").as("lid"), col("b.id").as("rid"),
         (col("overlap").cast("double") /
           (col("a.len") + col("b.len") - col("overlap"))).as("jaccard"))
+  }
+
+  /**
+   * The PRODUCTION daily-ingest operator, end to end: [[incrementalKeepIds]]
+   * against a DURABLE corpus [[minHashIndex]] instead of raw corpus text.
+   * Same two stages — (1) drop every incoming record near-dup'd by the
+   * corpus, via the indexed join; (2) collapse the survivors' within-batch
+   * clusters to their min-id representative — but the corpus side is the
+   * prebuilt index: no corpus tokenize/hash/band work, ever, and on a
+   * `bucket`-bucketed table ([[graft.sources.Stages.writeBucketed]]) stage 1
+   * is exchange-free on the corpus side. The incoming batch is indexed ONCE
+   * and both stages share the persisted frame (the same share-the-banding
+   * argument as [[incrementalKeepIds]] — index rows are strictly per-doc, so
+   * filtering them to the survivors equals re-indexing the survivor subset).
+   *
+   * `admitTo = Some(table)` closes the lifecycle: after the keep-set is
+   * computed, the KEPT records' index rows (already built — a semi-join of
+   * the batch frame) are appended to the durable table via
+   * [[graft.sources.Stages.appendBucketed]], so tomorrow's batch sees
+   * today's admissions with no rebuild. The append is an action; the
+   * returned keep-set reads from the same persisted frames. Leave it None
+   * for a read-only what-if run (and in the registered driver query, which
+   * must be idempotent across runs).
+   *
+   * Verification parity with [[incrementalKeepIds]]: candidates are equal
+   * (the index materializes the same banding; md5-family bucket strings
+   * encode the band exactly, xxhash64 cross-band collisions are 2⁻⁶⁴ noise
+   * discarded by verification), and the stored-`harr` sorted-merge overlap
+   * equals the direct path's token-overlap count wherever per-doc tokens
+   * are duplicate-free (set tokenizers — DedupSpec pins keep-set equality
+   * on both families; the registered md5 query shares
+   * [[graft.DuckSql.incrementalKeep]]'s oracle with the direct operator).
+   *
+   * Returns the surviving incoming keys (one column, named `key`).
+   */
+  def incrementalKeepIdsIndexed(corpusIndex: DataFrame, incoming: DataFrame,
+                                key: String, value: String, tokenizer: Tokenizer,
+                                threshold: Double, bands: Int = 16,
+                                rowsPerBand: Int = 8,
+                                family: HashFamily = XxHash64Family,
+                                admitTo: Option[String] = None,
+                                admitBuckets: Int = 8): DataFrame = {
+    val batchIdx = minHashIndex(incoming, key, value, tokenizer, bands,
+      rowsPerBand, family).persistTracked
+    // stage 1: cross-side — a corpus near-dup drops the incoming copy
+    val vsCorpus = indexFramePairs(corpusIndex, batchIdx, threshold, bands,
+      selfDedup = false)
+    val dropIds = vsCorpus.select(col("rid")).distinct().persistTracked
+    val survivors = incoming.join(dropIds, incoming(key) === col("rid"), "left_anti")
+      .persistTracked
+    // stage 2: within-batch — over the surviving subset of the batch frame
+    val survIdx = batchIdx.join(dropIds, batchIdx("id") === dropIds("rid"), "left_anti")
+    val selfPairs = indexFramePairs(survIdx, survIdx, threshold, bands,
+      selfDedup = true)
+    val kept = clusterKeepIds(survivors, key, selfPairs, "lid", "rid")
+    admitTo match {
+      case None => kept
+      case Some(table) =>
+        // The keep-set's lazy plan reads `corpusIndex` — when that is
+        // `spark.table(t)` and we append to t, any post-append
+        // re-execution would see the admitted rows, self-match every
+        // survivor at jaccard 1.0, and return the empty set. Cut the
+        // lineage to a materialized leaf BEFORE mutating the table; the
+        // admitted index rows then come from the batch frame alone (built
+        // from `incoming`, never from the table), so the append itself is
+        // immune too.
+        val stable = Checkpoints.cut(kept)
+        val admittedIdx = batchIdx.join(stable.select(col(key).as("keep_id")),
+          batchIdx("id") === col("keep_id"), "left_semi")
+        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket", admitBuckets)
+        stable
+    }
   }
 
   /** Tokenize one input and build its LSH side: the persisted token table
@@ -310,16 +395,45 @@ object Dedup {
       posexplode(col("keys")).as(Seq("band", "bucket"))))
   }
 
+  /**
+   * "Some band BEFORE this row's band also matched" — the unrolled,
+   * codegen'd OR-chain behind first-matching-band emission (rationale at
+   * [[minHashPairs]]). ONE definition for every MinHash call site — the
+   * same predicate was previously rebuilt inline in four places
+   * (self/R×S joins via [[firstBandCond]], the indexed join, and the two
+   * streaming joins) with subtle "a"/"b" vs "s"/"c" alias coupling; a
+   * band-geometry change now lands everywhere at once. `lKeys`/`rKeys` are
+   * the two sides' full band-key arrays, `lBand` the joined row's band
+   * index (either side's — they are equal on every same-band candidate,
+   * and bucket-only joins discard the 2⁻⁶⁴ cross-band collision rows at
+   * verification).
+   */
+  private[graft] def earlierBandMatches(bands: Int, lKeys: Column, lBand: Column,
+                                        rKeys: Column): Column =
+    (0 until bands).map(i =>
+        lit(i) < lBand && lKeys.getItem(i) === rKeys.getItem(i))
+      .reduce(_ || _)
+
+  /** SimHash counterpart of [[earlierBandMatches]] over the 4-band
+    * pigeonhole: band i of the pair matched iff XOR-window i is zero — one
+    * shift+mask per earlier band over the xor both rows' signatures give.
+    * Shared by the batch pair joins, the indexed join, and the streaming
+    * joins. */
+  private[graft] def earlierSimBandMatches(xor: Column, band: Column,
+                                           bandBits: Int): Column = {
+    val bandMask = (1L << bandBits) - 1L
+    (0 until 3).map(i =>
+        lit(i) < band &&
+          shiftright(xor, i * bandBits).bitwiseAND(lit(bandMask)) === 0L)
+      .reduce(_ || _)
+  }
+
   /** First-matching-band join condition over two banded sides aliased
     * "a"/"b": equal bucket in the same band, and NOT already matched in an
-    * earlier band (the unrolled OR-chain — rationale at [[minHashPairs]]). */
-  private def firstBandCond(bands: Int): Column = {
-    val earlierBandMatches = (0 until bands).map(i =>
-        lit(i) < col("a.band") && col("a.keys").getItem(i) === col("b.keys").getItem(i))
-      .reduce(_ || _)
+    * earlier band. */
+  private def firstBandCond(bands: Int): Column =
     col("a.bucket") === col("b.bucket") && col("a.band") === col("b.band") &&
-      !earlierBandMatches
-  }
+      !earlierBandMatches(bands, col("a.keys"), col("a.band"), col("b.keys"))
 
   /** Exact set-Jaccard check of candidate (lid, rid) pairs against the token
     * table; emits (lid, rid, jaccard) for pairs meeting the threshold.
@@ -588,20 +702,15 @@ object Dedup {
     // old post-join `.distinct()` absorbed up to 4 copies of every hot pair
     // — the dominant exchange on dup-heavy corpora. The simhash each side
     // already carries encodes every band value, so "some earlier band also
-    // matched" is one XOR away: band i matches iff window i of a^b is zero.
-    // Emitting only from the lowest matching band is exactly-once by
-    // construction — no dedup shuffle.
-    val bandBits = family.bits / 4
-    val bandMask = (1L << bandBits) - 1L
+    // matched" is one XOR away: band i matches iff window i of a^b is zero
+    // ([[earlierSimBandMatches]]). Emitting only from the lowest matching
+    // band is exactly-once by construction — no dedup shuffle.
     val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
-    val earlierBandMatches = (0 until 3).map(i =>
-        lit(i) < col("a.band") &&
-          shiftright(xor, i * bandBits).bitwiseAND(lit(bandMask)) === 0L)
-      .reduce(_ || _)
     withBand.alias("a")
       .join(withBand.alias("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
-        col("a.id") < col("b.id") && !earlierBandMatches)
+        col("a.id") < col("b.id") &&
+        !earlierSimBandMatches(xor, col("a.band"), family.bits / 4))
       .select(col("a.id").as("lid"), col("b.id").as("rid"),
         bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
@@ -628,17 +737,68 @@ object Dedup {
                      value: String, tokenizer: Tokenizer, maxHamming: Int = 3,
                      family: HashFamily = XxHash64Family): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
-    val bandBits = family.bits / 4
-    val bandMask = (1L << bandBits) - 1L
     val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
-    val earlierBandMatches = (0 until 3).map(i =>
-        lit(i) < col("a.band") &&
-          shiftright(xor, i * bandBits).bitwiseAND(lit(bandMask)) === 0L)
-      .reduce(_ || _)
     simHashBanded(corpus, key, value, tokenizer, family).alias("a")
       .join(simHashBanded(incoming, key, value, tokenizer, family).alias("b"),
         col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
-          !earlierBandMatches)
+          !earlierSimBandMatches(xor, col("a.band"), family.bits / 4))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"),
+        bit_count(xor).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Materializable SimHash INDEX of a corpus — the Hamming-side counterpart
+   * of [[minHashIndex]], completing the durable-index story for both hash
+   * families. One row per (id, band) carrying the full 64-bit signature
+   * (`simhash` — both the verification payload, via XOR bit-count, and the
+   * first-matching-band suppression input) and this band's single join key
+   * `bucket`. Unlike MinHash's hashed band keys, the bucket here is an
+   * EXACT encoding: `(band << bandBits) | bandval` — band and window value
+   * are recovered losslessly, so a bucket equality IS a (band, bandval)
+   * equality and the indexed join admits zero cross-band collision rows on
+   * either family.
+   *
+   * Persist with `Stages.writeBucketed(index, table, "bucket", n)` and the
+   * daily [[simHashPairsRsIndexed]] join is exchange-free on the corpus
+   * side, same as the MinHash trio; append admitted batches' index rows
+   * with `Stages.appendBucketed`. No token payload is stored at all —
+   * verification needs only the two signatures — so the index is 4 rows of
+   * 3 longs per doc, far smaller than the corpus text it replaces.
+   */
+  def simHashIndex(df: DataFrame, key: String, value: String,
+                   tokenizer: Tokenizer,
+                   family: HashFamily = XxHash64Family): DataFrame = {
+    val bandBits = family.bits / 4
+    simHashBanded(df, key, value, tokenizer, family)
+      .withColumn("bucket",
+        shiftleft(col("band").cast("long"), bandBits).bitwiseOR(col("bandval")))
+  }
+
+  /**
+   * [[simHashPairsRs]] against a prebuilt corpus [[simHashIndex]]: the
+   * incoming batch is indexed on the fly with the SAME family (pass the one
+   * the index was built with, or bucket encodings disagree) and joined
+   * bucket-to-bucket; verification is one XOR + bit_count from the two
+   * stored signatures. Because the bucket encodes (band, bandval)
+   * losslessly, the join predicate is EXACTLY the direct operator's
+   * (band, bandval) equality — DedupSpec pins indexed == direct on both
+   * families, multiplicity included. On a `bucket`-bucketed table the
+   * corpus side joins with no exchange (StagesSpec).
+   *
+   * Output: (lid, rid, hamming), lid from the index.
+   */
+  def simHashPairsRsIndexed(corpusIndex: DataFrame, incoming: DataFrame,
+                            key: String, value: String, tokenizer: Tokenizer,
+                            maxHamming: Int = 3,
+                            family: HashFamily = XxHash64Family): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val batch = simHashIndex(incoming, key, value, tokenizer, family)
+    val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    corpusIndex.alias("a")
+      .join(batch.alias("b"),
+        col("a.bucket") === col("b.bucket") &&
+          !earlierSimBandMatches(xor, col("a.band"), family.bits / 4))
       .select(col("a.id").as("lid"), col("b.id").as("rid"),
         bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)

@@ -208,9 +208,6 @@ object Streaming {
     import graft.operators.PersistTracker.TrackedPersist
     val corpusSide = bandedRows(corpus, key, text, bands, rowsPerBand).persistTracked
     val streamSide = bandedRows(stream, key, text, bands, rowsPerBand)
-    val earlierBandMatches = (0 until bands).map(i =>
-        lit(i) < col("s.band") && col("s.keys").getItem(i) === col("c.keys").getItem(i))
-      .reduce(_ || _)
     val overlap = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.expressions.SortedOverlapCount(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("s.harr")),
@@ -218,7 +215,8 @@ object Streaming {
     streamSide.alias("s")
       .join(corpusSide.alias("c"),
         col("s.bucket") === col("c.bucket") && col("s.band") === col("c.band") &&
-          !earlierBandMatches)
+          !graft.operators.Dedup.earlierBandMatches(bands,
+            col("s.keys"), col("s.band"), col("c.keys")))
       .withColumn("overlap", overlap)
       .where(col("overlap") >=
         (col("s.len") + col("c.len")) * lit(threshold) / lit(1d + threshold))
@@ -279,16 +277,15 @@ object Streaming {
                         rowsPerBand: Int = 8): Dataset[CorpusMatch] = {
     import stream.sparkSession.implicits._
     val streamSide = indexLayoutRows(stream, key, text, bands, rowsPerBand)
-    val earlierBandMatches = (0 until bands).map(i =>
-        lit(i) < col("s.band") && col("s.keys").getItem(i) === col("c.keys").getItem(i))
-      .reduce(_ || _)
     val overlap = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.expressions.SortedOverlapCount(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("s.harr")),
         org.apache.spark.sql.GraftExpressionBridge.expression(col("c.harr"))))
     streamSide.alias("s")
       .join(corpusIndex.alias("c"),
-        col("s.bucket") === col("c.bucket") && !earlierBandMatches)
+        col("s.bucket") === col("c.bucket") &&
+          !graft.operators.Dedup.earlierBandMatches(bands,
+            col("s.keys"), col("s.band"), col("c.keys")))
       .withColumn("overlap", overlap)
       .where(col("overlap") >=
         (col("s.len") + col("c.len")) * lit(threshold) / lit(1d + threshold))
@@ -360,15 +357,45 @@ object Streaming {
     val corpusSide = simBandedRows(corpus, key, text).persistTracked
     val streamSide = simBandedRows(stream, key, text)
     val xor = col("s.simhash").bitwiseXOR(col("c.simhash"))
-    val earlierBandMatches = (0 until 3).map(i =>
-        lit(i) < col("s.band") &&
-          shiftright(xor, i * 16).bitwiseAND(lit(0xFFFFL)) === 0L)
-      .reduce(_ || _)
     streamSide.alias("s")
       .join(corpusSide.alias("c"),
         col("s.band") === col("c.band") && col("s.bandval") === col("c.bandval") &&
-          !earlierBandMatches)
+          !graft.operators.Dedup.earlierSimBandMatches(xor, col("s.band"), 16))
       .select(col("s.id").as("id"), col("c.id").as("corpus_id"),
+        bit_count(xor).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .as[CorpusSimMatch]
+  }
+
+  /**
+   * Streaming incremental SimHash dedup against a DURABLE corpus index: like
+   * [[simHashAgainstCorpus]], but the static side is a prebuilt
+   * [[graft.operators.Dedup.simHashIndex]] table — the streaming counterpart
+   * of [[graft.operators.Dedup.simHashPairsRsIndexed]], mirroring what
+   * [[dedupAgainstIndex]] is to [[dedupAgainstCorpus]] on the MinHash side.
+   * Corpus-side tokenize/hash work was paid once at index-build time (not
+   * once per stream restart), and on a `bucket`-bucketed table each
+   * micro-batch's join is exchange-free on the corpus side. The stream side
+   * builds the SAME exact bucket encoding (`(band << 16) | bandval` —
+   * lossless, so bucket equality IS the direct operator's (band, bandval)
+   * equality) statelessly per arriving row. XxHash64 family only, like
+   * every streaming operator here.
+   *
+   * Output: [[CorpusSimMatch]] rows, `corpus_id` from the index.
+   */
+  def simHashAgainstIndex(stream: DataFrame, corpusIndex: DataFrame, key: String,
+                          text: String, maxHamming: Int = 3): Dataset[CorpusSimMatch] = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    import stream.sparkSession.implicits._
+    val streamSide = simBandedRows(stream, key, text)
+      .withColumn("bucket",
+        shiftleft(col("band").cast("long"), 16).bitwiseOR(col("bandval")))
+    val xor = col("s.simhash").bitwiseXOR(col("c.simhash"))
+    streamSide.alias("s")
+      .join(corpusIndex.alias("c"),
+        col("s.bucket") === col("c.bucket") &&
+          !graft.operators.Dedup.earlierSimBandMatches(xor, col("s.band"), 16))
+      .select(col("s.id").as("id"), col("c.id").cast("string").as("corpus_id"),
         bit_count(xor).cast("int").as("hamming"))
       .where(col("hamming") <= maxHamming)
       .as[CorpusSimMatch]

@@ -348,4 +348,72 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keep === Set(11L, 13L))
   }
+
+  test("simhash indexed R×S == direct R×S (pairs AND hamming, both families)") {
+    // same engineered mix as the pigeonhole-recall test: identical copies
+    // (hamming 0, collide in ALL bands — the multiplicity worst case),
+    // one-word edits, and fresh docs
+    val rnd = new Random(47)
+    val corp = corpus(47, 25, 10)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val incoming = (0 until 12).map { i =>
+      if (i % 3 == 0) {
+        val (_, text) = corp(rnd.nextInt(corp.size))
+        (8100L + i) -> text
+      } else if (i % 3 == 1) {
+        val (_, text) = corp(rnd.nextInt(corp.size))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (8100L + i) -> words.distinct.mkString(" ")
+      } else
+        (8100L + i) -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val lDf = corp.toDF("id", "txt"); val rDf = incoming.toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      def asRows(df: org.apache.spark.sql.DataFrame) =
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq.sorted
+      val direct = asRows(Dedup.simHashPairsRs(lDf, rDf, "id", "txt", ws, 3, family = fam))
+      val indexed = asRows(Dedup.simHashPairsRsIndexed(
+        Dedup.simHashIndex(lDf, "id", "txt", ws, family = fam),
+        rDf, "id", "txt", ws, 3, family = fam))
+      assert(direct.nonEmpty, s"$fam: corpus must contain engineered near-dups")
+      // Seq equality (not Set): the lossless bucket encoding makes indexed
+      // == direct INCLUDING emission multiplicity
+      assert(indexed === direct, s"$fam indexed != direct")
+    }
+  }
+
+  test("incrementalKeepIdsIndexed == incrementalKeepIds (both families)") {
+    // chains + cross-side dups + fresh docs, large enough that the banded
+    // stages do real work
+    val corpusDf = corpus(53, 20, 8).toDF("id", "txt")
+    val rnd = new Random(53)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val base = corpus(53, 20, 8)
+    val incoming = ((0 until 12).map { i =>
+      if (i % 3 == 0) (9000L + i) -> base(rnd.nextInt(base.size))._2 // corpus dup
+      else if (i % 3 == 1) {
+        val (_, text) = base(rnd.nextInt(base.size))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (9000L + i) -> words.distinct.mkString(" ")
+      } else (9000L + i) -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    } ++ Seq( // within-batch dup family -> cluster stage must collapse it
+      9100L -> "p q r s t u v w x y",
+      9101L -> "p q r s t u v w x y",
+      9102L -> "p q r s t u v w x z")).toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      val direct = Dedup.incrementalKeepIds(corpusDf, incoming, "id", "txt", ws,
+          0.8, bands = 8, rowsPerBand = 4, family = fam)
+        .collect().map(_.getLong(0)).toSet
+      val indexed = Dedup.incrementalKeepIdsIndexed(
+          Dedup.minHashIndex(corpusDf, "id", "txt", ws, bands = 8,
+            rowsPerBand = 4, family = fam),
+          incoming, "id", "txt", ws, 0.8, bands = 8, rowsPerBand = 4, family = fam)
+        .collect().map(_.getLong(0)).toSet
+      assert(direct.nonEmpty && direct.size < 15,
+        s"$fam: fixture must drop some docs and keep some (kept $direct)")
+      assert(indexed === direct, s"$fam indexed keep-set != direct")
+    }
+  }
 }

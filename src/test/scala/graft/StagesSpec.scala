@@ -102,6 +102,85 @@ class StagesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed simhash index joins the incoming batch with no corpus-side exchange") {
+    import graft.operators.{Dedup, WhitespaceTokenizer}
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    val ws = WhitespaceTokenizer()
+    val corpus = (0L until 60L).map(i => (i, s"a b c d w$i x$i y$i")).toDF("id", "txt")
+    val incoming = (100L until 110L).map(i => (i, s"a b c d w${i - 100} x${i - 100} y${i - 100}"))
+      .toDF("id", "txt")
+    Stages.writeBucketed(
+      Dedup.simHashIndex(corpus, "id", "txt", ws), "graft_sh_idx", "bucket", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = Dedup.simHashPairsRsIndexed(spark.table("graft_sh_idx"),
+        incoming, "id", "txt", ws, 3)
+      val exec = pairs.queryExecution.executedPlan
+      val smjSides = exec.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }.flatten
+      val corpusSides = smjSides.filter(_.toString.contains("graft_sh_idx"))
+      assert(corpusSides.nonEmpty, s"expected a sort-merge join over the index:\n$exec")
+      def shuffles(p: SparkPlan) = p.collect { case e: ShuffleExchangeExec => e }
+      assert(corpusSides.forall(s => shuffles(s).isEmpty),
+        s"corpus side of the indexed simhash join must not shuffle:\n$exec")
+      assert(pairs.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_sh_idx")
+    }
+  }
+
+  test("incrementalKeepIdsIndexed admission: day-2 on appended index == from-scratch union index") {
+    import graft.operators.{Dedup, WhitespaceTokenizer}
+    val ws = WhitespaceTokenizer()
+    val corpus = (0L until 30L).map(i => (i, s"a b c d w$i x$i y$i")).toDF("id", "txt")
+    val batch1 = Seq(
+      100L -> "a b c d w1 x1 y1",            // near-dup of corpus doc 1 -> dropped
+      101L -> "p q r s t u v w aa bb",       // family {101, 102} -> keep 101
+      102L -> "p q r s t u v w aa bb",
+      103L -> "m n o j k l z0 z1 z2 z3"      // fresh -> kept (and admitted)
+    ).toDF("id", "txt")
+    // day-2 docs probe near-dups of the ORIGINAL corpus and of the DAY-1
+    // ADMISSIONS — the appended rows must act, or the test proves nothing
+    val batch2 = Seq(
+      200L -> "a b c d w2 x2 y2",            // vs corpus
+      201L -> "p q r s t u v w aa cc",       // vs admitted 101
+      202L -> "m n o j k l z0 z1 z2 z9",     // vs admitted 103
+      203L -> "f g h i j2 zz1 zz2 zz3"       // fresh
+    ).toDF("id", "txt")
+    def idx(df: org.apache.spark.sql.DataFrame) =
+      Dedup.minHashIndex(df, "id", "txt", ws, bands = 8, rowsPerBand = 4)
+    def keepVia(table: String, batch: org.apache.spark.sql.DataFrame,
+                admit: Option[String] = None) =
+      Dedup.incrementalKeepIdsIndexed(spark.table(table), batch, "id", "txt", ws,
+        0.7, bands = 8, rowsPerBand = 4, admitTo = admit)
+        .collect().map(_.getLong(0)).toSet
+    try {
+      Stages.writeBucketed(idx(corpus), "graft_ik_acc", "bucket", 8)
+      val kept1 = keepVia("graft_ik_acc", batch1, admit = Some("graft_ik_acc"))
+      assert(kept1 === Set(101L, 103L))
+      // the append added EXACTLY the kept docs' index rows
+      val idsInAcc = spark.table("graft_ik_acc").select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(idsInAcc === (0L until 30L).toSet ++ kept1)
+      val keptDocs = batch1.where(col("id").isin(kept1.toSeq: _*))
+      Stages.writeBucketed(idx(corpus.unionByName(keptDocs)), "graft_ik_full", "bucket", 8)
+      val viaAppend = keepVia("graft_ik_acc", batch2)
+      val viaFull = keepVia("graft_ik_full", batch2)
+      assert(viaAppend === viaFull, "appended index must behave as the from-scratch union")
+      assert(viaAppend === Set(203L),
+        s"day-2 must drop vs corpus AND vs day-1 admissions, kept $viaAppend")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ik_acc")
+      spark.sql("DROP TABLE IF EXISTS graft_ik_full")
+    }
+  }
+
   test("compactBucketed: fewer files, identical rows, join still exchange-free") {
     val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
     def tableFiles(table: String): Int = {

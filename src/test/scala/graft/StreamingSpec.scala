@@ -364,4 +364,53 @@ class StreamingSpec extends SparkSpec {
       .where($"count" > 1).collect()
     assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
   }
+
+  test("simHashAgainstIndex: stream vs durable simhash index == batch simHashPairsRsIndexed") {
+    // the Hamming-side mirror of the dedupAgainstIndex pin: the corpus is
+    // banded ONCE into the simHashIndex layout; stream verdicts (pairs AND
+    // hamming values) must equal the batch indexed operator's on the same
+    // docs, exactly-once despite identical docs colliding in all 4 bands
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(61)
+    val vocab = (0 until 150).map(i => s"w$i")
+    val corpusDocs = (0 until 25).map { i =>
+      i.toLong -> Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    }
+    val incoming = (0 until 12).map { i =>
+      if (i % 3 == 0) {
+        val (_, text) = corpusDocs(rnd.nextInt(25))
+        (3000L + i) -> text // identical: hamming 0, collides in all 4 bands
+      } else if (i % 3 == 1) {
+        val (_, text) = corpusDocs(rnd.nextInt(25))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (3000L + i) -> words.distinct.mkString(" ")
+      } else
+        (3000L + i) -> Seq.fill(25)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    } ++ Seq(3100L -> "", 3101L -> "\t ")
+    val corpusDf = corpusDocs.toDF("id", "text")
+    val index = Dedup.simHashIndex(corpusDf, "id", "text", WhitespaceTokenizer())
+      .persist()
+    val in = MemoryStream[(Long, String)]
+    val stream = in.toDF().toDF("id", "text")
+    runToTable(
+      Streaming.simHashAgainstIndex(stream, index, "id", "text", 3), "sim_vs_index") {
+      incoming.grouped(5).foreach(chunk => in.addData(chunk: _*))
+    }
+    val streamPairs = spark.table("sim_vs_index")
+      .as[(String, String, Int)].collect()
+      .map { case (sid, cid, h) => ((cid.toLong, sid.toLong), h) }.toMap
+    val batchPairs = Dedup.simHashPairsRsIndexed(
+        index, incoming.toDF("id", "text"), "id", "text",
+        WhitespaceTokenizer(), 3)
+      .select("lid", "rid", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (l, r, h) => ((l, r), h) }.toMap
+    index.unpersist()
+    assert(streamPairs.nonEmpty, "incoming must contain engineered corpus near-dups")
+    assert(streamPairs === batchPairs)
+    assert(streamPairs.exists(_._2 == 0), "identical cross-side copies must appear")
+    val dupes = spark.table("sim_vs_index").groupBy("id", "corpus_id").count()
+      .where($"count" > 1).collect()
+    assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
+  }
 }
