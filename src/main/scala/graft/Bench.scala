@@ -179,11 +179,29 @@ object Bench {
       Attempt(results, preWindow, postWindow, waitedSec, rank, verdict)
     }
 
-    var attempts = Vector(runAttempt())
-    while (attempts.size < maxAttempts && attempts.last.verdictRank != 0) {
+    // Total-deadline guard: the driver enforces an overall wall-clock cap on
+    // the bench process (BENCH_r05 rc=124 is what a kill looks like — a dead
+    // artifact is strictly worse than a degraded one), so never START an
+    // attempt that likely can't finish. Estimate the next attempt as the
+    // previous one's wall (gate wait excluded, it's bounded separately).
+    val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC").map(_.toInt)
+      .getOrElse(3300)
+    val t0 = System.nanoTime()
+    def elapsedSec = (System.nanoTime() - t0) / 1e9
+    def timedAttempt(): (Attempt, Double) = {
+      val a0 = elapsedSec
+      val a = runAttempt()
+      (a, elapsedSec - a0 - a.waitedSec)
+    }
+    var (first, lastRunSec) = timedAttempt()
+    var attempts = Vector(first)
+    while (attempts.size < maxAttempts && attempts.last.verdictRank != 0 &&
+        elapsedSec + lastRunSec + 60 < deadlineSec) {
       System.err.println(s"[bench] attempt ${attempts.size}/$maxAttempts was " +
         s"${attempts.last.verdict.takeWhile(_ != ' ')} - re-gating for another attempt")
-      attempts :+= runAttempt()
+      val (a, runSec) = timedAttempt()
+      attempts :+= a
+      lastRunSec = runSec
     }
     val best = attempts.minBy(a => (a.verdictRank, a.total))
     if (attempts.size > 1)
