@@ -42,6 +42,12 @@ object Bench {
     "pipeline_curate_docs",     // the 5-stage curation pipeline end-to-end
     "decontam_docs",            // 13-gram benchmark decontamination
     "shuffle_order_docs",       // deterministic global shuffle (two-pass rank)
+    // training-telemetry shapes (round-8 advice #8): sessionization and
+    // windowed aggregation are headline event-analytics workloads — bench
+    // them so a regression in the window/lag plans surfaces per-round
+    "evt_window_agg",
+    "evt_json_props",
+    "evt_sessionize",
   )
 
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or
@@ -144,6 +150,10 @@ object Bench {
                        post: HostWindow, waitedSec: Int, verdictRank: Int,
                        verdict: String) {
       def total: Double = results.map(_._2).filter(_ >= 0).sum
+      // crashed queries record -1 and are EXCLUDED from total, so an attempt
+      // with a crash would otherwise look cheaper than a complete one at
+      // equal verdict rank (round-8 advice) — rank completeness first
+      def nFailed: Int = results.count(_._2 < 0)
     }
     def runAttempt(): Attempt = {
       // probe + gate BEFORE the timed section: r5/r6 both produced official
@@ -183,9 +193,13 @@ object Bench {
     // the bench process (BENCH_r05 rc=124 is what a kill looks like — a dead
     // artifact is strictly worse than a degraded one), so never START an
     // attempt that likely can't finish. Estimate the next attempt as the
-    // previous one's wall (gate wait excluded, it's bounded separately).
+    // previous one's wall PLUS the full gate budget: each retry re-runs
+    // gateOnHealthyWindow(), which can block up to the probe-wait budget
+    // before the profile starts, so excluding it (as pre-round-9 code did)
+    // could admit a retry that the external cap then kills mid-run.
     val deadlineSec = sys.env.get("SPARK_GRAFT_BENCH_DEADLINE_SEC").map(_.toInt)
       .getOrElse(3300)
+    val probeBudgetSec = sys.env.get("SPARK_GRAFT_PROBE_WAIT_SEC").map(_.toInt).getOrElse(600)
     val t0 = System.nanoTime()
     def elapsedSec = (System.nanoTime() - t0) / 1e9
     def timedAttempt(): (Attempt, Double) = {
@@ -196,14 +210,14 @@ object Bench {
     var (first, lastRunSec) = timedAttempt()
     var attempts = Vector(first)
     while (attempts.size < maxAttempts && attempts.last.verdictRank != 0 &&
-        elapsedSec + lastRunSec + 60 < deadlineSec) {
+        elapsedSec + lastRunSec + probeBudgetSec + 60 < deadlineSec) {
       System.err.println(s"[bench] attempt ${attempts.size}/$maxAttempts was " +
         s"${attempts.last.verdict.takeWhile(_ != ' ')} - re-gating for another attempt")
       val (a, runSec) = timedAttempt()
       attempts :+= a
       lastRunSec = runSec
     }
-    val best = attempts.minBy(a => (a.verdictRank, a.total))
+    val best = attempts.minBy(a => (a.nFailed, a.verdictRank, a.total))
     if (attempts.size > 1)
       System.err.println(f"[bench] best of ${attempts.size} attempts: " +
         f"${best.verdict.takeWhile(_ != ' ')} total ${best.total}%.1f s")
@@ -213,7 +227,7 @@ object Bench {
     val attemptsJson = attempts.map(a =>
       f"""{"verdict":"${a.verdict.takeWhile(_ != ' ')}","total":${a.total}%.1f,"pre_mem":${a.pre.mem}%.2f,"post_mem":${a.post.mem}%.2f,"waited_sec":${a.waitedSec}}""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${best.total},"unit":"sec","queries":$qs$recallJson${hostField(best.pre, best.post, best.waitedSec, attemptsJson)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${best.total},"unit":"sec","queries":$qs$recallJson${hostField(best.pre, best.post, best.waitedSec, best.verdict, attempts.indexOf(best), attemptsJson)},"sf":"$sfDir"}""")
     spark.stop()
   }
 
@@ -325,16 +339,21 @@ object Bench {
   /** `"host"` JSON field. Top-level par_eff_* are the PRE-probe (the window
     * the EMITTED attempt's timed section started in — the number to compare
     * round-over-round); post_* record the window at its completion so mid-run
-    * shifts are visible. `degraded` is the pre-probe verdict against the gate
-    * thresholds at their defaults; `waited_sec` is time spent in that
-    * attempt's gate; `attempts` summarizes EVERY attempt of the retry loop
+    * shifts are visible. `verdict` and `degraded` are the EMITTED attempt's
+    * self-classification (pre AND post probes against the gate thresholds —
+    * round-8 advice: the old pre-only `degraded` flag could read false on a
+    * SHIFTED attempt and mislead tooling); `attempt_index` says which entry
+    * of `attempts` was emitted; `waited_sec` is time spent in that attempt's
+    * gate; `attempts` summarizes EVERY attempt of the retry loop
     * (verdict/total/pre+post mem/gate wait) so a multi-attempt artifact
     * documents what it tried before settling on the emitted numbers. */
   private def hostField(pre: HostWindow, post: HostWindow, waitedSec: Int,
+                        verdict: String, attemptIndex: Int,
                         attemptsJson: String): String = {
     val n = Runtime.getRuntime.availableProcessors()
-    val degraded = !pre.healthy(0.75, 0.55)
-    f""","host":{"cores":$n,"par_eff_cpu":${pre.cpu}%.2f,"par_eff_mem":${pre.mem}%.2f,"post_par_eff_cpu":${post.cpu}%.2f,"post_par_eff_mem":${post.mem}%.2f,"samples":2,"waited_sec":$waitedSec,"degraded":$degraded,"attempts":$attemptsJson}"""
+    val v = verdict.takeWhile(_ != ' ')
+    val degraded = v != "HEALTHY"
+    f""","host":{"cores":$n,"par_eff_cpu":${pre.cpu}%.2f,"par_eff_mem":${pre.mem}%.2f,"post_par_eff_cpu":${post.cpu}%.2f,"post_par_eff_mem":${post.mem}%.2f,"samples":2,"waited_sec":$waitedSec,"verdict":"$v","degraded":$degraded,"attempt_index":$attemptIndex,"attempts":$attemptsJson}"""
   }
 
   /** Deterministic clustered embedding fixture: `n` vectors in `nClusters`

@@ -471,6 +471,31 @@ WHERE s.$key NOT IN (SELECT id FROM ($clusters) WHERE cluster_id != id)"""
   }
 
   /**
+   * Mirrors Dedup.incrementalKeepIdsSimHash on the md5 family — the
+   * Hamming-side [[incrementalKeep]]: drop incoming ids within Hamming
+   * `maxHamming` of the corpus ([[simHashMd5Rs]]), then collapse
+   * within-batch clusters of the survivors to their min-id representative
+   * ([[simHashMd5]] + [[clusterIds]]). Because the stored-index bucket is a
+   * lossless (band, bandval) encoding, this single oracle also checks the
+   * INDEXED operator (indexed == direct is an equality). Output: one `key`
+   * column of surviving ids.
+   */
+  def incrementalKeepSimHash(corpusTable: String, incomingTable: String,
+                             key: String, text: String, sepClass: String,
+                             maxHamming: Int): String = {
+    val corpusTok = delimTokens(corpusTable, key, text, sepClass)
+    val incomingTok = delimTokens(incomingTable, key, text, sepClass)
+    val rs = simHashMd5Rs(corpusTok, incomingTok, maxHamming)
+    val survivorsTable =
+      s"(SELECT * FROM $incomingTable i WHERE i.$key NOT IN (SELECT rid FROM ($rs)))"
+    val survTok = delimTokens(survivorsTable, key, text, sepClass)
+    val selfPairs = simHashMd5(survTok, maxHamming)
+    val clusters = clusterIds(s"SELECT lid AS l, rid AS r FROM ($selfPairs)")
+    s"""SELECT s.$key AS $key FROM $survivorsTable s
+WHERE s.$key NOT IN (SELECT id FROM ($clusters) WHERE cluster_id != id)"""
+  }
+
+  /**
    * Mirrors Dedup.simHashPairs with the Md5Family: 60-bit SimHash from
    * per-bit sign sums, 4×15-bit pigeonhole banding, Hamming ≤ maxHamming.
    * Output (lid, rid, hamming) with hamming as BIGINT.
@@ -627,6 +652,59 @@ FROM (
     s"""WITH cents AS (
   SELECT $key AS cid, $vec AS cvec FROM $table
   ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
+assign AS (
+  SELECT id, cid, v FROM (
+    SELECT e.$key AS id, e.$vec AS v, c.cid AS cid,
+      row_number() OVER (PARTITION BY e.$key
+        ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table e, cents c)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.$key AS query_id, q.$vec AS qv, c.cid AS cid,
+      row_number() OVER (PARTITION BY q.$key
+        ORDER BY ${cosExpr(s"q.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table q, cents c WHERE $queryPred)
+  WHERE rn <= $nProbe)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT p.query_id AS query_id, a.id AS neighbor_id,
+    row_number() OVER (PARTITION BY p.query_id
+      ORDER BY ${cosExpr("p.qv", "a.v")} DESC, a.id) AS rank
+  FROM probes p JOIN assign a USING (cid) WHERE a.id != p.query_id)
+WHERE rank <= $k"""
+
+  /** Mirrors Similarity.topKIvfKmeans at iters = 1 — the ONE Lloyd round that
+    * IS expressible as a single SQL statement: md5-sample init, nearest-
+    * centroid assignment, per-element mean (exact decimal(38,18) sum, then
+    * divide and cast to FLOAT — DuckDB's decimal division goes through
+    * DOUBLE while Spark divides exactly at scale 18, but both approximate
+    * the exact quotient within 2^-52 relative, far inside the final FLOAT
+    * cast's 2^-24 rounding), empty lists keep their init centroid
+    * (LEFT JOIN + coalesce = Spark's coalesce(mvec, cvec)), then the same
+    * probe engine as [[annTopKIvf]] over the refined centroids. */
+  def annTopKIvfKmeans1(table: String, key: String, vec: String,
+                        queryPred: String, k: Int, nCentroids: Int,
+                        nProbe: Int, dim: Int): String =
+    s"""WITH cents0 AS (
+  SELECT $key AS cid, $vec AS cvec FROM $table
+  ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
+assign0 AS (
+  SELECT cid, v FROM (
+    SELECT e.$vec AS v, c.cid AS cid,
+      row_number() OVER (PARTITION BY e.$key
+        ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table e, cents0 c)
+  WHERE rn = 1),
+means AS (
+  SELECT cid, list(m ORDER BY j) AS mvec FROM (
+    SELECT cid, jj AS j,
+      CAST(CAST(SUM(CAST(v[jj] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
+    FROM assign0, generate_series(1, $dim) t(jj)
+    GROUP BY cid, jj)
+  GROUP BY cid),
+cents AS (
+  SELECT c.cid AS cid, coalesce(m.mvec, c.cvec) AS cvec
+  FROM cents0 c LEFT JOIN means m USING (cid)),
 assign AS (
   SELECT id, cid, v FROM (
     SELECT e.$key AS id, e.$vec AS v, c.cid AS cid,

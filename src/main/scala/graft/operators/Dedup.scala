@@ -793,15 +793,107 @@ object Dedup {
                             maxHamming: Int = 3,
                             family: HashFamily = XxHash64Family): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
-    val batch = simHashIndex(incoming, key, value, tokenizer, family)
+    simIndexFramePairs(corpusIndex,
+      simHashIndex(incoming, key, value, tokenizer, family),
+      maxHamming, family.bits / 4, selfDedup = false)
+  }
+
+  /** The index-layout join of the SimHash family — the Hamming-side mirror
+    * of [[indexFramePairs]]: two frames in the [[simHashIndex]] column
+    * layout (id, simhash, band, bandval, bucket) joined on `bucket` (a
+    * LOSSLESS (band, bandval) encoding, so this IS the direct operator's
+    * equi key) with first-matching-band suppression, verified by one XOR +
+    * bit_count from the two stored signatures. `selfDedup = true` adds the
+    * `a.id < b.id` orientation for a frame joined with itself. Output
+    * (lid, rid, hamming), lid from the left frame. */
+  private def simIndexFramePairs(lIdx: DataFrame, rIdx: DataFrame,
+                                 maxHamming: Int, bandBits: Int,
+                                 selfDedup: Boolean): DataFrame = {
     val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
-    corpusIndex.alias("a")
-      .join(batch.alias("b"),
-        col("a.bucket") === col("b.bucket") &&
-          !earlierSimBandMatches(xor, col("a.band"), family.bits / 4))
+    val base = col("a.bucket") === col("b.bucket") &&
+      !earlierSimBandMatches(xor, col("a.band"), bandBits)
+    val cond = if (selfDedup) base && col("a.id") < col("b.id") else base
+    lIdx.alias("a")
+      .join(rIdx.alias("b"), cond)
       .select(col("a.id").as("lid"), col("b.id").as("rid"),
         bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Incremental SimHash keep-set — the Hamming-side mirror of
+   * [[incrementalKeepIds]], completing the daily-ingest keep-set story on
+   * both hash families: (1) drop every incoming record within Hamming
+   * `maxHamming` of a corpus record, (2) collapse the survivors'
+   * within-batch Hamming clusters to their min-id representative
+   * ([[clusterKeepIds]]). The corpus side is an in-memory [[simHashIndex]]
+   * built here; use [[incrementalKeepIdsSimHashIndexed]] against a durable
+   * stored index in production. Returns the surviving incoming keys (one
+   * column, named `key`). Md5 family is DuckDB-oracle-checked end-to-end
+   * ([[graft.DuckSql.incrementalKeepSimHash]]).
+   */
+  def incrementalKeepIdsSimHash(corpus: DataFrame, incoming: DataFrame,
+                                key: String, value: String, tokenizer: Tokenizer,
+                                maxHamming: Int = 3,
+                                family: HashFamily = XxHash64Family): DataFrame =
+    incrementalKeepIdsSimHashIndexed(
+      simHashIndex(corpus, key, value, tokenizer, family),
+      incoming, key, value, tokenizer, maxHamming, family)
+
+  /**
+   * The SimHash production daily-ingest operator — the Hamming-side mirror
+   * of [[incrementalKeepIdsIndexed]]: [[incrementalKeepIdsSimHash]] against
+   * a DURABLE corpus [[simHashIndex]]. Because the bucket encoding is
+   * lossless, the indexed joins are EQUAL to the direct (band, bandval)
+   * joins — indexed == direct is an equality on both families, so the
+   * registered md5 query shares the direct operator's oracle. The incoming
+   * batch is indexed ONCE and both stages share the persisted frame (index
+   * rows are strictly per-doc, so filtering to the survivors equals
+   * re-indexing the survivor subset — the same argument as the MinHash
+   * mirror).
+   *
+   * `admitTo = Some(table)` appends the KEPT records' index rows via
+   * [[graft.sources.Stages.appendBucketed]] so tomorrow's batch sees
+   * today's admissions with no rebuild — with the same lineage cut as the
+   * MinHash form: the keep-set is checkpointed BEFORE the table its plan
+   * reads is mutated, or any post-append re-execution would self-match
+   * every survivor at Hamming 0 and return the empty set.
+   *
+   * Returns the surviving incoming keys (one column, named `key`).
+   */
+  def incrementalKeepIdsSimHashIndexed(corpusIndex: DataFrame, incoming: DataFrame,
+                                       key: String, value: String,
+                                       tokenizer: Tokenizer, maxHamming: Int = 3,
+                                       family: HashFamily = XxHash64Family,
+                                       admitTo: Option[String] = None,
+                                       admitBuckets: Int = 8): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val bandBits = family.bits / 4
+    val batchIdx = simHashIndex(incoming, key, value, tokenizer, family)
+      .persistTracked
+    // stage 1: cross-side — a corpus near-dup drops the incoming copy
+    val vsCorpus = simIndexFramePairs(corpusIndex, batchIdx, maxHamming,
+      bandBits, selfDedup = false)
+    val dropIds = vsCorpus.select(col("rid")).distinct().persistTracked
+    val survivors = incoming.join(dropIds, incoming(key) === col("rid"), "left_anti")
+      .persistTracked
+    // stage 2: within-batch — over the surviving subset of the batch frame
+    val survIdx = batchIdx.join(dropIds, batchIdx("id") === dropIds("rid"), "left_anti")
+    val selfPairs = simIndexFramePairs(survIdx, survIdx, maxHamming, bandBits,
+      selfDedup = true)
+    val kept = clusterKeepIds(survivors, key, selfPairs, "lid", "rid")
+    admitTo match {
+      case None => kept
+      case Some(table) =>
+        // same read-after-append trap as the MinHash mirror: cut the
+        // lineage to a materialized leaf BEFORE mutating the table the
+        // keep-set's plan reads (rationale at incrementalKeepIdsIndexed)
+        val stable = Checkpoints.cut(kept)
+        val admittedIdx = batchIdx.join(stable.select(col(key).as("keep_id")),
+          batchIdx("id") === col("keep_id"), "left_semi")
+        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket", admitBuckets)
+        stable
+    }
   }
 
   /** One (id, simhash, band, bandval) row per signature window: the 4-band

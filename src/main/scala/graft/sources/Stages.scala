@@ -115,12 +115,17 @@ object Stages {
    * [[appendBucketed]]: each append adds one file set per bucket, so after
    * many ingest days a bucket is dozens of small files — correctness is
    * unaffected (bucket METADATA never changed, joins stay exchange-free) but
-   * scan cost and open-file overhead creep up. Compaction reads the table
-   * back and rewrites it as one file set via a TEMP table + atomic-ish swap
-   * (write `<table>__compact`, drop the original, rename the directory,
-   * recreate the catalog entry): the read-back must be fully materialized
-   * before the original is dropped, because the rewrite reads the very table
-   * it replaces.
+   * scan cost and open-file overhead creep up. Compaction rewrites the
+   * table as one file set via TWO bucketed CTAS copies: table →
+   * `<table>__compact` (scratch), then scratch → table — each copy reads a
+   * different location than it writes, so no step races its own input.
+   *
+   * Crash recovery: the second copy drops the live table before its rewrite
+   * commits, so a crash in that window leaves only the scratch table — the
+   * data is intact under `<table>__compact` and recovery is replaying the
+   * second copy by hand: `writeBucketed(spark.table(scratch), table, …)`
+   * then dropping the scratch. Nothing is lost; the swap is "atomic-ish",
+   * not atomic.
    *
    * When to trigger (SCALE.md): file count per bucket > ~16, or average
    * file size < ~1/4 of the parquet row-group target — i.e. roughly every

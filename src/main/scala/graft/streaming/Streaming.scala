@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /**
  * Structured Streaming variants of the training-data pipeline operators.
@@ -19,6 +19,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
  *   - [[dedupAgainstCorpus]] — stateless stream-static LSH join: arriving
  *     docs checked against a static corpus (the ingestion-time counterpart
  *     of [[graft.operators.Dedup.minHashPairsRs]]).
+ *   - [[ingestDedup]] / [[ingestDedupSimHash]] — the continuous ADMISSION
+ *     loop: every micro-batch deduped against the durable corpus index and
+ *     its survivors appended back, state living in the bucketed table
+ *     instead of streaming state-store memory.
  *   - [[windowedStats]] — watermarked tumbling-window corpus quality
  *     aggregates for ingestion monitoring.
  *
@@ -433,6 +437,79 @@ object Streaming {
       .map { case (id, ghs) => Contaminated(id, ghs.count(bc.value.contains).toLong) }
       .filter(_.n_shared_grams >= minShared)
   }
+
+  /**
+   * Continuous-ingest dedup loop — the streaming END of the production
+   * daily-ingest story: wires an ingestion stream into
+   * [[graft.operators.Dedup.incrementalKeepIdsIndexed]] (`admitTo` form) so
+   * EVERY micro-batch is (1) dropped against the durable corpus index,
+   * (2) collapsed within-batch, and (3) its survivors' index rows appended
+   * to the same table — batch N+1 automatically sees batch N's admissions
+   * with no rebuild, turning the "daily" ingest cadence into whatever
+   * trigger interval the stream runs at.
+   *
+   * [[dedupAgainstIndex]] is the stateless MATCH-REPORTING half (emit pairs,
+   * mutate nothing); this is the stateful ADMISSION half, and the state
+   * lives in the bucketed table rather than in streaming state-store memory —
+   * which is exactly where corpus-scale state must live at 100 TB (a
+   * state store holding the corpus' token sets would need the whole corpus
+   * in executor memory; the table is just parquet, joined exchange-free on
+   * its bucket key each micro-batch).
+   *
+   * `onBatch(keptIds, batchId)` receives each micro-batch's keep-set (one
+   * `key` column, already materialized by the operator's internal lineage
+   * cut — see `incrementalKeepIdsIndexed`) — write it to a sink, drive
+   * downstream curation, or just count it. Empty micro-batches are skipped
+   * entirely (no empty append file-sets piling onto the table).
+   *
+   * Delivery note: `foreachBatch` replays a micro-batch after a failure, and
+   * the bucketed append is not transactional, so admission is AT-LEAST-ONCE:
+   * a replayed batch re-joins against its own earlier admissions, every doc
+   * self-matches at jaccard 1.0, and the replay admits nothing new and
+   * reports an empty keep-set (duplicate index rows from a crash BETWEEN
+   * append and checkpoint-commit cost duplicate candidate pairs at read
+   * time, never wrong keep semantics — verify is per-pair). Exactly-once
+   * keep-set REPORTING therefore needs `onBatch` to be idempotent on
+   * `batchId`, the standard foreachBatch contract.
+   *
+   * Returns the started [[StreamingQuery]]; the caller owns its lifecycle.
+   * XxHash64 family only (the durable index layout stores hashes).
+   */
+  def ingestDedup(stream: DataFrame, indexTable: String, key: String,
+                  text: String, tokenizer: graft.operators.Tokenizer,
+                  threshold: Double, bands: Int = 16, rowsPerBand: Int = 8,
+                  admitBuckets: Int = 8,
+                  onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.operators.Dedup.incrementalKeepIdsIndexed(
+            batch.sparkSession.table(indexTable), batch, key, text, tokenizer,
+            threshold, bands, rowsPerBand, admitTo = Some(indexTable),
+            admitBuckets = admitBuckets)
+          onBatch(kept, batchId)
+        }
+      }
+      .start()
+
+  /** The Hamming-side mirror of [[ingestDedup]]: continuous admission
+    * against a durable [[graft.operators.Dedup.simHashIndex]] table via
+    * [[graft.operators.Dedup.incrementalKeepIdsSimHashIndexed]]. Same
+    * state-in-the-table design, same at-least-once admission semantics. */
+  def ingestDedupSimHash(stream: DataFrame, indexTable: String, key: String,
+                         text: String, tokenizer: graft.operators.Tokenizer,
+                         maxHamming: Int = 3, admitBuckets: Int = 8,
+                         onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.operators.Dedup.incrementalKeepIdsSimHashIndexed(
+            batch.sparkSession.table(indexTable), batch, key, text, tokenizer,
+            maxHamming, admitTo = Some(indexTable), admitBuckets = admitBuckets)
+          onBatch(kept, batchId)
+        }
+      }
+      .start()
 
   /**
    * Watermarked tumbling-window corpus quality monitor: per (window, lang)

@@ -416,4 +416,47 @@ class DedupSpec extends SparkSpec {
       assert(indexed === direct, s"$fam indexed keep-set != direct")
     }
   }
+
+  test("simhash keep-set: indexed == direct == naive composition (both families)") {
+    val corpusDf = corpus(71, 20, 8).toDF("id", "txt")
+    val rnd = new Random(71)
+    val vocab = (0 until 200).map(i => s"w$i")
+    val base = corpus(71, 20, 8)
+    val incoming = ((0 until 12).map { i =>
+      if (i % 3 == 0) (9000L + i) -> base(rnd.nextInt(base.size))._2 // corpus dup
+      else if (i % 3 == 1) {
+        val (_, text) = base(rnd.nextInt(base.size))
+        val words = text.split(" ")
+        words(rnd.nextInt(words.length)) = vocab(rnd.nextInt(vocab.size))
+        (9000L + i) -> words.distinct.mkString(" ")
+      } else (9000L + i) -> Seq.fill(30)(vocab(rnd.nextInt(vocab.size))).distinct.mkString(" ")
+    } ++ Seq( // within-batch hamming-0 family -> cluster stage must collapse it
+      9100L -> "p q r s t u v w x y",
+      9101L -> "p q r s t u v w x y",
+      9102L -> "p q r s t u v w x y")).toDF("id", "txt")
+    for (fam <- Seq(Dedup.XxHash64Family, Dedup.Md5Family)) {
+      // naive composition of the PUBLIC direct operators — an independent
+      // code path from the shared index-frame join the operator uses
+      val dropRids = Dedup.simHashPairsRs(corpusDf, incoming, "id", "txt", ws, 3,
+        family = fam).select("rid").distinct()
+      val survivors = incoming.join(dropRids,
+        incoming("id") === dropRids("rid"), "left_anti")
+      val selfPairs = Dedup.simHashPairs(survivors, "id", "txt", ws, 3, family = fam)
+      val naive = Dedup.clusterKeepIds(survivors, "id", selfPairs, "lid", "rid")
+        .collect().map(_.getLong(0)).toSet
+      val direct = Dedup.incrementalKeepIdsSimHash(corpusDf, incoming, "id",
+          "txt", ws, 3, family = fam)
+        .collect().map(_.getLong(0)).toSet
+      val indexed = Dedup.incrementalKeepIdsSimHashIndexed(
+          Dedup.simHashIndex(corpusDf, "id", "txt", ws, family = fam),
+          incoming, "id", "txt", ws, 3, family = fam)
+        .collect().map(_.getLong(0)).toSet
+      assert(naive.nonEmpty && naive.size < 15,
+        s"$fam: fixture must drop some docs and keep some (kept $naive)")
+      assert(naive.contains(9100L) && !naive.contains(9101L) && !naive.contains(9102L),
+        s"$fam: within-batch hamming-0 family must collapse to min id (kept $naive)")
+      assert(direct === naive, s"$fam direct keep-set != naive composition")
+      assert(indexed === naive, s"$fam indexed keep-set != naive composition")
+    }
+  }
 }

@@ -181,6 +181,76 @@ class StagesSpec extends SparkSpec {
     }
   }
 
+  test("multi-day ingest loop: 5 admitTo days + day-3 compaction == direct on the accumulated corpus") {
+    // The production lifecycle end-to-end (round-8 verdict gap #4): day 1..5
+    // admissions against ONE durable index, compacting after day 3, each
+    // day's keep-set checked against the DIRECT (non-indexed) computation
+    // over the accumulated corpus. Batches are disjoint and each day probes
+    // (a) the original corpus, (b) a PRIOR day's admission, (c) a
+    // within-batch dup family, (d) fresh content — so a stale index, a
+    // broken append, or a row-corrupting compaction all surface as a
+    // keep-set mismatch on some day.
+    import graft.operators.{Dedup, WhitespaceTokenizer}
+    val ws = WhitespaceTokenizer()
+    def tableFiles(table: String): Int = {
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, table)
+      Option(loc.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    val corpus0 = (0L until 30L).map(i => (i, s"a b c d w$i x$i y$i")).toDF("id", "txt")
+    // every day's tokens are day-suffixed, so cross-day near-dup structure
+    // exists ONLY where constructed; the three dup probes are IDENTICAL
+    // copies (jaccard 1.0 — every band matches), so expected keep-sets do
+    // not depend on LSH recall luck
+    def freshDoc(d: Int) = s"fresh$d f$d g$d h$d i$d j$d k$d l$d m$d n$d"
+    def dayBatch(d: Int): org.apache.spark.sql.DataFrame = Seq(
+      (1000L * d + 0) -> s"a b c d w$d x$d y$d",  // identical to corpus doc d
+      (1000L * d + 1) -> freshDoc(d - 1),          // identical to day d-1 admission (fresh on day 1)
+      (1000L * d + 2) -> s"batchdup$d n$d o$d p$d q$d r$d s$d t$d u$d", // family {2,3} -> keep 2
+      (1000L * d + 3) -> s"batchdup$d n$d o$d p$d q$d r$d s$d t$d u$d",
+      (1000L * d + 4) -> freshDoc(d)               // fresh -> admitted
+    ).toDF("id", "txt")
+    try {
+      Stages.writeBucketed(
+        Dedup.minHashIndex(corpus0, "id", "txt", ws, bands = 8, rowsPerBand = 4),
+        "graft_md_acc", "bucket", 8)
+      var accumulated = corpus0
+      for (d <- 1 to 5) {
+        val batch = dayBatch(d)
+        val kept = Dedup.incrementalKeepIdsIndexed(spark.table("graft_md_acc"),
+            batch, "id", "txt", ws, 0.7, bands = 8, rowsPerBand = 4,
+            admitTo = Some("graft_md_acc"))
+          .collect().map(_.getLong(0)).toSet
+        val direct = Dedup.incrementalKeepIds(accumulated, batch, "id", "txt",
+            ws, 0.7, bands = 8, rowsPerBand = 4)
+          .collect().map(_.getLong(0)).toSet
+        assert(kept === direct, s"day $d: indexed keep-set != direct on accumulated corpus")
+        val expectFresh = Set(1000L * d + 2, 1000L * d + 4) ++
+          (if (d == 1) Set(1000L + 1) else Set.empty) // day 1 has no prior admission to match
+        assert(kept === expectFresh, s"day $d kept $kept, expected $expectFresh")
+        accumulated = accumulated
+          .unionByName(batch.where(col("id").isin(kept.toSeq: _*)))
+          .localCheckpoint(true) // keep the direct-side lineage flat across days
+        if (d == 3) {
+          val filesBefore = tableFiles("graft_md_acc")
+          assert(filesBefore > 8, s"3 appends into 8 buckets must leave >8 files, got $filesBefore")
+          Stages.compactBucketed(spark, "graft_md_acc", "bucket", 8)
+          assert(tableFiles("graft_md_acc") === 8,
+            "day-3 compaction must leave one file per bucket")
+        }
+      }
+      // after 5 days the index holds exactly original corpus + all admissions
+      val idsInAcc = spark.table("graft_md_acc").select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expected = (0L until 30L).toSet ++
+        (1 to 5).flatMap(d => Set(1000L * d + 2, 1000L * d + 4)) + 1001L
+      assert(idsInAcc === expected, "index contents after day 5 must be corpus + admissions")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_md_acc")
+      spark.sql("DROP TABLE IF EXISTS graft_md_acc__compact")
+    }
+  }
+
   test("compactBucketed: fewer files, identical rows, join still exchange-free") {
     val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
     def tableFiles(table: String): Int = {

@@ -413,4 +413,75 @@ class StreamingSpec extends SparkSpec {
       .where($"count" > 1).collect()
     assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
   }
+
+  // shared fixture for the ingest-loop tests — the StagesSpec multi-day
+  // design: every probe is an IDENTICAL copy (jaccard 1.0 / hamming 0), so
+  // expected keep-sets do not depend on LSH recall luck, and day d's
+  // "prior-admission" probe proves micro-batch d sees micro-batch d-1's
+  // admissions through the mutated table
+  private def ingestCorpus0 =
+    (0L until 30L).map(i => (i, s"a b c d w$i x$i y$i")).toDF("id", "text")
+  private def ingestFreshDoc(d: Int) =
+    s"fresh$d f$d g$d h$d i$d j$d k$d l$d m$d n$d"
+  private def ingestDayBatch(d: Int): Seq[(Long, String)] = Seq(
+    (1000L * d + 0) -> s"a b c d w$d x$d y$d",  // identical to corpus doc d
+    (1000L * d + 1) -> ingestFreshDoc(d - 1),    // identical to day d-1 admission (fresh on day 1)
+    (1000L * d + 2) -> s"batchdup$d n$d o$d p$d q$d r$d s$d t$d u$d", // family {2,3} -> keep 2
+    (1000L * d + 3) -> s"batchdup$d n$d o$d p$d q$d r$d s$d t$d u$d",
+    (1000L * d + 4) -> ingestFreshDoc(d))        // fresh -> admitted
+  private def ingestExpectedKeep(d: Int): Set[Long] =
+    Set(1000L * d + 2, 1000L * d + 4) ++ (if (d == 1) Set(1001L) else Set.empty[Long])
+
+  test("ingestDedup: continuous admission loop — each micro-batch sees prior admissions") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Stages
+    val ws = WhitespaceTokenizer()
+    try {
+      Stages.writeBucketed(
+        Dedup.minHashIndex(ingestCorpus0, "id", "text", ws, bands = 8, rowsPerBand = 4),
+        "graft_si_mh", "bucket", 8)
+      val keeps = scala.collection.mutable.Map[Long, Set[Long]]()
+      val in = MemoryStream[(Long, String)]
+      val q = Streaming.ingestDedup(in.toDF().toDF("id", "text"), "graft_si_mh",
+        "id", "text", ws, 0.7, bands = 8, rowsPerBand = 4,
+        onBatch = (kept, bid) => keeps(bid) = kept.collect().map(_.getLong(0)).toSet)
+      try {
+        for (d <- 1 to 3) { in.addData(ingestDayBatch(d): _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(keeps.keySet === Set(0L, 1L, 2L), "one keep-set per micro-batch day")
+      for (d <- 1 to 3)
+        assert(keeps(d - 1L) === ingestExpectedKeep(d), s"day $d keep-set")
+      // the table accumulated exactly corpus + admissions
+      val ids = spark.table("graft_si_mh").select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expected = (0L until 30L).toSet ++ (1 to 3).flatMap(ingestExpectedKeep)
+      assert(ids === expected, "index after 3 micro-batches = corpus + admissions")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_si_mh")
+  }
+
+  test("ingestDedupSimHash: Hamming-side admission loop across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Stages
+    val ws = WhitespaceTokenizer()
+    try {
+      Stages.writeBucketed(
+        Dedup.simHashIndex(ingestCorpus0, "id", "text", ws),
+        "graft_si_sh", "bucket", 8)
+      val keeps = scala.collection.mutable.Map[Long, Set[Long]]()
+      val in = MemoryStream[(Long, String)]
+      val q = Streaming.ingestDedupSimHash(in.toDF().toDF("id", "text"), "graft_si_sh",
+        "id", "text", ws, 3,
+        onBatch = (kept, bid) => keeps(bid) = kept.collect().map(_.getLong(0)).toSet)
+      try {
+        for (d <- 1 to 3) { in.addData(ingestDayBatch(d): _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(keeps.keySet === Set(0L, 1L, 2L), "one keep-set per micro-batch day")
+      for (d <- 1 to 3)
+        assert(keeps(d - 1L) === ingestExpectedKeep(d), s"day $d keep-set")
+      val ids = spark.table("graft_si_sh").select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expected = (0L until 30L).toSet ++ (1 to 3).flatMap(ingestExpectedKeep)
+      assert(ids === expected, "index after 3 micro-batches = corpus + admissions")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_si_sh")
+  }
 }

@@ -31,6 +31,17 @@ def main():
     lang = t.column("lang").to_pylist()
     source = t.column("source").to_pylist()
 
+    # Token-disjointness precondition (round-8 advice): replica r > 0
+    # prefixes tokens with 'q{r}', so a SOURCE token that already starts
+    # with q<digit> (e.g. 'q3abc') would collide with a prefixed replica of
+    # 'abc' wherever 'abc' also occurs, silently degrading the
+    # linear-by-construction property. Assert it instead of hoping.
+    qtok = re.compile(r"(?:^|\s)q[1-9]")
+    offenders = sum(1 for s in text if qtok.search(s))
+    assert offenders == 0, (
+        f"{offenders} source docs contain tokens starting with q1..q9 - "
+        "replica token spaces would overlap; pick a different prefix")
+
     ids, texts, langs, sources, n_chars = [], [], [], [], []
     for r in range(10):
         if r == 0:
