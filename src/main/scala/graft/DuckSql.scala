@@ -890,6 +890,27 @@ WHERE ${hashUniformSql(key, seed)} < (CASE $source $cases ELSE ${d(defaultWeight
   CAST(row_number() OVER (ORDER BY md5('$seed:' || CAST(id AS VARCHAR)), id) - 1 AS BIGINT) AS shuffle_pos
 FROM (SELECT CAST($key AS BIGINT) AS id FROM $table)"""
 
+  /** Mirrors Curation.lineDedup: the textbook window form — global first
+    * occurrence of each line ≥ minLineLen chars (row_number over
+    * (doc, pos)), short lines exempt everywhere, docs reassembled in line
+    * order, empty-string restore for fully-hollowed docs. `tableExpr` may
+    * be any FROM-able expression providing ($key, $text). */
+  def lineDedup(tableExpr: String, key: String, text: String,
+                minLineLen: Int = 2): String =
+    s"""WITH lines AS (
+  SELECT id, generate_subscripts(sp, 1) - 1 AS pos, unnest(sp) AS line
+  FROM (SELECT $key AS id, string_split($text, chr(10)) AS sp FROM $tableExpr)),
+ranked AS (
+  SELECT id, pos, line,
+    row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn
+  FROM lines),
+rebuilt AS (
+  SELECT id, string_agg(line, chr(10) ORDER BY pos) AS text
+  FROM ranked WHERE rn = 1 OR length(line) < $minLineLen
+  GROUP BY id)
+SELECT i.id AS id, coalesce(r.text, '') AS text
+FROM (SELECT $key AS id FROM $tableExpr) i LEFT JOIN rebuilt r USING (id)"""
+
   /** E2 differential: symmetric-pair diff of two pair tables, must be empty —
     * reported as a single-row count (reference notebook.ipynb cell 5). */
   def differentialCount(aSql: String, bSql: String): String =

@@ -222,4 +222,47 @@ object Curation {
       StructField("id", LongType, nullable = false),
       StructField("shuffle_pos", LongType, nullable = false))))
   }
+
+  /**
+   * Cross-document exact LINE deduplication — the C4/RefinedWeb-style pass
+   * that strips boilerplate repeated across pages (nav bars, cookie banners,
+   * license headers): every distinct line keeps its GLOBAL first occurrence
+   * (ordered by (key, line position)) and loses every other copy; documents
+   * are reassembled in original line order, possibly down to the empty
+   * string (kept, so the caller can count/filter the hollowed-out docs).
+   * Lines shorter than `minLineLen` characters are exempt and pass through
+   * everywhere — dedup'ing "" or "." would shred unrelated documents.
+   *
+   * Scale shape: first-occurrence selection is a groupBy on the line VALUE
+   * with a `min(struct(key, pos))` aggregate, so partial aggregation
+   * collapses hot boilerplate map-side — a line occurring 10^9 times ships
+   * one row per input partition into the shuffle, not 10^9 rows (the
+   * textbook `row_number() OVER (PARTITION BY line)` ships every copy into
+   * one hot partition and cannot partial-aggregate; that form is the DuckDB
+   * oracle, and hash-equality proves this one reproduces it). The join back
+   * is equi on the line and lands on the aggregate's own partitioning; the
+   * rebuild is one groupBy on the doc key with a sort_array over (pos, line)
+   * structs — per-doc data, no window, no skew beyond document size itself.
+   *
+   * Output: (id, text), one row per input row.
+   */
+  def lineDedup(df: DataFrame, key: String, text: String,
+                minLineLen: Int = 2): DataFrame = {
+    val lines = df.select(col(key).as("id"),
+      posexplode(split(col(text), "\n", -1)).as(Seq("pos", "line")))
+    val firsts = lines.where(length(col("line")) >= minLineLen)
+      .groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    val kept = lines.join(firsts, Seq("line"), "left")
+      .where(col("first").isNull ||
+        (col("id") === col("first.id") && col("pos") === col("first.pos")))
+    val rebuilt = kept.groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          s => s.getField("line")), "\n").as("text"))
+    // a doc whose every line was dropped has no kept rows — restore it empty
+    df.select(col(key).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
 }

@@ -104,4 +104,26 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(other !== rows.toMap)
   }
+
+  test("lineDedup: global first occurrence wins, short lines exempt, hollow docs restored empty") {
+    val df = Seq(
+      1L -> "boiler plate\nunique one\n.",          // first occurrence of "boiler plate" and "."
+      2L -> "unique two\nboiler plate",              // loses its "boiler plate" copy
+      3L -> "boiler plate",                          // loses its only long line -> ""
+      4L -> ".\n\nunique four",                      // "." and "" short -> exempt everywhere
+      5L -> "unique one"                             // dup of doc 1's line elsewhere -> dropped
+    ).toDF("id", "txt")
+    val out = Curation.lineDedup(df, "id", "txt").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(
+      1L -> "boiler plate\nunique one\n.",
+      2L -> "unique two",
+      3L -> "",
+      4L -> ".\n\nunique four",
+      5L -> ""))
+    // within-doc repeats collapse to the first position
+    val rep = Curation.lineDedup(Seq(9L -> "dup line\nmid\ndup line").toDF("id", "txt"),
+      "id", "txt").collect().map(r => r.getString(1))
+    assert(rep.toSeq === Seq("dup line\nmid"))
+  }
 }
