@@ -126,4 +126,29 @@ class CurationSpec extends SparkSpec {
       "id", "txt").collect().map(r => r.getString(1))
     assert(rep.toSeq === Seq("dup line\nmid"))
   }
+
+  test("lineDedup: differential vs sequential first-occurrence reference on random corpora") {
+    val rnd = new scala.util.Random(99)
+    // short lines ("", ".") mixed in to exercise the exemption path
+    val vocab = (0 until 40).map(i => s"line $i content") ++ Seq("", ".")
+    for (_ <- 0 until 3) {
+      val docs = (0L until 60L).map { id =>
+        val n = 1 + rnd.nextInt(5)
+        id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString("\n")
+      }
+      // sequential reference: scan docs in id order, lines in position order —
+      // exactly the (id, pos) global-min rule
+      val seen = scala.collection.mutable.Set[String]()
+      val expected = docs.map { case (id, txt) =>
+        id -> txt.split("\n", -1).filter { l =>
+          if (l.length < 2) true
+          else if (seen(l)) false
+          else { seen += l; true }
+        }.mkString("\n")
+      }.toMap
+      val out = Curation.lineDedup(docs.toDF("id", "txt"), "id", "txt")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(out === expected)
+    }
+  }
 }
