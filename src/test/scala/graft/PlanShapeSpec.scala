@@ -65,6 +65,18 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("lineDedup: first-occurrence selection partial-aggregates before the exchange") {
+    // the scale promise in the Scaladoc: a hot boilerplate line collapses
+    // map-side (partial_min per input partition) instead of shipping every
+    // copy through the shuffle the way a row_number window would
+    val docs = (0L until 50L).map(i => (i, s"common boilerplate\nunique $i"))
+      .toDF("id", "txt")
+    val plan = finalPlan(Curation.lineDedup(docs, "id", "txt"))
+    assert(plan.contains("partial_min"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("range filter reaches the parquet scan as a pushed filter") {
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString + "/t"
     (0L until 1000L).map(i => (i, i * 2.5)).toDF("k", "v")
