@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.storage.StorageLevel
 
 /**
@@ -91,10 +92,13 @@ object Stages {
    * (`minHashIndex(admitted)`) so tomorrow's batch sees them — no
    * from-scratch rebuild of the accumulated corpus index, ever. Pass the
    * SAME bucket column/count the table was created with (Spark refuses a
-   * mismatched spec). Each append adds one file set per bucket; the bucket
-   * METADATA is unchanged, so joins stay exchange-free on the table —
-   * run [[compactBucketed]] occasionally when small-file counts grow.
-   * StagesSpec pins append-then-join == from-scratch-index-then-join.
+   * mismatched spec). Each append adds AT MOST one file per bucket (the
+   * batch is repartitioned onto the bucket key first — see the inline
+   * note); the bucket METADATA is unchanged, so joins stay exchange-free
+   * on the table — run [[compactBucketed]] occasionally when small-file
+   * counts grow (≈ every 16 appends at one file/bucket/append).
+   * StagesSpec pins append-then-join == from-scratch-index-then-join and
+   * the ≤ nBuckets files-per-append bound.
    */
   def appendBucketed(df: DataFrame, table: String,
                      bucketCol: String, nBuckets: Int): Unit =
@@ -106,13 +110,24 @@ object Stages {
     if (!df.sparkSession.catalog.tableExists(table))
       writeBucketed(df, table, bucketCol, nBuckets)
     else
-      df.write.mode("append").format("parquet")
+      // repartition on the bucket column with numPartitions == nBuckets:
+      // HashPartitioning and the writer's bucket assignment are the same
+      // pmod(murmur3, n), so each task holds exactly one bucket and each
+      // append adds exactly ONE file per bucket. Without this the writer
+      // emits one file per (task × bucket) — measured in the round-9 ingest
+      // rehearsal: ~180 files per appended daily batch at 32 shuffle
+      // partitions, reaching 45 files/bucket in two simulated days and
+      // dragging the read-back probe join from 1.4 s to 2.2 s. The
+      // exchange this costs moves only the DAILY BATCH's index rows —
+      // the small side, exactly where an exchange belongs.
+      df.repartition(nBuckets, col(bucketCol))
+        .write.mode("append").format("parquet")
         .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(table)
 
   /**
    * Compact a bucketed table written by [[writeBucketed]] and grown by
-   * [[appendBucketed]]: each append adds one file set per bucket, so after
+   * [[appendBucketed]]: each append adds a file per bucket, so after
    * many ingest days a bucket is dozens of small files — correctness is
    * unaffected (bucket METADATA never changed, joins stay exchange-free) but
    * scan cost and open-file overhead creep up. Compaction rewrites the

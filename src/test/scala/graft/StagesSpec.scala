@@ -85,9 +85,23 @@ class StagesSpec extends SparkSpec {
       Dedup.minHashPairsRsIndexed(spark.table(table), batch2, "id", "txt", ws,
         0.7, bands = 8, rowsPerBand = 4)
         .as[(Long, Long, Double)].collect().toSet
+    def accFiles(): Int = {
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath,
+        "graft_idx_acc")
+      Option(loc.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
     try {
       Stages.writeBucketed(idx(corpus), "graft_idx_acc", "bucket", 8)
+      val filesAfterInitial = accFiles()
       Stages.appendBucketed(idx(batch1), "graft_idx_acc", "bucket", 8)
+      // file-creep bound: the append repartitions on the bucket column, so
+      // one append adds AT MOST one file per bucket (fewer when the batch
+      // misses buckets) — without it the writer emits one file per
+      // (task × bucket) and a daily ingest reaches dozens of files per
+      // bucket within days (measured in the round-9 rehearsal)
+      assert(accFiles() - filesAfterInitial <= 8,
+        s"one append must add <= nBuckets files, went $filesAfterInitial -> ${accFiles()}")
       Stages.writeBucketed(idx(corpus.unionByName(batch1)), "graft_idx_full", "bucket", 8)
       val viaAppend = pairsOf("graft_idx_acc")
       val viaFull = pairsOf("graft_idx_full")
