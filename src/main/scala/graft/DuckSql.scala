@@ -911,6 +911,33 @@ rebuilt AS (
 SELECT i.id AS id, coalesce(r.text, '') AS text
 FROM (SELECT $key AS id FROM $tableExpr) i LEFT JOIN rebuilt r USING (id)"""
 
+  /** Mirrors TextAnalysis.bigramLmScore's hashed projection (id, n_bigrams,
+    * sum_p): add-k bigram conditionals trained on the corpus, document-order
+    * list_sum fold of the probabilities (the bm25 rational-form rule — only
+    * IEEE-exact +,*,/ and integer→double casts inside the hashed column; the
+    * `ln` signal stays spec-only). */
+  def bigramLm(table: String, key: String, text: String, k: Double): String =
+    s"""WITH scored AS (
+  SELECT id, tks FROM (
+    SELECT $key AS id, ${wsBagLowerExpr(text)} AS tks FROM $table)
+  WHERE len(tks) >= 2),
+bg AS (
+  SELECT id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w1, unnest(ws2) AS w2
+  FROM (SELECT id,
+          list_transform(range(1, len(tks)), i -> tks[i]) AS ws,
+          list_transform(range(1, len(tks)), i -> tks[i + 1]) AS ws2
+        FROM scored)),
+bgc AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2),
+ctx AS (SELECT w1, sum(c12) AS c1 FROM bgc GROUP BY 1),
+voc AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS v
+        FROM (SELECT unnest(tks) AS w FROM scored)),
+probs AS (
+  SELECT bg.id AS id, bg.pos AS pos,
+    (CAST(bgc.c12 AS DOUBLE) + ${d(k)}) / (CAST(ctx.c1 AS DOUBLE) + ${d(k)} * voc.v) AS p
+  FROM bg JOIN bgc USING (w1, w2) JOIN ctx USING (w1), voc)
+SELECT id, count(*)::BIGINT AS n_bigrams, list_sum(list(p ORDER BY pos)) AS sum_p
+FROM probs GROUP BY id"""
+
   /** E2 differential: symmetric-pair diff of two pair tables, must be empty —
     * reported as a single-row count (reference notebook.ipynb cell 5). */
   def differentialCount(aSql: String, bSql: String): String =

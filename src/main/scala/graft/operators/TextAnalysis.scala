@@ -236,4 +236,63 @@ object TextAnalysis {
       .orderBy(col("score").desc, col("id"))
       .limit(k)
   }
+
+  /**
+   * Corpus-trained bigram language-model quality score — the CCNet/KenLM
+   * perplexity-filter shape, self-trained on the corpus itself so it needs no
+   * external model artifact: estimate add-k-smoothed bigram conditionals
+   *
+   *   p(w2 | w1) = (c(w1,w2) + k) / (ctx(w1) + k·V)
+   *
+   * over the whole corpus (ctx(w1) = occurrences of w1 as a left context,
+   * V = corpus vocabulary size), then score every document against the model.
+   * Fluent, corpus-typical text scores high; gibberish, boilerplate-shredded
+   * and wrong-language text scores low — the standard LM-based quality gate,
+   * here fully distributed (counts are aggregates, scoring is two equi-joins).
+   *
+   * Output per document with >= 1 bigram (shorter docs have no defined score):
+   *   (id, n_bigrams, sum_p, ll_per_bigram)
+   * - `sum_p` is the DOCUMENT-ORDER sequential fold of the smoothed
+   *   probabilities: integer→double casts, +, *, / only — IEEE-exact in any
+   *   engine — so it is oracle-hash-checkable exactly (the bm25 rational-form
+   *   rule; `ln` differs by ~1 ulp across engines and is kept OUT of it).
+   * - `ll_per_bigram` is mean ln p — the conventional log-likelihood signal;
+   *   spec-checked, excluded from the hashed oracle projection.
+   *
+   * Scale shape: model "training" is one groupBy on the bigram value (partial
+   * aggregation collapses hot bigrams map-side) plus a re-aggregate of that
+   * result for contexts — no second pass over the corpus; V is a one-row
+   * broadcast. Scoring joins the exploded bigram stream to the model on its
+   * natural keys and folds per document. Nothing touches the driver; the
+   * model tables scale with VOCABULARY (Zipf-bounded), not corpus size.
+   */
+  def bigramLmScore(df: DataFrame, key: String, text: String,
+                    k: Double = 1.0): DataFrame = {
+    val docs = df.select(col(key).as("id"),
+        wsBag(lower(col(text))).as("tks"))
+      .where(size(col("tks")) >= 2)
+    val bg = docs.select(col("id"),
+        posexplode(transform(sequence(lit(0), size(col("tks")) - 2),
+          i => struct(element_at(col("tks"), i + 1).as("w1"),
+                      element_at(col("tks"), i + 2).as("w2")))).as(Seq("pos", "b")))
+      .select(col("id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    val vocab = broadcast(docs.select(explode(col("tks")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("V")))
+    val p = (col("c12").cast("double") + lit(k)) /
+      (col("c1").cast("double") + lit(k) * col("V"))
+    bg.join(bgCounts, Seq("w1", "w2"))
+      .join(ctxCounts, Seq("w1"))
+      .crossJoin(vocab)
+      .select(col("id"), col("pos"), p.as("p"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("p")))).as("ps"))
+      .select(col("id"), col("n_bigrams"),
+        aggregate(transform(col("ps"), x => x.getField("p")),
+          lit(0.0d), (acc, x) => acc + x).as("sum_p"),
+        (aggregate(transform(col("ps"), x => log(x.getField("p"))),
+          lit(0.0d), (acc, x) => acc + x) / col("n_bigrams")).as("ll_per_bigram"))
+  }
 }

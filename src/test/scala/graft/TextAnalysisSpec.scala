@@ -143,4 +143,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(scores(1L) > scores(2L))
     assert(scores(1L) > scores(3L))
   }
+
+  test("bigramLmScore: hand-computed add-1 model on a 3-doc corpus") {
+    // scored docs: d1 [a b a b], d2 [a b c]; d3 [c] has no bigram -> dropped
+    // model (k=1, V=3): c(a,b)=3 c(b,a)=1 c(b,c)=1; ctx a=3 b=2
+    //   p(b|a) = (3+1)/(3+3)   p(a|b) = (1+1)/(2+3)   p(c|b) = (1+1)/(2+3)
+    val df = Seq(1L -> "a B a b", 2L -> "a b c", 3L -> "c").toDF("id", "txt")
+    val out = TextAnalysis.bigramLmScore(df, "id", "txt")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet === Set(1L, 2L))
+    val pAB = (3d + 1d) / (3d + 1d * 3d)
+    val pBA = (1d + 1d) / (2d + 1d * 3d)
+    val pBC = (1d + 1d) / (2d + 1d * 3d)
+    // document-order sequential folds, exact double equality
+    assert(out(1L)._1 === 3L && out(1L)._2 === ((pAB + pBA) + pAB))
+    assert(out(2L)._1 === 2L && out(2L)._2 === (pAB + pBC))
+    assert(out(1L)._3 ===
+      ((math.log(pAB) + math.log(pBA)) + math.log(pAB)) / 3d)
+    assert(out(2L)._3 === (math.log(pAB) + math.log(pBC)) / 2d)
+  }
+
+  test("bigramLmScore: corpus-typical text outranks shuffled-gibberish text") {
+    // 20 near-identical fluent docs train the model; one doc with the same
+    // vocabulary in a never-seen order must score lower per bigram
+    val fluent = (1L to 20L).map(i => i -> s"the cat sat on the mat $i")
+    val gibberish = Seq(99L -> "mat the on cat the sat")
+    val df = (fluent ++ gibberish).toDF("id", "txt")
+    val ll = TextAnalysis.bigramLmScore(df, "id", "txt")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ll(99L) < ll(1L))
+  }
 }
