@@ -826,6 +826,22 @@ FROM tg JOIN eg USING (gh)
 GROUP BY id
 HAVING count(*) >= $minShared"""
 
+  /** Mirrors Curation.substringDupStats: per-doc distinct gram hashes,
+    * corpus document-frequency, shared-span counts (same double-division
+    * operand order in dup_ratio). */
+  def substringDup(table: String, key: String, text: String, n: Int): String =
+    s"""WITH grams AS (
+  SELECT id, unnest(ghs) AS gh FROM (
+    SELECT $key AS id, ${gramHashList(n)} AS ghs
+    FROM (SELECT $key, ${wsBagLowerExpr(text)} AS tks FROM $table))),
+gdf AS (SELECT gh, count(*) AS gdf FROM grams GROUP BY gh)
+SELECT id, count(*)::BIGINT AS n_grams,
+  sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+  CAST(sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS dup_ratio,
+  sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) > 0 AS is_dup
+FROM grams JOIN gdf USING (gh)
+GROUP BY id"""
+
   /** Mirrors Curation.piiScrub (same regexes, RE2/Java-identical subset;
     * counts on the original text, masking email → phone → IP). */
   def piiScrub(tableExpr: String, key: String, text: String): String = {

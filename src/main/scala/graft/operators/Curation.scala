@@ -265,4 +265,45 @@ object Curation {
       .join(rebuilt, Seq("id"), "left")
       .select(col("id"), coalesce(col("text"), lit("")).as("text"))
   }
+
+  /**
+   * Exact-substring duplicate detection — the span-level signal from
+   * "Deduplicating Training Data Makes Language Models Better" (Lee et al.,
+   * ACL 2022): a document is substring-contaminated when any of its word
+   * `n`-gram spans occurs VERBATIM in another document, even though the
+   * documents as wholes are unique (press-release reuse, templated pages,
+   * quoted passages — exactly what whole-document and near-dup hashing miss
+   * at high thresholds, and finer-grained than line dedup because a span may
+   * cross line breaks). This flavor scores and flags; it composes with
+   * [[lineDedup]]-style rewriting or document dropping downstream.
+   *
+   * The published implementation builds a corpus-wide suffix array — a
+   * global sort unavailable mid-pipeline; the distributed equivalent here is
+   * the gram-df shape: distinct n-gram keys per document, one groupBy for
+   * corpus document-frequency, join back. A gram occurring in one document
+   * only ships ONE row into the shuffle after partial aggregation, so
+   * boilerplate spans (the hot keys) collapse map-side.
+   *
+   * Grams are md5-prefix 16-byte keys (SCALE.md small-keys rule — shuffle
+   * traffic is bounded by gram COUNT, not span text). Output per document
+   * with >= 1 gram: (id, n_grams, n_dup_grams, dup_ratio, is_dup), where
+   * n_dup_grams counts the document's distinct spans shared with at least
+   * one other document (corpus gram-df >= 2).
+   */
+  def substringDupStats(df: DataFrame, key: String, text: String,
+                        n: Int = 13): DataFrame = {
+    val grams = Parallelize.ensureMinParallelism(df)
+      .select(col(key).as("id"), explode(gramHashArray(col(text), n)).as("gh"))
+    // gramHashArray is per-doc DISTINCT, so count(*) here is document
+    // frequency, not occurrence frequency
+    val gdf = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
+    grams.join(gdf, "gh")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("gdf") >= 2, lit(1L)).otherwise(lit(0L))).as("n_dup_grams"))
+      .select(col("id"), col("n_grams"), col("n_dup_grams"),
+        (col("n_dup_grams").cast("double") / col("n_grams").cast("double"))
+          .as("dup_ratio"),
+        (col("n_dup_grams") > 0).as("is_dup"))
+  }
 }

@@ -151,4 +151,23 @@ class CurationSpec extends SparkSpec {
       assert(out === expected)
     }
   }
+
+  test("substringDupStats: planted shared span found; self-repetition does not flag") {
+    val df = Seq(
+      1L -> "alpha beta gamma delta",       // grams: [alpha beta gamma, beta gamma delta]
+      2L -> "x alpha beta gamma y",         // shares 'alpha beta gamma' with doc 1
+      3L -> "p q r s",                      // unique grams
+      4L -> "short",                        // < n tokens -> no grams, absent
+      5L -> "a b c a b c a b c"             // repeats its OWN gram only
+    ).toDF("id", "txt")
+    val out = Curation.substringDupStats(df, "id", "txt", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out.keySet === Set(1L, 2L, 3L, 5L))
+    assert(out(1L) === ((2L, 1L, 0.5d, true)))
+    assert(out(2L) === ((3L, 1L, 1d / 3d, true)))
+    assert(out(3L) === ((2L, 0L, 0d, false)))
+    // doc 5: grams are distinct per doc; corpus df of each is 1 -> not dup
+    assert(out(5L)._4 === false && out(5L)._2 === 0L)
+  }
 }
