@@ -48,6 +48,9 @@ object Bench {
     "evt_window_agg",
     "evt_json_props",
     "evt_sessionize",
+    // round-9 additions — two new multi-shuffle curation signals
+    "lm_bigram_docs",           // corpus-trained bigram LM quality score
+    "substring_dup_docs",       // span-level exact-substring duplication
   )
 
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or

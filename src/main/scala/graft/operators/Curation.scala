@@ -292,8 +292,12 @@ object Curation {
    */
   def substringDupStats(df: DataFrame, key: String, text: String,
                         n: Int = 13): DataFrame = {
-    val grams = Parallelize.ensureMinParallelism(df)
-      .select(col(key).as("id"), explode(gramHashArray(col(text), n)).as("gh"))
+    // the gram stream feeds BOTH the df aggregate and the join-back probe;
+    // persist it so the ~n-token window join + md5 per doc runs once, not
+    // twice (released via Api.clearCache like every operator intermediate)
+    val grams = (Parallelize.ensureMinParallelism(df)
+      .select(col(key).as("id"), explode(gramHashArray(col(text), n)).as("gh")))
+      .persistTracked
     // gramHashArray is per-doc DISTINCT, so count(*) here is document
     // frequency, not occurrence frequency
     val gdf = grams.groupBy("gh").agg(count(lit(1)).as("gdf"))
