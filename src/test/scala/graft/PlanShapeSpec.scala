@@ -77,6 +77,34 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan)
   }
 
+  test("bigramLmScore: model counts partial-aggregate; no cartesian beyond the 1-row vocab") {
+    val docs = (0L until 40L).map(i => (i, s"the cat sat on mat $i")).toDF("id", "txt")
+    val plan = finalPlan(TextAnalysis.bigramLmScore(docs, "id", "txt"))
+    // hot bigrams must collapse map-side before the model shuffle
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the only nested-loop join allowed is the broadcast of the one-row
+    // vocabulary scalar — a second one would mean a real join degenerated
+    // (AQE's toString repeats the plan under "== Initial Plan ==", so count
+    // only the executed section)
+    val executed = plan.split("== Initial Plan ==")(0)
+    assert(executed.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+  }
+
+  test("substringDupStats: gram stream is computed once (persisted), df agg partial-aggregates") {
+    val docs = (0L until 40L).map(i => (i, s"shared span of words here $i end"))
+      .toDF("id", "txt")
+    try {
+      val plan = finalPlan(Curation.substringDupStats(docs, "id", "txt", n = 3))
+      assert(plan.contains("partial_count"), plan)
+      // both consumers of the gram stream must read the SAME InMemoryRelation
+      // — two separate md5 window-join subtrees would double the dominant cost
+      assert(plan.split("InMemoryTableScan").length - 1 >= 2, plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+    } finally Api.clearCache()
+  }
+
   test("range filter reaches the parquet scan as a pushed filter") {
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString + "/t"
     (0L until 1000L).map(i => (i, i * 2.5)).toDF("k", "v")

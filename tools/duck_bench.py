@@ -40,6 +40,8 @@ DEFAULT_QUERIES = [
     "dedup_exact_docs",
     "ann_topk_exact",
     "ann_topk_ivf",
+    "lm_bigram_docs",
+    "substring_dup_docs",
 ]
 
 WORKER = r"""
