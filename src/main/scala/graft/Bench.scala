@@ -51,6 +51,12 @@ object Bench {
     // round-9 additions — two new multi-shuffle curation signals
     "lm_bigram_docs",           // corpus-trained bigram LM quality score
     "substring_dup_docs",       // span-level exact-substring duplication
+    // round-9 additions #2 — DSIR importance resampling (two bigram models +
+    // scoring pass) and the durable-IVF warm probe (index build paid by the
+    // first run only via buildTableOnce, same convention as the dedup
+    // indexed entry above)
+    "importance_sample_docs",
+    "ann_topk_ivf_indexed",
   )
 
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or

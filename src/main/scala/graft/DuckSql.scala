@@ -954,6 +954,63 @@ probs AS (
 SELECT id, count(*)::BIGINT AS n_bigrams, list_sum(list(p ORDER BY pos)) AS sum_p
 FROM probs GROUP BY id"""
 
+  /** Mirrors Curation.importanceSample: two add-k bigram models (target =
+    * rows matching `targetPred`, proxy = whole pool), per-document
+    * document-order probability folds under each, rational importance ratio
+    * w = sum_p_target / sum_p_proxy, deterministic md5-uniform keep at
+    * probability min(1, w·scale). Target-model joins are LEFT (absent
+    * bigrams take the smoothed floor); proxy joins are inner (every pool
+    * bigram is in the pool model). */
+  def importanceSample(table: String, key: String, text: String,
+                       targetPred: String, scale: Double, k: Double,
+                       seed: String): String =
+    s"""WITH pool AS (
+  SELECT id, tks FROM (
+    SELECT $key AS id, ${wsBagLowerExpr(text)} AS tks FROM $table)
+  WHERE len(tks) >= 2),
+tpool AS (
+  SELECT id, tks FROM (
+    SELECT $key AS id, ${wsBagLowerExpr(text)} AS tks FROM $table WHERE $targetPred)
+  WHERE len(tks) >= 2),
+bg AS (
+  SELECT id, generate_subscripts(ws, 1) AS pos, unnest(ws) AS w1, unnest(ws2) AS w2
+  FROM (SELECT id,
+          list_transform(range(1, len(tks)), i -> tks[i]) AS ws,
+          list_transform(range(1, len(tks)), i -> tks[i + 1]) AS ws2
+        FROM pool)),
+bgt AS (
+  SELECT id, unnest(ws) AS w1, unnest(ws2) AS w2
+  FROM (SELECT id,
+          list_transform(range(1, len(tks)), i -> tks[i]) AS ws,
+          list_transform(range(1, len(tks)), i -> tks[i + 1]) AS ws2
+        FROM tpool)),
+bgcp AS (SELECT w1, w2, count(*) AS c12p FROM bg GROUP BY 1, 2),
+ctxp AS (SELECT w1, sum(c12p) AS c1p FROM bgcp GROUP BY 1),
+vp AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vp
+       FROM (SELECT unnest(tks) AS w FROM pool)),
+bgct AS (SELECT w1, w2, count(*) AS c12t FROM bgt GROUP BY 1, 2),
+ctxt AS (SELECT w1, sum(c12t) AS c1t FROM bgct GROUP BY 1),
+vt AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vt
+       FROM (SELECT unnest(tks) AS w FROM tpool)),
+probs AS (
+  SELECT bg.id AS id, bg.pos AS pos,
+    (CAST(COALESCE(bgct.c12t, 0) AS DOUBLE) + ${d(k)}) /
+      (CAST(COALESCE(ctxt.c1t, 0) AS DOUBLE) + ${d(k)} * vt.vt) AS pt,
+    (CAST(bgcp.c12p AS DOUBLE) + ${d(k)}) /
+      (CAST(ctxp.c1p AS DOUBLE) + ${d(k)} * vp.vp) AS pp
+  FROM bg JOIN bgcp USING (w1, w2) JOIN ctxp USING (w1)
+    LEFT JOIN bgct USING (w1, w2) LEFT JOIN ctxt USING (w1), vp, vt),
+agg AS (
+  SELECT id, count(*)::BIGINT AS n_bigrams,
+    list_sum(list(pt ORDER BY pos)) AS sum_p_target,
+    list_sum(list(pp ORDER BY pos)) AS sum_p_proxy
+  FROM probs GROUP BY id)
+SELECT id, n_bigrams, sum_p_target, sum_p_proxy,
+  sum_p_target / sum_p_proxy AS w
+FROM agg
+WHERE ${hashUniformSql("id", seed)} <
+  least(CAST(1.0 AS DOUBLE), (sum_p_target / sum_p_proxy) * ${d(scale)})"""
+
   /** E2 differential: symmetric-pair diff of two pair tables, must be empty —
     * reported as a single-row count (reference notebook.ipynb cell 5). */
   def differentialCount(aSql: String, bSql: String): String =

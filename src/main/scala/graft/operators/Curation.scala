@@ -310,4 +310,78 @@ object Curation {
           .as("dup_ratio"),
         (col("n_dup_grams") > 0).as("is_dup"))
   }
+
+  /**
+   * DSIR-shape importance resampling (Xie et al. 2023, "Data Selection for
+   * Language Models via Importance Resampling" — the n-gram-feature variant):
+   * keep documents from a general pool in proportion to how much more likely
+   * a TARGET-domain language model finds them than the pool's own model.
+   * Both models are the corpus-trained add-k bigram LM of
+   * [[TextAnalysis.bigramLmScore]] — no external artifact: the target model
+   * trains on the pool subset matching `targetPred` (e.g. the high-quality
+   * or in-domain slice), the proxy model on the whole pool.
+   *
+   * Per document the importance statistic is the RATIONAL form
+   *
+   *   w = sum_p_target / sum_p_proxy
+   *
+   * — document-order folds of the smoothed bigram probabilities under each
+   * model (the bm25/bigram-LM rule: `ln` drifts ~1 ulp across engines, so
+   * the hashed oracle projection keeps +, *, / only; the conventional
+   * log-ratio variant is a spec-level twin of the same joins). A bigram or
+   * context absent from the target model contributes its smoothed floor
+   * (c=0), which is why the target-model joins are LEFT joins where the
+   * proxy's are inner (every pool bigram is in the pool model by
+   * construction).
+   *
+   * The keep decision is the deterministic [[hashUniform]] threshold used by
+   * [[mixSources]]: keep iff u(id) < min(1, w·scale) — reproducible across
+   * engines, reruns and cluster layout, so the sample itself (not just the
+   * weights) is oracle-hash-verified.
+   *
+   * Output (kept documents only): (id, n_bigrams, sum_p_target, sum_p_proxy, w).
+   *
+   * Scale shape: two model trainings = two groupBys on bigram VALUES
+   * (partial aggregation collapses hot bigrams map-side; model tables scale
+   * with vocabulary, Zipf-bounded, not corpus size), one scoring pass joining
+   * the pool's bigram stream to both models on natural keys, vocab sizes as
+   * one-row broadcasts. The target stream is a filtered re-read of the pool
+   * scan, not a second corpus shuffle.
+   */
+  def importanceSample(df: DataFrame, key: String, text: String,
+                       targetPred: Column, scale: Double, k: Double = 1.0,
+                       seed: String = "dsir"): DataFrame = {
+    val docs = TextAnalysis.wsDocsLower(df, key, text)
+    val bg = TextAnalysis.bigramStream(docs).persistTracked
+    val tdocs = TextAnalysis.wsDocsLower(df.where(targetPred), key, text)
+    val bgT = TextAnalysis.bigramStream(tdocs)
+    val bgcP = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12p"))
+    val ctxP = bgcP.groupBy("w1").agg(sum(col("c12p")).as("c1p"))
+    val vP = broadcast(docs.select(explode(col("tks")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("vp")))
+    val bgcT = bgT.groupBy("w1", "w2").agg(count(lit(1)).as("c12t"))
+    val ctxT = bgcT.groupBy("w1").agg(sum(col("c12t")).as("c1t"))
+    val vT = broadcast(tdocs.select(explode(col("tks")).as("w"))
+      .agg(countDistinct(col("w")).cast("double").as("vt")))
+    val pP = (col("c12p").cast("double") + lit(k)) /
+      (col("c1p").cast("double") + lit(k) * col("vp"))
+    val pT = (coalesce(col("c12t"), lit(0L)).cast("double") + lit(k)) /
+      (coalesce(col("c1t"), lit(0L)).cast("double") + lit(k) * col("vt"))
+    bg.join(bgcP, Seq("w1", "w2"))
+      .join(ctxP, Seq("w1"))
+      .join(bgcT, Seq("w1", "w2"), "left")
+      .join(ctxT, Seq("w1"), "left")
+      .crossJoin(vP).crossJoin(vT)
+      .select(col("id"), col("pos"), pT.as("pt"), pP.as("pp"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        array_sort(collect_list(struct(col("pos"), col("pt"), col("pp")))).as("ps"))
+      .select(col("id"), col("n_bigrams"),
+        aggregate(transform(col("ps"), x => x.getField("pt")),
+          lit(0.0d), (acc, x) => acc + x).as("sum_p_target"),
+        aggregate(transform(col("ps"), x => x.getField("pp")),
+          lit(0.0d), (acc, x) => acc + x).as("sum_p_proxy"))
+      .withColumn("w", col("sum_p_target") / col("sum_p_proxy"))
+      .where(hashUniform(col("id"), seed) < least(lit(1.0d), col("w") * lit(scale)))
+  }
 }

@@ -204,21 +204,48 @@ object Similarity {
       .getField("cid")
   }
 
-  /** IVF probe against an explicit centroid table — the shared engine of
-    * [[topKIvf]] (md5-sample centroids) and [[topKIvfKmeans]] (Lloyd-refined
-    * centroids). Same plan shape as before the refactor: broadcast centroid
-    * array, map-side list assignment with ZERO corpus shuffle, probe join
-    * hashed on centroid id. */
-  private def topKIvfWith(corpus: DataFrame, queries: DataFrame, key: String,
-                          vec: String, k: Int, centroids: DataFrame,
-                          nProbe: Int): DataFrame = {
-    val cents = broadcast(centroids)
+  /**
+   * Durable IVF index rows: the corpus assigned to its nearest centroid ONCE
+   * — `(id, cid, v)` — the persistent form of the assignment step inside
+   * [[topKIvf]], meant for [[graft.sources.Stages.writeBucketed]] on `cid`
+   * so repeated probe joins read the inverted lists already co-located (the
+   * ANN mirror of the dedup family's durable `minHashIndex`/`simHashIndex`
+   * story). Assignment is a map-side broadcast argmax — ZERO corpus shuffle;
+   * the one exchange this index ever costs is the bucketed write itself,
+   * paid once instead of per query batch. Store the centroid table alongside
+   * (it is index METADATA — probing against any other centroid set silently
+   * breaks list membership); [[topKIvfIndexed]] takes both.
+   *
+   * Because assignment is deterministic (fixed centroids, broadcast argmax
+   * with the same tie order as the probe window), indexed == direct is an
+   * EQUALITY: the registered `ann_topk_ivf_indexed` query shares
+   * `ann_topk_ivf`'s DuckDB oracle, and SimilaritySpec pins the composed
+   * round-trip.
+   */
+  def ivfIndex(corpus: DataFrame, key: String, vec: String,
+               centroids: DataFrame): DataFrame = {
     // the whole centroid table as ONE broadcast row — crossJoin(1 row) is a
     // broadcast nested-loop append, not a shuffle
-    val centArr = broadcast(cents.agg(collect_list(struct(col("cid"), col("cvec"))).as("cents")))
-    val assigned = corpus.select(col(key).as("id"), col(vec).as("v"))
+    val centArr = broadcast(
+      broadcast(centroids).agg(collect_list(struct(col("cid"), col("cvec"))).as("cents")))
+    corpus.select(col(key).as("id"), col(vec).as("v"))
       .crossJoin(centArr)
       .select(col("id"), col("v"), argmaxCid(col("v")).as("cid"))
+  }
+
+  /**
+   * IVF top-k probe against a PRE-BUILT index — `(id, cid, v)` rows from
+   * [[ivfIndex]], typically read back from the bucketed table — and its
+   * centroid table. This is the production read path: the corpus is never
+   * re-assigned, and when the query batch is small the probe side broadcasts
+   * so the inverted lists are scanned in place with no exchange at all; a
+   * LARGE query batch sort-merge-joins on `cid` exchange-free on the corpus
+   * side thanks to the bucketed layout (the small-batch case is the
+   * plan-pinned one). Same ranking semantics as [[topKIvf]].
+   */
+  def topKIvfIndexed(index: DataFrame, centroids: DataFrame, queries: DataFrame,
+                     key: String, vec: String, k: Int, nProbe: Int): DataFrame = {
+    val cents = broadcast(centroids)
     // probe lists of the nProbe nearest centroids
     val wProbe = Window.partitionBy("query_id").orderBy(col("csim").desc, col("cid"))
     val probes = queries.select(col(key).as("query_id"), col(vec).as("qv"))
@@ -228,7 +255,7 @@ object Similarity {
       .where(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid"))
     val wRank = Window.partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    probes.join(assigned, "cid")
+    probes.join(index, "cid")
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         cosine(col("qv"), col("v")).as("sim"))
@@ -236,6 +263,16 @@ object Similarity {
         row_number().over(wRank).cast("long").as("rank"))
       .where(col("rank") <= k)
   }
+
+  /** IVF probe against an explicit centroid table — the shared engine of
+    * [[topKIvf]] (md5-sample centroids) and [[topKIvfKmeans]] (Lloyd-refined
+    * centroids): in-plan [[ivfIndex]] assignment (map-side, zero corpus
+    * shuffle) feeding the [[topKIvfIndexed]] probe. */
+  private def topKIvfWith(corpus: DataFrame, queries: DataFrame, key: String,
+                          vec: String, k: Int, centroids: DataFrame,
+                          nProbe: Int): DataFrame =
+    topKIvfIndexed(ivfIndex(corpus, key, vec, centroids), centroids,
+      queries, key, vec, k, nProbe)
 
   /**
    * Lloyd-refined centroids: start from the deterministic md5 sample and run

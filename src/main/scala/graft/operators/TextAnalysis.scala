@@ -266,16 +266,26 @@ object TextAnalysis {
    * natural keys and folds per document. Nothing touches the driver; the
    * model tables scale with VOCABULARY (Zipf-bounded), not corpus size.
    */
-  def bigramLmScore(df: DataFrame, key: String, text: String,
-                    k: Double = 1.0): DataFrame = {
-    val docs = df.select(col(key).as("id"),
-        wsBag(lower(col(text))).as("tks"))
+  /** Lowercased whitespace-token docs with >= 2 tokens — the shared
+    * tokenization of [[bigramLmScore]] and
+    * [[Curation.importanceSample]]: `(id, tks)`. */
+  private[graft] def wsDocsLower(df: DataFrame, key: String, text: String): DataFrame =
+    df.select(col(key).as("id"), wsBag(lower(col(text))).as("tks"))
       .where(size(col("tks")) >= 2)
-    val bg = docs.select(col("id"),
+
+  /** Document-order bigram stream over [[wsDocsLower]] rows:
+    * `(id, pos, w1, w2)`, pos 0-based. */
+  private[graft] def bigramStream(docs: DataFrame): DataFrame =
+    docs.select(col("id"),
         posexplode(transform(sequence(lit(0), size(col("tks")) - 2),
           i => struct(element_at(col("tks"), i + 1).as("w1"),
                       element_at(col("tks"), i + 2).as("w2")))).as(Seq("pos", "b")))
       .select(col("id"), col("pos"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+
+  def bigramLmScore(df: DataFrame, key: String, text: String,
+                    k: Double = 1.0): DataFrame = {
+    val docs = wsDocsLower(df, key, text)
+    val bg = bigramStream(docs)
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = broadcast(docs.select(explode(col("tks")).as("w"))

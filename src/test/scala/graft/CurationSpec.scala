@@ -152,6 +152,52 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  test("importanceSample: target-style docs upweighted, deterministic, keep rule = hash threshold") {
+    // target slice (ids >= 100) and pool style-A docs share a vocabulary;
+    // style-B docs use a disjoint one. DSIR semantics: style-A pool docs
+    // must carry strictly higher importance than style-B (whose bigrams only
+    // ever see the target model's smoothed floor).
+    val sentences = Seq(
+      "alpha beta gamma delta epsilon zeta alpha beta",
+      "beta gamma delta epsilon zeta alpha gamma delta",
+      "gamma delta alpha beta epsilon zeta beta gamma")
+    val bDocs = (10L until 20L).map(i =>
+      i -> s"omega psi chi phi upsilon tau omega psi chi phi")
+    val aDocs = (0L until 10L).map(i => i -> sentences((i % 3).toInt))
+    val tDocs = (100L until 120L).map(i => i -> sentences((i % 3).toInt))
+    val df = (aDocs ++ bDocs ++ tDocs).toDF("id", "txt")
+    // scale large enough that min(1, w*scale) = 1 for every doc -> the
+    // output IS the full weight table
+    val all = Curation.importanceSample(df, "id", "txt", col("id") >= 100L, 1e9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(all.keySet === (aDocs ++ bDocs ++ tDocs).map(_._1).toSet)
+    val wA = aDocs.map(d => all(d._1))
+    val wB = bDocs.map(d => all(d._1))
+    assert(wA.min > wB.max,
+      s"style-A docs must outweigh style-B: minA=${wA.min} maxB=${wB.max}")
+    // deterministic across plans/runs
+    val again = Curation.importanceSample(df, "id", "txt", col("id") >= 100L, 1e9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(4)).toMap
+    assert(again === all)
+    // the keep rule at a real scale is exactly u(id) < min(1, w*scale) with
+    // the md5-uniform (formula pinned here against hashUniform drifting)
+    val scale = 1.0
+    val u = (id: Long) => {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"dsir:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 15)
+      java.lang.Long.parseLong(hex, 16).toDouble / 1152921504606846976.0d
+    }
+    val expected = all.collect {
+      case (id, w) if u(id) < math.min(1.0, w * scale) => id
+    }.toSet
+    val kept = Curation.importanceSample(df, "id", "txt", col("id") >= 100L, scale)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < all.size,
+      s"scale=$scale should keep a strict non-empty subset, kept ${kept.size}/${all.size}")
+  }
+
   test("substringDupStats: planted shared span found; self-repetition does not flag") {
     val df = Seq(
       1L -> "alpha beta gamma delta",       // grams: [alpha beta gamma, beta gamma delta]

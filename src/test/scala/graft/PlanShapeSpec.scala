@@ -35,6 +35,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("hashpartitioning(id"), plan)
   }
 
+  test("topKIvfIndexed: stored inverted lists scanned in place, probes broadcast") {
+    val e = embeddings(60)
+    val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 4)
+    graft.sources.Stages.writeBucketed(
+      Similarity.ivfIndex(e, "vec_id", "embedding", cents), "graft_ivf_plan_t", "cid", 4)
+    graft.sources.Stages.writeBucketed(cents, "graft_ivf_plan_c", "cid", 1)
+    val plan = finalPlan(Similarity.topKIvfIndexed(
+      spark.table("graft_ivf_plan_t"), spark.table("graft_ivf_plan_c"),
+      e.where(col("vec_id") < 3), "vec_id", "embedding", 5, 2))
+    // small query batch → probe side broadcasts onto the bucketed lists; the
+    // stored index is never re-exchanged to meet the join (the whole point
+    // of paying the bucketed write once at build time)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("hashpartitioning(cid"), plan)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_plan_t")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_plan_c")
+  }
+
   test("decontaminate: the eval-gram side joins as a broadcast, not a shuffle") {
     val train = (0L until 50L).map(i => (i, s"w$i x$i a b c d e")).toDF("id", "txt")
     val evalSet = Seq(100L -> "a b c d e").toDF("id", "txt")
@@ -90,6 +108,20 @@ class PlanShapeSpec extends SparkSpec {
     // only the executed section)
     val executed = plan.split("== Initial Plan ==")(0)
     assert(executed.split("BroadcastNestedLoopJoin").length - 1 <= 1, plan)
+  }
+
+  test("importanceSample: both models partial-aggregate; only the two 1-row vocab scalars nest-loop") {
+    val docs = (0L until 40L).map(i =>
+      (i, if (i % 2 == 0) s"the cat sat on mat $i" else s"ze vogel zat op tak $i"))
+      .toDF("id", "txt")
+    val plan = finalPlan(Curation.importanceSample(docs, "id", "txt",
+      col("id") % 2 === 0, 1e9))
+    assert(plan.contains("partial_count"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // allowed nested loops: exactly the two one-row vocabulary broadcasts
+    // (target + proxy); a third would mean a model join degenerated
+    val executed = plan.split("== Initial Plan ==")(0)
+    assert(executed.split("BroadcastNestedLoopJoin").length - 1 <= 2, plan)
   }
 
   test("substringDupStats: gram stream is computed once (persisted), df agg partial-aggregates") {

@@ -100,6 +100,30 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.6, s"IVF recall too low: $recall")
   }
 
+  test("topKIvfIndexed via stored bucketed index == direct topKIvf (exact rows)") {
+    // the durable-ANN-index equality: write the inverted lists + centroids
+    // through the real bucketed sink, read them back from the catalog, probe
+    // — must reproduce the direct in-plan query EXACTLY (same assignment,
+    // same ranks), the same argument that lets the registered query share
+    // ann_topk_ivf's oracle
+    val df = clustered(11, 6, 15, 32).toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 6)
+    val direct = Similarity.topKIvf(df, q, "vec_id", "embedding", 5,
+      nCentroids = 8, nProbe = 3)
+    val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 8)
+    graft.sources.Stages.writeBucketed(
+      Similarity.ivfIndex(df, "vec_id", "embedding", cents),
+      "graft_ivf_idx_t", "cid", 4)
+    graft.sources.Stages.writeBucketed(cents, "graft_ivf_cents_t", "cid", 1)
+    val indexed = Similarity.topKIvfIndexed(spark.table("graft_ivf_idx_t"),
+      spark.table("graft_ivf_cents_t"), q, "vec_id", "embedding", 5, 3)
+    val key = (r: org.apache.spark.sql.Row) =>
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(indexed.collect().map(key).toSet === direct.collect().map(key).toSet)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_idx_t")
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_cents_t")
+  }
+
   test("topKIvfKmeans: Lloyd refinement beats raw sample centroids on clustered vectors") {
     // the sensitivity pin for centroid quality: on data with real cluster
     // structure (which production embeddings have — and, since round 7, the
