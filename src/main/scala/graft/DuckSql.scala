@@ -630,6 +630,37 @@ WHERE rank <= $k"""
 FROM $table a, $table b
 WHERE a.$key < b.$key AND ${cosExpr(s"a.$vec", s"b.$vec")} >= ${d(minCosine)}"""
 
+  /** Mirrors Similarity.nearMatchesIvfIndexed: same deterministic centroids
+    * and list assignment as [[annTopKIvf]], then every in-list pair at
+    * cosine >= minCosine — threshold filter instead of a ranking window, so
+    * the sim DOUBLES land in the hashed projection (cosExpr is the
+    * IEEE-exact ordered fold both engines compute identically). */
+  def annNearMatchIvf(table: String, key: String, vec: String,
+                      queryPred: String, minCosine: Double, nCentroids: Int,
+                      nProbe: Int): String =
+    s"""WITH cents AS (
+  SELECT $key AS cid, $vec AS cvec FROM $table
+  ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
+assign AS (
+  SELECT id, cid, v FROM (
+    SELECT e.$key AS id, e.$vec AS v, c.cid AS cid,
+      row_number() OVER (PARTITION BY e.$key
+        ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table e, cents c)
+  WHERE rn = 1),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.$key AS query_id, q.$vec AS qv, c.cid AS cid,
+      row_number() OVER (PARTITION BY q.$key
+        ORDER BY ${cosExpr(s"q.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table q, cents c WHERE $queryPred)
+  WHERE rn <= $nProbe)
+SELECT query_id, neighbor_id, sim FROM (
+  SELECT p.query_id AS query_id, a.id AS neighbor_id,
+    ${cosExpr("p.qv", "a.v")} AS sim
+  FROM probes p JOIN assign a USING (cid) WHERE a.id != p.query_id)
+WHERE sim >= ${d(minCosine)}"""
+
   /** Mirrors Similarity.quantizeInt8: symmetric per-vector int8 quantization
     * with dequantization error (round is half-away-from-zero on both engines). */
   def quantizeInt8(table: String, key: String, vec: String): String =

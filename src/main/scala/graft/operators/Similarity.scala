@@ -264,6 +264,49 @@ object Similarity {
       .where(col("rank") <= k)
   }
 
+  /** The `nProbe` nearest inverted lists of a query vector, selected WITHOUT
+    * a ranking window — array sort + slice over the broadcast centroid array
+    * — so the SAME expression runs on a streaming frame (windows are not
+    * append-mode composable). Same order as the probe window: csim desc,
+    * ties by cid asc (the negated-sim struct sorts ascending). `cents` is an
+    * `array<struct<cid, cvec>>` column; returns `array<struct<nsim, cid>>`. */
+  private[graft] def nearestCidsExpr(qv: Column, cents: Column, nProbe: Int): Column =
+    slice(array_sort(transform(cents, c =>
+      struct((-cosine(qv, c.getField("cvec"))).as("nsim"),
+        c.getField("cid").as("cid")))), 1, nProbe)
+
+  /**
+   * Threshold near-match probe against a stored IVF index: every
+   * (query, corpus) pair with cosine >= `minCosine` among the query's
+   * `nProbe` nearest inverted lists — the INGESTION shape of IVF ANN ("is
+   * this new embedding close to anything already indexed?") and the batch
+   * twin of [[graft.streaming.Streaming.embNearDupAgainstIvfIndex]]
+   * (stream == batch pinned in StreamingSpec). Unlike [[topKIvfIndexed]]
+   * there is no ranking window — pure column expressions + one equi-join on
+   * `cid` + a filter, which is exactly what makes the streaming form
+   * append-mode composable, and keeps the whole probe inside whole-stage
+   * codegen here. Deterministic, so `emb_neardup_ivf_indexed` is
+   * oracle-hash-verified including the sim values.
+   *
+   * Output: (query_id, neighbor_id, sim).
+   */
+  def nearMatchesIvfIndexed(index: DataFrame, centroids: DataFrame,
+                            queries: DataFrame, key: String, vec: String,
+                            minCosine: Double, nProbe: Int): DataFrame = {
+    val centArr = broadcast(
+      broadcast(centroids).agg(collect_list(struct(col("cid"), col("cvec"))).as("cents")))
+    val probes = queries.select(col(key).as("query_id"), col(vec).as("qv"))
+      .crossJoin(centArr)
+      .select(col("query_id"), col("qv"),
+        explode(nearestCidsExpr(col("qv"), col("cents"), nProbe)).as("pc"))
+      .select(col("query_id"), col("qv"), col("pc.cid").as("cid"))
+    probes.join(index, "cid")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qv"), col("v")).as("sim"))
+      .where(col("sim") >= minCosine)
+  }
+
   /** IVF probe against an explicit centroid table — the shared engine of
     * [[topKIvf]] (md5-sample centroids) and [[topKIvfKmeans]] (Lloyd-refined
     * centroids): in-plan [[ivfIndex]] assignment (map-side, zero corpus

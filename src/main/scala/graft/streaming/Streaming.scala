@@ -405,6 +405,52 @@ object Streaming {
       .as[CorpusSimMatch]
   }
 
+  /** Emitted ANN ingest match: an arriving embedding within `minCosine` of a
+    * vector already in the stored IVF index. */
+  final case class EmbCorpusMatch(id: String, corpus_id: String, sim: Double)
+
+  /**
+   * Streaming embedding near-dup against a durable IVF index — the ANN
+   * family's counterpart of [[dedupAgainstIndex]]/[[simHashAgainstIndex]]:
+   * each arriving embedding probes its `nProbe` nearest inverted lists of a
+   * static [[graft.operators.Similarity.ivfIndex]] table and emits every
+   * corpus match with cosine >= `minCosine`. The list selection is
+   * [[graft.operators.Similarity.nearestCidsExpr]] — an array-sort
+   * expression, NOT a ranking window, precisely so this composes in append
+   * mode — making the whole operator a stateless projection + one
+   * stream-static equi-join on `cid` (exchange-free on a `cid`-bucketed
+   * index table). Semantics equal the batch
+   * [[graft.operators.Similarity.nearMatchesIvfIndexed]] row-for-row
+   * (StreamingSpec pins stream == batch, sim values included).
+   *
+   * The centroid table is index METADATA (tiny by construction) — collected
+   * once at plan time into a literal, the [[decontaminate]] convention, so
+   * restarts re-read it and a replaced index table can never pair with
+   * stale centroids inside a running query's state.
+   */
+  def embNearDupAgainstIvfIndex(stream: DataFrame, index: DataFrame,
+                                centroids: DataFrame, key: String, vec: String,
+                                minCosine: Double,
+                                nProbe: Int = 4): Dataset[EmbCorpusMatch] = {
+    import stream.sparkSession.implicits._
+    val centRows = centroids.select(col("cid").cast("long"), col("cvec")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val cents = transform(typedLit(centRows.toSeq), c =>
+      struct(c.getField("_1").as("cid"), c.getField("_2").as("cvec")))
+    val probes = stream.select(col(key).as("sid"), col(vec).as("qv"))
+      .select(col("sid"), col("qv"),
+        explode(graft.operators.Similarity.nearestCidsExpr(col("qv"), cents, nProbe))
+          .as("pc"))
+      .select(col("sid"), col("qv"), col("pc.cid").as("cid"))
+    probes.join(index, "cid")
+      .where(col("sid") =!= col("id")) // same self-exclusion as the batch twin
+      .select(col("sid").cast("string").as("id"),
+        col("id").cast("string").as("corpus_id"),
+        graft.operators.Similarity.cosine(col("qv"), col("v")).as("sim"))
+      .where(col("sim") >= minCosine)
+      .as[EmbCorpusMatch]
+  }
+
   /** Emitted contamination hit: a streamed doc sharing grams with the
     * benchmark set. */
   final case class Contaminated(id: String, n_shared_grams: Long)

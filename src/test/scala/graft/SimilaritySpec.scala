@@ -124,6 +124,72 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_cents_t")
   }
 
+  test("ivfIndex lifecycle: appendBucketed day-2 vectors == from-scratch union index") {
+    // assignment is per-row and deterministic under FIXED centroids, so
+    // appending a new batch's index rows must equal rebuilding over the
+    // union — the ANN mirror of the dedup index's day-2 append pin. The
+    // centroids are index metadata frozen at build time (re-sampling them
+    // from the union would be a different index).
+    val all = clustered(13, 5, 12, 16)
+    val (day1, day2) = all.splitAt(40)
+    val df1 = day1.toDF("vec_id", "embedding")
+    val df2 = day2.toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(df1, "vec_id", "embedding", 6)
+    graft.sources.Stages.writeBucketed(
+      Similarity.ivfIndex(df1, "vec_id", "embedding", cents), "graft_ivf_app_t", "cid", 4)
+    graft.sources.Stages.appendBucketed(
+      Similarity.ivfIndex(df2, "vec_id", "embedding", cents), "graft_ivf_app_t", "cid", 4)
+    val rebuilt = Similarity.ivfIndex(
+      all.toDF("vec_id", "embedding"), "vec_id", "embedding", cents)
+    val pair = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(2))
+    assert(spark.table("graft_ivf_app_t").select("id", "v", "cid").collect().map(pair).toSet
+      === rebuilt.select("id", "v", "cid").collect().map(pair).toSet)
+    // and the probe over the appended table equals the probe over the rebuild
+    val q = df1.where($"vec_id" < 5)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(Similarity.topKIvfIndexed(spark.table("graft_ivf_app_t"),
+        cents, q, "vec_id", "embedding", 5, 3).collect().map(key).toSet
+      === Similarity.topKIvfIndexed(rebuilt, cents, q, "vec_id", "embedding", 5, 3)
+        .collect().map(key).toSet)
+    spark.sql("DROP TABLE IF EXISTS graft_ivf_app_t")
+  }
+
+  test("nearMatchesIvfIndexed == hand-computed in-probed-list pairs above the cosine floor") {
+    val all = clustered(17, 4, 12, 16)
+    val df = all.toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 4)
+    val centRows = cents.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val idx = Similarity.ivfIndex(df, "vec_id", "embedding", cents)
+    val queries = df.where($"vec_id" < 6)
+    val out = Similarity.nearMatchesIvfIndexed(idx, cents, queries,
+        "vec_id", "embedding", 0.5, 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // reference model in plain Scala: same ascending-fold double cosine
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val assign = all.map { case (id, v) =>
+      id -> centRows.map { case (cid, cv) => (cid, cos(v, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.head._1
+    }.toMap
+    val expected = (for {
+      (qid, qv) <- all if qid < 6
+      probed = centRows.map { case (cid, cv) => (cid, cos(qv, cv)) }
+        .sortBy { case (cid, s) => (-s, cid) }.take(2).map(_._1).toSet
+      (nid, nv) <- all if nid != qid && probed.contains(assign(nid))
+      s = cos(qv, nv) if s >= 0.5
+    } yield ((qid, nid), s)).toMap
+    assert(out === expected)
+    assert(out.nonEmpty)
+  }
+
   test("topKIvfKmeans: Lloyd refinement beats raw sample centroids on clustered vectors") {
     // the sensitivity pin for centroid quality: on data with real cluster
     // structure (which production embeddings have — and, since round 7, the

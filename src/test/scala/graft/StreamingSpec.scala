@@ -2,7 +2,7 @@ package graft
 
 import java.sql.Timestamp
 
-import graft.operators.{Dedup, WhitespaceTokenizer}
+import graft.operators.{Dedup, Similarity, WhitespaceTokenizer}
 import graft.streaming.Streaming
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -282,6 +282,40 @@ class StreamingSpec extends SparkSpec {
     val dupes = spark.table("vs_index").groupBy("id", "corpus_id").count()
       .where($"count" > 1).collect()
     assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
+  }
+
+  test("embNearDupAgainstIvfIndex: stream vs durable IVF index == batch nearMatchesIvfIndexed") {
+    // the ANN-family mirror of the dedupAgainstIndex pin: arriving
+    // embeddings probe the stored inverted lists statelessly (array-sort
+    // list selection, no window) and must reproduce the batch threshold
+    // probe row-for-row, sim DOUBLES included
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(77)
+    val centers = Seq.fill(4)(Array.fill(16)(rnd.nextGaussian()))
+    def near(c: Array[Double]): Array[Float] =
+      c.map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+    val corpus = (0 until 40).map(i => i.toLong -> near(centers(i % 4)))
+    val incoming = (0 until 12).map(i => (1000L + i) -> near(centers(i % 4)))
+    val corpusDf = corpus.toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(corpusDf, "vec_id", "embedding", 4)
+    val index = Similarity.ivfIndex(corpusDf, "vec_id", "embedding", cents).persist()
+    val in = MemoryStream[(Long, Array[Float])]
+    val stream = in.toDF().toDF("vec_id", "embedding")
+    runToTable(
+      Streaming.embNearDupAgainstIvfIndex(stream, index, cents,
+        "vec_id", "embedding", 0.6, nProbe = 2), "emb_vs_ivf") {
+      incoming.grouped(5).foreach(chunk => in.addData(chunk: _*))
+    }
+    val streamRows = spark.table("emb_vs_ivf")
+      .as[(String, String, Double)].collect()
+      .map { case (sid, cid, s) => ((sid.toLong, cid.toLong), s) }.toMap
+    val batchRows = Similarity.nearMatchesIvfIndexed(index, cents,
+        incoming.toDF("vec_id", "embedding"), "vec_id", "embedding", 0.6, 2)
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => ((q, n), s) }.toMap
+    index.unpersist()
+    assert(streamRows.nonEmpty, "clustered incoming must match the corpus")
+    assert(streamRows === batchRows)
   }
 
   test("dedupAgainstCorpus: empty/whitespace-only docs emit nothing (stream == batch)") {
