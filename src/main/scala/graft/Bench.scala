@@ -57,6 +57,10 @@ object Bench {
     // indexed entry above)
     "importance_sample_docs",
     "ann_topk_ivf_indexed",
+    // the IVF ingestion shape: threshold near-match probe against the same
+    // stored index (no ranking window — the append-mode streaming twin's
+    // exact batch plan), warm for the same buildTableOnce reason
+    "emb_neardup_ivf_indexed",
   )
 
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or

@@ -11,10 +11,15 @@
 # runs anyway (windows have been scarce for days) — the embedded probes then
 # document what it measured.
 #
-# Serializes with everything else via the one-JVM-rule: do NOT run sbt or
-# check.py while this script is live.
+# Serializes with everything else via the one-JVM-rule: a flock guarantees a
+# single instance (two pollers ran concurrently on 2026-08-15 and would have
+# fired into each other), and after the gate opens the script additionally
+# waits for any foreign JVM (interactive sbt / check.py) to exit before the
+# timed steps start, so polling can overlap interactive work safely.
 set -u
 cd /root/repo
+exec 9>/tmp/r9_measure.lock
+flock -n 9 || { echo "r9_measure.sh already running - refusing to double-start" >&2; exit 1; }
 LOG=${LOG:-/tmp/r9_measure.log}
 MAX_WAIT_MIN=${MAX_WAIT_MIN:-240}
 POLL_SEC=${POLL_SEC:-150}
@@ -40,6 +45,17 @@ while true; do
   waited=$(( ($(date +%s) - t0) / 60 ))
   [ "$waited" -ge "$MAX_WAIT_MIN" ] && { echo "gate TIMEOUT after ${waited} min - running anyway (annotate!)"; break; }
   sleep "$POLL_SEC"
+done
+
+# one-JVM rule: never start the timed steps while an interactive sbt/Spark
+# JVM is live (probes read low under contention AND the measurement would be
+# contended). Waits up to 30 min, then proceeds annotated.
+jvm_wait_t0=$(date +%s)
+while pgrep -f 'java.*(sbt-launch|graft\.)' >/dev/null 2>&1; do
+  w=$(( ($(date +%s) - jvm_wait_t0) / 60 ))
+  [ "$w" -ge 30 ] && { echo "foreign JVM still live after ${w} min - proceeding anyway (annotate!)"; break; }
+  echo "$(date +%H:%M:%S) foreign JVM live - waiting before timed steps"
+  sleep 60
 done
 
 run_bench() { # run_bench <sfdir> <extra env...>
