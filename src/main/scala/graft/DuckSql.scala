@@ -661,6 +661,31 @@ SELECT query_id, neighbor_id, sim FROM (
   FROM probes p JOIN assign a USING (cid) WHERE a.id != p.query_id)
 WHERE sim >= ${d(minCosine)}"""
 
+  /** Mirrors Retrieval.hybridTopK: RRF fusion of the BM25 pool (query doc
+    * dropped, re-ranked) and the self-excluding exact-cosine pool. Integer
+    * ranks feed the fixed two-term rational score (DuckDB float literals are
+    * DOUBLEs, so `1.0 / (k + rank)` is the same IEEE division Spark runs). */
+  def hybridTopK(docsTable: String, docKey: String, textCol: String,
+                 embTable: String, embKey: String, vecCol: String,
+                 terms: Seq[String], queryVecId: Long, k: Int, poolSize: Int,
+                 kRrf: Int, k1: Double, b: Double): String = {
+    val bmSql = bm25TopK(docsTable, docKey, textCol, terms, poolSize, k1, b)
+    val annSql = annTopKExact(embTable, embKey, vecCol,
+      s"$embKey = $queryVecId", poolSize)
+    s"""WITH bm AS (
+  SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS BIGINT) AS bm25_rank
+  FROM ($bmSql) WHERE id != $queryVecId),
+ann AS (SELECT neighbor_id AS id, rank AS ann_rank FROM ($annSql))
+SELECT id, rrf_score, bm25_rank, ann_rank FROM (
+  SELECT coalesce(bm.id, ann.id) AS id,
+    coalesce(1.0 / ($kRrf + bm.bm25_rank), 0.0)
+      + coalesce(1.0 / ($kRrf + ann.ann_rank), 0.0) AS rrf_score,
+    coalesce(bm.bm25_rank, -1) AS bm25_rank,
+    coalesce(ann.ann_rank, -1) AS ann_rank
+  FROM bm FULL OUTER JOIN ann ON bm.id = ann.id)
+ORDER BY rrf_score DESC, id LIMIT $k"""
+  }
+
   /** Mirrors Similarity.quantizeInt8: symmetric per-vector int8 quantization
     * with dequantization error (round is half-away-from-zero on both engines). */
   def quantizeInt8(table: String, key: String, vec: String): String =
