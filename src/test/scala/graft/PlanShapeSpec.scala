@@ -137,6 +137,36 @@ class PlanShapeSpec extends SparkSpec {
     } finally Api.clearCache()
   }
 
+  test("nearMatchesIvfIndexed: stored lists scanned in place, no window, probes broadcast") {
+    val e = embeddings(60)
+    val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 4)
+    graft.sources.Stages.writeBucketed(
+      Similarity.ivfIndex(e, "vec_id", "embedding", cents), "graft_ivfnm_plan_t", "cid", 4)
+    val plan = finalPlan(Similarity.nearMatchesIvfIndexed(
+      spark.table("graft_ivfnm_plan_t"), cents,
+      e.where(col("vec_id") < 3), "vec_id", "embedding", 0.1, 2))
+    // the ingestion probe's whole selling point vs topKIvfIndexed: list
+    // selection is an array-sort EXPRESSION, not a ranking window (windows
+    // would both break append-mode streaming and add a per-query exchange),
+    // and the bucketed index never re-exchanges to meet the equi-join
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("hashpartitioning(cid"), plan)
+    spark.sql("DROP TABLE IF EXISTS graft_ivfnm_plan_t")
+  }
+
+  test("hybridTopK: fusion stays off the corpus — no cartesian, windows only over the bounded pools") {
+    val docs = (0L until 60L).map(i => (i, s"alpha w$i x y z pad")).toDF("doc_id", "text")
+    val plan = finalPlan(Retrieval.hybridTopK(docs, embeddings(60),
+      "doc_id", "text", "vec_id", "embedding", "alpha", 3L, k = 5, poolSize = 10))
+    // both towers end in driver-merged top-k heaps; the only acceptable
+    // all-to-one structures are those k-bounded sorts and the <= 2*poolSize
+    // row fusion — a corpus-wide cartesian or corpus-wide window would be
+    // the 100 TB killer
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("range filter reaches the parquet scan as a pushed filter") {
     val dir = java.nio.file.Files.createTempDirectory("planshape").toString + "/t"
     (0L until 1000L).map(i => (i, i * 2.5)).toDF("k", "v")
