@@ -61,6 +61,9 @@ object Bench {
     // stored index (no ranking window — the append-mode streaming twin's
     // exact batch plan), warm for the same buildTableOnce reason
     "emb_neardup_ivf_indexed",
+    // two-tower RRF fusion — benched so a regression in either tower's
+    // ranking plan (BM25 tf shuffle, dense TakeOrdered) surfaces per-round
+    "hybrid_topk_docs",
   )
 
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or

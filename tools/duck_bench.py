@@ -42,6 +42,8 @@ DEFAULT_QUERIES = [
     "ann_topk_ivf",
     "lm_bigram_docs",
     "substring_dup_docs",
+    "hybrid_topk_docs",
+    "emb_neardup_ivf_indexed",
 ]
 
 WORKER = r"""
