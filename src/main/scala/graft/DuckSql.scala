@@ -954,6 +954,18 @@ FROM $table
 WHERE ${hashUniformSql(key, seed)} < (CASE $source $cases ELSE ${d(defaultWeight)} END)"""
   }
 
+  /** Mirrors Curation.corpusReport: ROLLUP over (source, lang) with the same
+    * grouping bit-vector (GROUPING(source)·2 + GROUPING(lang) == Spark's
+    * grouping_id()) and the same bigint-sum/count double division. */
+  def corpusReport(table: String, source: String, lang: String,
+                   sizeCol: String): String =
+    s"""SELECT coalesce($source, 'ALL') AS source, coalesce($lang, 'ALL') AS lang,
+  CAST(GROUPING($source) * 2 + GROUPING($lang) AS BIGINT) AS gid,
+  count(*) AS n_docs,
+  CAST(sum($sizeCol) AS BIGINT) AS total_chars,
+  CAST(sum($sizeCol) AS DOUBLE) / count(*) AS avg_chars
+FROM $table GROUP BY ROLLUP($source, $lang)"""
+
   /** Mirrors Curation.shuffleOrder: the sequential window form of the
     * deterministic shuffle rank (the distributed two-pass rank must
     * reproduce it exactly). */

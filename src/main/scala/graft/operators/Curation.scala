@@ -170,6 +170,34 @@ object Curation {
   }
 
   /**
+   * Corpus-composition report — the mixture-monitoring query a curation team
+   * runs before and after every [[mixSources]] re-weighting: document counts
+   * and size mass at every (source × lang) combination PLUS the per-source
+   * and whole-corpus super-aggregates, in ONE pass via ROLLUP. `gid` is the
+   * grouping bit-vector (0 = leaf, 1 = lang rolled up, 3 = grand total) so
+   * consumers never confuse a real 'ALL' value with a rolled-up level.
+   *
+   * Scale shape: ROLLUP plans as Expand (×3 rows) feeding one
+   * hash-aggregate — the expansion happens MAP-SIDE and partial aggregation
+   * collapses it before the single exchange, so shuffle traffic is
+   * ∝ distinct(source × lang) × levels, not corpus rows. `avg_chars` is one
+   * bigint-sum division — IEEE-exact on any engine (the bm25 rational rule),
+   * so the report is oracle-hash-checkable including the doubles.
+   *
+   * Output: (source, lang, gid, n_docs, total_chars, avg_chars).
+   */
+  def corpusReport(df: DataFrame, source: String, lang: String,
+                   sizeCol: String): DataFrame =
+    df.rollup(col(source).as("source"), col(lang).as("lang"))
+      .agg(grouping_id().as("gid"),
+        count(lit(1)).as("n_docs"),
+        sum(col(sizeCol)).cast("long").as("total_chars"),
+        (sum(col(sizeCol)).cast("double") / count(lit(1))).as("avg_chars"))
+      .select(coalesce(col("source"), lit("ALL")).as("source"),
+        coalesce(col("lang"), lit("ALL")).as("lang"),
+        col("gid"), col("n_docs"), col("total_chars"), col("avg_chars"))
+
+  /**
    * Deterministic global shuffle: the training-order permutation as an
    * explicit rank — `shuffle_pos` = position of the document when the corpus
    * is ordered by `md5("<seed>:<id>")` (ties broken by id). Changing the seed

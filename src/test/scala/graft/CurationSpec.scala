@@ -216,4 +216,21 @@ class CurationSpec extends SparkSpec {
     // doc 5: grams are distinct per doc; corpus df of each is 1 -> not dup
     assert(out(5L)._4 === false && out(5L)._2 === 0L)
   }
+
+  test("corpusReport: leaf, per-source, and grand-total levels from one rollup pass") {
+    val df = Seq(
+      ("web", "en", 100L), ("web", "en", 300L), ("web", "de", 50L),
+      ("books", "en", 1000L)).toDF("source", "lang", "n_chars")
+    val out = Curation.corpusReport(df, "source", "lang", "n_chars")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)) ->
+        ((r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    assert(out === Map(
+      ("web", "en", 0L) -> ((2L, 400L, 200.0)),
+      ("web", "de", 0L) -> ((1L, 50L, 50.0)),
+      ("books", "en", 0L) -> ((1L, 1000L, 1000.0)),
+      ("web", "ALL", 1L) -> ((3L, 450L, 150.0)),
+      ("books", "ALL", 1L) -> ((1L, 1000L, 1000.0)),
+      ("ALL", "ALL", 3L) -> ((4L, 1450L, 362.5))))
+  }
 }
