@@ -851,6 +851,20 @@ FROM (${textStats(table, key, text)})"""
   // Curation oracles (graft.operators.Curation)
   // -------------------------------------------------------------------------
 
+  /** Mirrors Curation.keepTopFraction over any scoring subquery: the window
+    * form of the distributed two-pass rank (the rank the range-partitioned
+    * machinery must reproduce exactly), same floor(frac·N) cut and
+    * (score desc, id) total order. */
+  def keepTopFraction(innerSql: String, idCol: String, scoreCol: String,
+                      frac: Double): String =
+    s"""WITH ranked AS (
+  SELECT $idCol AS id, CAST($scoreCol AS DOUBLE) AS score,
+    CAST(row_number() OVER (ORDER BY $scoreCol DESC, $idCol) - 1 AS BIGINT) AS rank,
+    count(*) OVER () AS n
+  FROM ($innerSql))
+SELECT id, score, rank FROM ranked
+WHERE rank < CAST(floor(${d(frac)} * n) AS BIGINT)"""
+
   /** Lowercased ordered whitespace bag tokens of `$text` (Curation.wsBagLower). */
   private def wsBagLowerExpr(text: String): String =
     s"list_filter(str_split_regex(lower($text), '$wsClass'), x -> trim(x) != '')"

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType}
 import graft.operators.PersistTracker.TrackedPersist
 
 /**
@@ -214,6 +214,23 @@ object Curation {
    *
    * Output: (id, shuffle_pos), 0-based, a permutation of the input keys.
    */
+  /** Per-partition row counts → exclusive prefix starts: the driver sees ONE
+    * Long per PARTITION, never per row — the two-pass-rank machinery shared
+    * by [[shuffleOrder]] and [[keepTopFraction]]. Explicit Long accumulator:
+    * Iterator.size returns Int and would silently wrap past ~2.1B rows in
+    * one partition, corrupting every downstream position. Returns
+    * (starts, total). */
+  private def partitionStarts(df: DataFrame): (Array[Long], Long) = {
+    val counts = df.rdd
+      .mapPartitionsWithIndex { (pid, it) =>
+        var c = 0L
+        while (it.hasNext) { it.next(); c += 1L }
+        Iterator((pid, c))
+      }
+      .collect().sortBy(_._1).map(_._2)
+    (counts.scanLeft(0L)(_ + _).init, counts.sum)
+  }
+
   def shuffleOrder(df: DataFrame, key: String, seed: String = "shuffle"): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.sessionState.conf.numShufflePartitions
@@ -222,17 +239,7 @@ object Curation {
       .repartitionByRange(nPart, col("hk"), col("id"))
       .sortWithinPartitions("hk", "id")
       .persistTracked
-    val counts = base.rdd
-      .mapPartitionsWithIndex { (pid, it) =>
-        // explicit Long accumulator: Iterator.size returns Int and would
-        // silently wrap past ~2.1B rows in one partition, corrupting every
-        // downstream position
-        var c = 0L
-        while (it.hasNext) { it.next(); c += 1L }
-        Iterator((pid, c))
-      }
-      .collect().sortBy(_._1).map(_._2)
-    val starts = counts.scanLeft(0L)(_ + _).init
+    val (starts, _) = partitionStarts(base)
     val out = base.rdd.mapPartitionsWithIndex { (pid, it) =>
       var pos = starts(pid)
       it.map { r =>
@@ -249,6 +256,59 @@ object Curation {
     spark.createDataFrame(out, StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("shuffle_pos", LongType, nullable = false))))
+  }
+
+  /**
+   * Exact global quality-threshold selection — "keep the best `frac` of the
+   * corpus by `score`", the CCNet-style percentile gate applied after any
+   * scoring pass ([[TextAnalysis.qualityScore]], the bigram-LM signal, DSIR
+   * weights): keeps exactly floor(frac·N) rows, the top of the total order
+   * (score desc, id), each with its exact global rank. EXACT selection, not
+   * `approx_percentile`: a sketch moves the cut by ±ε·N documents silently
+   * and unreproducibly, which poisons dedup-style set comparisons downstream
+   * — this kept-set is deterministic, resumable, and oracle-hash-checkable.
+   *
+   * Scale shape: the same distributed two-pass rank as [[shuffleOrder]] —
+   * range-repartition on the sort key, one count per PARTITION to the
+   * driver, per-partition running positions — so there is no global window
+   * and no single-task sort; partitions entirely past the cut emit nothing.
+   * Range boundaries only distribute rows, never reorder them, so the rank
+   * is exact whatever boundaries the sampler picks.
+   *
+   * Output: (id, score, rank), rank 0-based dense in [0, floor(frac·N)).
+   */
+  def keepTopFraction(df: DataFrame, key: String, score: String,
+                      frac: Double): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val spark = df.sparkSession
+    val nPart = spark.sessionState.conf.numShufflePartitions
+    val base = df.select(col(key).cast("long").as("id"),
+        col(score).cast("double").as("s"))
+      .repartitionByRange(nPart, col("s").desc, col("id"))
+      .sortWithinPartitions(col("s").desc, col("id"))
+      .persistTracked
+    val (starts, total) = partitionStarts(base)
+    val target = math.floor(frac * total).toLong
+    val out = base.rdd.mapPartitionsWithIndex { (pid, it) =>
+      if (starts(pid) >= target) Iterator.empty
+      else {
+        var pos = starts(pid)
+        it.takeWhile(_ => pos < target).map { r =>
+          if (r.isNullAt(0) || r.isNullAt(1))
+            // getLong/getDouble on a null silently reads 0 — a null id would
+            // emit duplicates, a null score would rank as 0.0 mid-corpus
+            throw new IllegalArgumentException(
+              s"keepTopFraction: null/uncastable '$key' or '$score'")
+          val p = pos
+          pos += 1L
+          Row(r.getLong(0), r.getDouble(1), p)
+        }
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("rank", LongType, nullable = false))))
   }
 
   /**

@@ -217,6 +217,42 @@ class CurationSpec extends SparkSpec {
     assert(out(5L)._4 === false && out(5L)._2 === 0L)
   }
 
+  test("keepTopFraction: exact floor(frac·N) cut, (score desc, id) order, ranks dense") {
+    // ties straddling the cut are the hard case: four docs share score 0.5
+    // and only id order decides which side of the floor(0.6·10)=6 cut each
+    // lands on
+    val rows = Seq(
+      (1L, 0.9), (2L, 0.5), (3L, 0.5), (4L, 0.5), (5L, 0.5),
+      (6L, 0.1), (7L, 0.8), (8L, 0.2), (9L, 0.7), (10L, 0.3))
+    val out = Curation.keepTopFraction(rows.toDF("id", "q"), "id", "q", 0.6)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toSet
+    val expected = rows.sortBy { case (id, s) => (-s, id) }.take(6)
+      .zipWithIndex.map { case ((id, s), i) => (id, s, i.toLong) }.toSet
+    assert(out === expected)
+    assert(out.map(_._1) === Set(1L, 7L, 9L, 2L, 3L, 4L)) // id 5 loses the tie
+    // frac edges: 0 keeps nothing, 1 keeps everything with a full rank range
+    assert(Curation.keepTopFraction(rows.toDF("id", "q"), "id", "q", 0.0).count() === 0L)
+    val all = Curation.keepTopFraction(rows.toDF("id", "q"), "id", "q", 1.0)
+      .collect().map(_.getLong(2)).sorted
+    assert(all === (0L until 10L).toArray)
+    Api.clearCache()
+  }
+
+  test("keepTopFraction: differential vs the window form on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    // few distinct scores over many rows -> massive tie groups across
+    // partition boundaries, the regime where a rank bug would show
+    val rows = (0L until 500L).map(i => (i, (rnd.nextInt(5) * 0.25)))
+    val df = rows.toDF("id", "q")
+    val out = Curation.keepTopFraction(df, "id", "q", 0.37)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val expected = rows.sortBy { case (id, s) => (-s, id) }
+      .take(math.floor(0.37 * 500).toInt)
+      .zipWithIndex.map { case ((id, _), i) => (id, i.toLong) }.toMap
+    assert(out === expected)
+    Api.clearCache()
+  }
+
   test("corpusReport: leaf, per-source, and grand-total levels from one rollup pass") {
     val df = Seq(
       ("web", "en", 100L), ("web", "en", 300L), ("web", "de", 50L),

@@ -23,7 +23,7 @@ flock -n 9 || { echo "r9_measure.sh already running - refusing to double-start" 
 LOG=${LOG:-/tmp/r9_measure.log}
 MAX_WAIT_MIN=${MAX_WAIT_MIN:-240}
 POLL_SEC=${POLL_SEC:-150}
-FLAGSHIP=jac_self_docs_ws_t05,jac_self_docs_ws_t09,dedup_minhash_docs,dedup_cluster_docs,pipeline_curate_docs
+FLAGSHIP=jac_self_docs_ws_t05,jac_self_docs_ws_t09,dedup_minhash_docs,dedup_cluster_docs,pipeline_curate_docs,lm_bigram_docs,substring_dup_docs
 
 probe() { # prints "cpu mem" efficiencies
   python3 tools/hosthealth.py 2>/dev/null | awk '
