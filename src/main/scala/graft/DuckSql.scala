@@ -686,6 +686,43 @@ SELECT id, rrf_score, bm25_rank, ann_rank FROM (
 ORDER BY rrf_score DESC, id LIMIT $k"""
   }
 
+  /** Mirrors Similarity.ingestKeepIdsIndexed end to end: corpus-sampled
+    * centroids, stage-1 drop of incoming embeddings with an in-probed-list
+    * corpus match, stage-2 min-id representatives of the survivors'
+    * within-batch clusters (the [[clusterIds]] recursive closure — detection
+    * is asymmetric, the closure symmetrizes, matching the Spark side's
+    * clusterKeepIds). Fragments are inlined, not CTEs, because the closure
+    * is its own WITH RECURSIVE statement. Output: one `$key` column. */
+  def annIngestKeep(table: String, key: String, vec: String,
+                    corpusPred: String, incomingPred: String,
+                    minCosine: Double, nCentroids: Int, nProbe: Int): String = {
+    val corpus = s"(SELECT $key AS id, $vec AS v FROM $table WHERE $corpusPred)"
+    val inc = s"(SELECT $key AS id, $vec AS v FROM $table WHERE $incomingPred)"
+    val cents =
+      s"(SELECT id AS cid, v AS cvec FROM $corpus c0 ORDER BY md5(CAST(id AS VARCHAR)), id LIMIT $nCentroids)"
+    def assign(src: String) =
+      s"""(SELECT id, v, cid FROM (
+    SELECT e.id AS id, e.v AS v, c.cid AS cid,
+      row_number() OVER (PARTITION BY e.id
+        ORDER BY ${cosExpr("e.v", "c.cvec")} DESC, c.cid) AS rn
+    FROM $src e, $cents c) WHERE rn = 1)"""
+    def probes(src: String) =
+      s"""(SELECT id, v, cid FROM (
+    SELECT q.id AS id, q.v AS v, c.cid AS cid,
+      row_number() OVER (PARTITION BY q.id
+        ORDER BY ${cosExpr("q.v", "c.cvec")} DESC, c.cid) AS rn
+    FROM $src q, $cents c) WHERE rn <= $nProbe)"""
+    val dropped =
+      s"""(SELECT DISTINCT p.id AS id FROM ${probes(inc)} p JOIN ${assign(corpus)} a USING (cid)
+  WHERE a.id != p.id AND ${cosExpr("p.v", "a.v")} >= ${d(minCosine)})"""
+    val surv = s"(SELECT id, v FROM $inc i WHERE id NOT IN (SELECT id FROM $dropped))"
+    val pairs =
+      s"""SELECT p.id AS l, a.id AS r FROM ${probes(surv)} p JOIN ${assign(surv)} a USING (cid)
+  WHERE a.id != p.id AND ${cosExpr("p.v", "a.v")} >= ${d(minCosine)}"""
+    s"""SELECT s.id AS $key FROM $surv s
+WHERE s.id NOT IN (SELECT id FROM (${clusterIds(pairs)}) WHERE cluster_id != id)"""
+  }
+
   /** Mirrors Similarity.quantizeInt8: symmetric per-vector int8 quantization
     * with dequantization error (round is half-away-from-zero on both engines). */
   def quantizeInt8(table: String, key: String, vec: String): String =

@@ -307,6 +307,64 @@ object Similarity {
       .where(col("sim") >= minCosine)
   }
 
+  /**
+   * The PRODUCTION embedding-ingest operator — the ANN family's mirror of
+   * [[graft.operators.Dedup.incrementalKeepIdsIndexed]], completing the
+   * lifecycle parity between the two durable-index stories (build / probe /
+   * append / compact / ADMIT). Two stages against a stored [[ivfIndex]]:
+   * (1) drop every incoming embedding with a stored near-match
+   * ([[nearMatchesIvfIndexed]] — the corpus is never re-assigned); (2)
+   * collapse the survivors' within-batch near-dup clusters to their min-id
+   * representative ([[Dedup.clusterKeepIds]] — the same stage-2 rule as the
+   * text families). Within-batch detection probes the survivors against
+   * their OWN in-plan [[ivfIndex]] built with the SAME stored centroids:
+   * list membership stays consistent with the corpus index, and the batch
+   * pays one assignment pass, never the corpus.
+   *
+   * `admitTo = Some(table)` appends the KEPT embeddings' index rows (built
+   * from the batch frame — never from the table) via
+   * [[graft.sources.Stages.appendBucketed]], so tomorrow's batch sees
+   * today's admissions with no rebuild. The keep-set lineage reads the index
+   * table, so it is cut to a materialized leaf BEFORE the append — the same
+   * read-after-append self-match trap (and fix) as the dedup operator.
+   * Leave None for a read-only what-if run (and in the registered driver
+   * query, which must be idempotent across runs).
+   *
+   * Deterministic end to end (fixed centroids, IEEE-fold cosines, min-id
+   * representatives), so the whole composition is oracle-hash-verified.
+   * Returns the surviving incoming keys (one column, named `key`).
+   */
+  def ingestKeepIdsIndexed(index: DataFrame, centroids: DataFrame,
+                           incoming: DataFrame, key: String, vec: String,
+                           minCosine: Double, nProbe: Int = 4,
+                           admitTo: Option[String] = None,
+                           admitBuckets: Int = 8): DataFrame = {
+    // stage 1: any stored near-match drops the incoming copy
+    val dropIds = nearMatchesIvfIndexed(index, centroids, incoming, key, vec,
+        minCosine, nProbe)
+      .select(col("query_id").as("rid")).distinct().persistTracked
+    val survivors = incoming.join(dropIds, incoming(key) === col("rid"), "left_anti")
+      .persistTracked
+    // stage 2: within-batch pairs through the same centroid geometry. The
+    // probed-list relation is asymmetric (b is found from a only if b's
+    // assigned list is among a's probes) — clusterIds symmetrizes, so every
+    // detected direction contributes the same undirected edge.
+    val survIdx = ivfIndex(survivors, key, vec, centroids)
+    val selfPairs = nearMatchesIvfIndexed(survIdx, centroids, survivors, key,
+      vec, minCosine, nProbe)
+    val kept = Dedup.clusterKeepIds(survivors, key, selfPairs,
+      "query_id", "neighbor_id")
+    admitTo match {
+      case None => kept
+      case Some(table) =>
+        val stable = Checkpoints.cut(kept)
+        val admittedIdx = survIdx.join(stable.select(col(key).as("keep_id")),
+          survIdx("id") === col("keep_id"), "left_semi")
+        graft.sources.Stages.appendBucketed(admittedIdx, table, "cid", admitBuckets)
+        stable
+    }
+  }
+
   /** IVF probe against an explicit centroid table — the shared engine of
     * [[topKIvf]] (md5-sample centroids) and [[topKIvfKmeans]] (Lloyd-refined
     * centroids): in-plan [[ivfIndex]] assignment (map-side, zero corpus

@@ -154,6 +154,55 @@ class SimilaritySpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_app_t")
   }
 
+  test("ingestKeepIdsIndexed admission loop: day-2 vs appended index == from-scratch union, drops need day-1") {
+    // six latent clusters; the CORPUS covers only 0-3, so day-1 members of
+    // clusters 4/5 are genuinely new content that must survive and be
+    // admitted, and day-2's 4/5 members must then be dropped ONLY because
+    // day-1 was admitted. nProbe == nCentroids -> exhaustive probing, so
+    // detection is deterministic and the test pins semantics, not recall.
+    val rnd = new scala.util.Random(5)
+    val centers = Seq.fill(6)(Array.fill(16)(rnd.nextGaussian()))
+    def mem(c: Int): Array[Float] =
+      centers(c).map(x => (x + 0.05 * rnd.nextGaussian()).toFloat)
+    val corpus = (0 until 20).map(i => i.toLong -> mem(i % 4)).toDF("vec_id", "embedding")
+    val day1 = (0 until 12).map(i => (100L + i) -> mem(i % 6)).toDF("vec_id", "embedding")
+    val day2 = (0 until 12).map(i => (200L + i) -> mem(i % 6)).toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 4)
+    val table = "graft_ivf_ingest_t"
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    graft.sources.Stages.writeBucketed(
+      Similarity.ivfIndex(corpus, "vec_id", "embedding", cents), table, "cid", 4)
+    val rows0 = spark.table(table).count()
+
+    val k1 = Similarity.ingestKeepIdsIndexed(spark.table(table), cents, day1,
+        "vec_id", "embedding", 0.9, nProbe = 4, admitTo = Some(table), admitBuckets = 4)
+      .collect().map(_.getLong(0)).toSet
+    // clusters 0-3 drop vs corpus; 4 appears as ids 104/110, 5 as 105/111 —
+    // within-batch min-id representatives win
+    assert(k1 === Set(104L, 105L))
+    assert(spark.table(table).count() === rows0 + 2)
+
+    val k2 = Similarity.ingestKeepIdsIndexed(spark.table(table), cents, day2,
+        "vec_id", "embedding", 0.9, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    // day-2 brings nothing new: 0-3 match the corpus, 4/5 match the day-1
+    // admissions — but only BECAUSE they were admitted
+    assert(k2 === Set.empty[Long])
+    val keptVecs = day1.where($"vec_id".isin(104L, 105L))
+    val unionIdx = Similarity.ivfIndex(corpus.union(keptVecs), "vec_id", "embedding", cents)
+    val k2Scratch = Similarity.ingestKeepIdsIndexed(unionIdx, cents, day2,
+        "vec_id", "embedding", 0.9, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(k2Scratch === k2) // appended table == from-scratch union index
+    val k2NoAdmit = Similarity.ingestKeepIdsIndexed(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", cents), cents, day2,
+        "vec_id", "embedding", 0.9, nProbe = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(k2NoAdmit === Set(204L, 205L)) // without day-1 they'd survive
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    Api.clearCache()
+  }
+
   test("nearMatchesIvfIndexed == hand-computed in-probed-list pairs above the cosine floor") {
     val all = clustered(17, 4, 12, 16)
     val df = all.toDF("vec_id", "embedding")
