@@ -557,6 +557,32 @@ object Streaming {
       }
       .start()
 
+  /** The ANN mirror of [[ingestDedup]]: continuous EMBEDDING admission
+    * against a durable [[graft.operators.Similarity.ivfIndex]] table via
+    * [[graft.operators.Similarity.ingestKeepIdsIndexed]] — each micro-batch
+    * drops arrivals near anything already indexed (including earlier
+    * micro-batches' admissions, read through the mutated table), collapses
+    * within-batch near-dups to min-id representatives, and appends the kept
+    * vectors' index rows in place. Same state-in-the-table design and
+    * at-least-once admission semantics as the text families; `centroids` is
+    * index METADATA fixed at build time — admitting rows never re-centers
+    * the index (recenter = rebuild, a batch maintenance job). */
+  def ingestAnn(stream: DataFrame, indexTable: String, centroids: DataFrame,
+                key: String, vec: String, minCosine: Double, nProbe: Int = 4,
+                admitBuckets: Int = 8,
+                onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.operators.Similarity.ingestKeepIdsIndexed(
+            batch.sparkSession.table(indexTable), centroids, batch, key, vec,
+            minCosine, nProbe, admitTo = Some(indexTable),
+            admitBuckets = admitBuckets)
+          onBatch(kept, batchId)
+        }
+      }
+      .start()
+
   /**
    * Watermarked tumbling-window corpus quality monitor: per (window, lang)
    * doc counts and average quality signals over an ingestion stream. Late

@@ -493,6 +493,49 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_si_mh")
   }
 
+  test("ingestAnn: embedding admission loop across micro-batches via the durable IVF index") {
+    // the ANN fixture mirrors the text one: every probe is an EXACT vector
+    // copy (cosine 1.0), so keep-sets do not depend on probe recall — and
+    // distinct cluster vectors (fixed-seed 16-dim gaussians) sit far below
+    // the 0.95 threshold
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Stages
+    def vecOf(c: Int): Array[Float] = {
+      val r = new scala.util.Random(1000 + c)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    def dayBatch(d: Int): Seq[(Long, Array[Float])] = Seq(
+      (1000L * d + 0) -> vecOf(d % 4),      // identical to a corpus vector
+      (1000L * d + 1) -> vecOf(10 + d - 1), // identical to day d-1's admission (fresh on day 1)
+      (1000L * d + 2) -> vecOf(100 + d),    // in-batch identical pair {2,3} -> keep 2
+      (1000L * d + 3) -> vecOf(100 + d),
+      (1000L * d + 4) -> vecOf(10 + d))     // fresh -> admitted
+    def expectedKeep(d: Int): Set[Long] =
+      Set(1000L * d + 2, 1000L * d + 4) ++ (if (d == 1) Set(1001L) else Set.empty[Long])
+    val corpus = (0 until 20).map(i => i.toLong -> vecOf(i % 4)).toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 4)
+    try {
+      Stages.writeBucketed(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", cents), "graft_si_ann", "cid", 4)
+      val keeps = scala.collection.mutable.Map[Long, Set[Long]]()
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = Streaming.ingestAnn(in.toDF().toDF("vec_id", "embedding"),
+        "graft_si_ann", cents, "vec_id", "embedding", 0.95, nProbe = 4,
+        admitBuckets = 4,
+        onBatch = (kept, bid) => keeps(bid) = kept.collect().map(_.getLong(0)).toSet)
+      try {
+        for (d <- 1 to 3) { in.addData(dayBatch(d): _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(keeps.keySet === Set(0L, 1L, 2L), "one keep-set per micro-batch day")
+      for (d <- 1 to 3)
+        assert(keeps(d - 1L) === expectedKeep(d), s"day $d keep-set")
+      val ids = spark.table("graft_si_ann").select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expected = (0L until 20L).toSet ++ (1 to 3).flatMap(expectedKeep)
+      assert(ids === expected, "index after 3 micro-batches = corpus + admissions")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_si_ann")
+  }
+
   test("ingestDedupSimHash: Hamming-side admission loop across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Stages
