@@ -64,6 +64,8 @@ object Bench {
     // two-tower RRF fusion — benched so a regression in either tower's
     // ranking plan (BM25 tf shuffle, dense TakeOrdered) surfaces per-round
     "hybrid_topk_docs",
+    // the production ANN admission operator (read-only form)
+    "ann_ingest_keep_embs",
   )
 
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or
