@@ -105,6 +105,70 @@ object Rehearsal {
     println()
     println(f"final read-back probe join: $endProbe%.2f s over ${spark.table(table).count()} index rows")
     spark.sql(s"DROP TABLE IF EXISTS $table")
+
+    // ---- ANN mirror: the same admission lifecycle on the durable IVF index
+    // (Similarity.ingestKeepIdsIndexed + admitTo + compactBucketed), so the
+    // embedding side of the production loop gets measured walls too
+    import graft.operators.Similarity
+    val annTable = "graft_rehearsal_ivf"
+    def annFiles(): Int = {
+      val loc = new java.io.File(
+        new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath, annTable)
+      Option(loc.listFiles()).map(_.count(_.getName.endsWith(".parquet"))).getOrElse(0)
+    }
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").persist()
+    val annCorpus = embs.where(col("vec_id") % 10 =!= 0)
+    def annBatch(d: Int): DataFrame =
+      embs.where(col("vec_id") % 10 === 0 &&
+        pmod(floor(col("vec_id") / 10), lit(days)) === (d - 1))
+    val annProbe = annBatch(1).persist()
+    val cents = Similarity.sampleCentroids(annCorpus, "vec_id", "embedding", 16)
+      .persist()
+    def annProbeJoinSec(): Double = {
+      Api.clearCache()
+      val t0 = System.nanoTime()
+      Similarity.nearMatchesIvfIndexed(spark.table(annTable), cents, annProbe,
+          "vec_id", "embedding", 0.4, 4)
+        .queryExecution.toRdd.foreach(_ => ())
+      sec(t0)
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $annTable")
+    spark.sql(s"DROP TABLE IF EXISTS ${annTable}__compact")
+    val tAnnBuild = System.nanoTime()
+    Stages.writeBucketed(
+      Similarity.ivfIndex(annCorpus, "vec_id", "embedding", cents), annTable, "cid", nBuckets)
+    println()
+    println(f"ANN: IVF index build + bucketed write: ${sec(tAnnBuild)}%.2f s, " +
+      f"${spark.table(annTable).count()} rows, ${annFiles()} files")
+    println("| day | batch vecs | kept | keep-set wall (s) | index rows | files/bucket | note |")
+    println("|---|---|---|---|---|---|---|")
+    for (d <- 1 to days) {
+      Api.clearCache()
+      val b = annBatch(d).persist()
+      val nb = b.count()
+      val t0 = System.nanoTime()
+      val kept = Similarity.ingestKeepIdsIndexed(spark.table(annTable), cents, b,
+        "vec_id", "embedding", 0.4, nProbe = 4, admitTo = Some(annTable),
+        admitBuckets = nBuckets)
+      val nKept = kept.count()
+      val wall = sec(t0)
+      var note = ""
+      if (d == compactDay) {
+        val before = annProbeJoinSec()
+        val filesBefore = annFiles()
+        val tc = System.nanoTime()
+        Stages.compactBucketed(spark, annTable, "cid", nBuckets)
+        val cWall = sec(tc)
+        val after = annProbeJoinSec()
+        note = f"compacted: $filesBefore->${annFiles()} files in $cWall%.2f s; " +
+          f"probe join $before%.2f s -> $after%.2f s"
+      }
+      println(f"| $d | $nb | $nKept | $wall%.2f | ${spark.table(annTable).count()} | ${annFiles().toDouble / nBuckets}%.1f | $note |")
+      b.unpersist()
+    }
+    println(f"ANN final read-back probe join: ${annProbeJoinSec()}%.2f s over ${spark.table(annTable).count()} index rows")
+    spark.sql(s"DROP TABLE IF EXISTS $annTable")
     spark.stop()
   }
 }
