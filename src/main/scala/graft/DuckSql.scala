@@ -995,6 +995,16 @@ FROM (SELECT id, tks, ${grams(2)} AS g2, ${grams(3)} AS g3
   private def hashUniformSql(key: String, seed: String): String =
     s"(CAST(CAST(('0x' || substring(md5('$seed:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / CAST(1152921504606846976.0 AS DOUBLE))"
 
+  /** Mirrors Curation.capPerSource: per-source row_number over the same
+    * md5("<seed>:<id>") deterministic-uniform order, id tie-break. */
+  def capPerSource(table: String, key: String, source: String, cap: Int,
+                   seed: String): String =
+    s"""SELECT id, source FROM (
+  SELECT $key AS id, $source AS source,
+    row_number() OVER (PARTITION BY $source
+      ORDER BY md5('$seed:' || CAST($key AS VARCHAR)), $key) AS rn
+  FROM $table) WHERE rn <= $cap"""
+
   /** Mirrors Curation.mixSources: per-source hash-threshold keep probability. */
   def mixSources(table: String, key: String, source: String,
                  weights: Seq[(String, Double)], defaultWeight: Double,

@@ -170,6 +170,35 @@ object Curation {
   }
 
   /**
+   * Per-source document cap — the Gopher/Dolma-style "at most `cap`
+   * documents per domain" rule that stops crawl-heavy sources from swamping
+   * the mixture where proportional [[mixSources]] sampling isn't enough
+   * (a 10× over-crawled domain keeps 10× the docs at any keep probability;
+   * a cap is absolute). Selection within a source is ordered by
+   * md5("<seed>:<id>") then id — the deterministic-uniform key, so the kept
+   * subset is a reproducible unbiased sample rather than "first crawled
+   * wins", and changing the seed redraws it.
+   *
+   * Scale shape: ONE shuffle (the window's hashpartitioning on `source`) —
+   * the window is PARTITIONED, every source ranks independently in its own
+   * tasks. A skew-heavy source (the exact thing this operator exists for)
+   * concentrates its rows in one partition; row_number is a streaming
+   * window (no buffering beyond the frame row), so the cost is that
+   * source's row count, not memory. Output: (id, source).
+   */
+  def capPerSource(df: DataFrame, key: String, source: String, cap: Int,
+                   seed: String = "cap"): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("hk"), col("id"))
+    df.select(col(key).as("id"), col(source).as("source"),
+        md5(concat(lit(s"$seed:"), col(key).cast("string"))).as("hk"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= cap)
+      .select(col("id"), col("source"))
+  }
+
+  /**
    * Corpus-composition report — the mixture-monitoring query a curation team
    * runs before and after every [[mixSources]] re-weighting: document counts
    * and size mass at every (source × lang) combination PLUS the per-source

@@ -253,6 +253,25 @@ class CurationSpec extends SparkSpec {
     Api.clearCache()
   }
 
+  test("capPerSource: at most cap per source, deterministic hash order, seed redraws") {
+    val df = ((0L until 40L).map(i => (i, "web")) ++
+      (100L until 103L).map(i => (i, "books"))).toDF("id", "src")
+    val out = Curation.capPerSource(df, "id", "src", 10)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(out.count(_._2 == "web") === 10)  // capped
+    assert(out.count(_._2 == "books") === 3) // under cap: all kept
+    // deterministic: the kept web subset is exactly the 10 smallest md5 keys
+    val expectedWeb = (0L until 40L)
+      .sortBy(i => java.security.MessageDigest.getInstance("MD5")
+        .digest(s"cap:$i".getBytes("UTF-8")).map("%02x".format(_)).mkString)
+      .take(10).toSet
+    assert(out.filter(_._2 == "web").map(_._1).toSet === expectedWeb)
+    // a different seed redraws the sample
+    val redraw = Curation.capPerSource(df, "id", "src", 10, seed = "other")
+      .collect().filter(_.getString(1) == "web").map(_.getLong(0)).toSet
+    assert(redraw !== expectedWeb)
+  }
+
   test("corpusReport: leaf, per-source, and grand-total levels from one rollup pass") {
     val df = Seq(
       ("web", "en", 100L), ("web", "en", 300L), ("web", "de", 50L),
