@@ -51,6 +51,10 @@ import duckdb, glob, json, os, sys, time
 sfdir, sql, runs = sys.argv[1], sys.argv[2], int(sys.argv[3])
 con = duckdb.connect()
 con.execute("SET threads TO 32")
+try:
+    con.execute("SET enable_progress_bar = false")
+except Exception:
+    pass
 for p in glob.glob(os.path.join(sfdir, "*.parquet")):
     t = os.path.basename(p)[: -len(".parquet")]
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
@@ -86,7 +90,25 @@ def main():
                 msg = (out.stderr or "").strip().splitlines()
                 print(f"| {name} | ERROR {msg[-1] if msg else '?'} | |")
                 continue
-            r = json.loads(out.stdout.strip().splitlines()[-1])
+            # the worker may emit progress/warning noise on stdout around the
+            # JSON line (observed r9: a non-JSON last line killed the whole
+            # sweep) — scan from the end for the first parseable line
+            r = None
+            for line in reversed(out.stdout.strip().splitlines()):
+                # DuckDB's progress bar can glue "100% ..." onto the JSON on
+                # the SAME stdout line (observed r9) — parse from the last '{'
+                brace = line.rfind("{")
+                if brace < 0:
+                    continue
+                try:
+                    r = json.loads(line[brace:])
+                    break
+                except json.JSONDecodeError:
+                    continue
+            if r is None:
+                tail = out.stdout.strip().splitlines()[-1:]
+                print(f"| {name} | ERROR no JSON in worker stdout ({tail}) | |")
+                continue
             print(f"| {name} | {r['sec']:.2f} s | {r['rows']} |")
         except subprocess.TimeoutExpired:
             print(f"| {name} | DNF (> {timeout} s) | |")
