@@ -995,6 +995,28 @@ FROM (SELECT id, tks, ${grams(2)} AS g2, ${grams(3)} AS g3
   private def hashUniformSql(key: String, seed: String): String =
     s"(CAST(CAST(('0x' || substring(md5('$seed:' || CAST($key AS VARCHAR)), 1, 15)) AS BIGINT) AS DOUBLE) / CAST(1152921504606846976.0 AS DOUBLE))"
 
+  /** Mirrors Packing.chunkDocs: same window count (1 + ceil((n-max)/stride)
+    * for n > max), same 1-based slices (DuckDB list slicing clamps at the
+    * end exactly like Spark's slice), same single-space re-join. */
+  def chunkDocs(table: String, key: String, text: String,
+                maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"""WITH docs AS (
+  SELECT id, tks, len(tks) AS n FROM (
+    SELECT $key AS id, ${wsBagExpr(text)} AS tks FROM $table)
+  WHERE len(tks) >= 1),
+wins AS (
+  SELECT id, i AS chunk_idx,
+    tks[(i * $stride + 1):(i * $stride + $maxTokens)] AS ctks
+  FROM docs, UNNEST(generate_series(0,
+    CAST(CASE WHEN n <= $maxTokens THEN 0
+         ELSE ceil((n - $maxTokens) / CAST($stride AS DOUBLE)) END AS BIGINT))) AS t(i))
+SELECT id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+  CAST(len(ctks) AS BIGINT) AS n_tokens,
+  array_to_string(ctks, ' ') AS chunk_text
+FROM wins"""
+  }
+
   /** Mirrors Curation.capPerSource: per-source row_number over the same
     * md5("<seed>:<id>") deterministic-uniform order, id tie-break. */
   def capPerSource(table: String, key: String, source: String, cap: Int,

@@ -39,6 +39,50 @@ import graft.operators.PersistTracker.TrackedPersist
 object Packing {
 
   /**
+   * Context-window chunking — split each document into fixed-size token
+   * windows with `overlap` tokens of left context carried between
+   * consecutive windows: the standard pre-training document-splitting step
+   * for docs longer than the model context (the complement of [[packBins]],
+   * which handles docs SHORTER than the context). Window starts advance by
+   * `stride = maxTokens - overlap`; the last window may be shorter; a doc
+   * with no tokens emits nothing. Whitespace bag tokenization, case kept
+   * (the [[TextAnalysis]] wsBag char class), windows re-joined with a
+   * single space.
+   *
+   * Window count = 1 + ceil((n - maxTokens) / stride) for n > maxTokens —
+   * exactly enough that every token is covered and no start is emitted
+   * past coverage (a naive `sequence(1, n, stride)` emits a redundant
+   * trailing window whenever the previous one already reached the end).
+   *
+   * Output: (id, chunk_idx, n_tokens, chunk_text), chunk_idx 0-based.
+   *
+   * Scale shape: pure per-row column expressions — split, one arithmetic
+   * window count, transform+slice over the token array, explode. ZERO
+   * shuffles; output rows ∝ total tokens / stride. Deterministic, so the
+   * oracle hash-checks the chunk text itself.
+   */
+  def chunkDocs(df: DataFrame, key: String, text: String,
+                maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val tks = filter(split(col(text), "[\t\n\r ]"), x => trim(x) =!= "")
+    val n = size(col("tks")).cast("long")
+    // exact for n < 2^52: double division then ceil on integer-valued args
+    val nWin = when(n <= maxTokens, lit(1L))
+      .otherwise(lit(1L) + ceil((n - lit(maxTokens)).cast("double") / stride).cast("long"))
+    df.select(col(key).as("id"), tks.as("tks"))
+      .where(size(col("tks")) >= 1)
+      .select(col("id"), posexplode(transform(sequence(lit(0L), nWin - 1), i =>
+        slice(col("tks"), (i * stride + 1).cast("int"), lit(maxTokens))))
+        .as(Seq("chunk_idx", "ctks")))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        size(col("ctks")).cast("long").as("n_tokens"),
+        array_join(col("ctks"), " ").as("chunk_text"))
+  }
+
+  /**
    * @param df      input with a unique orderable key and a token count
    * @param key     unique id column (long-castable; defines packing order)
    * @param nTokens token-count column expression (long-castable)

@@ -21,6 +21,28 @@ class PackingSpec extends SparkSpec {
       5L -> (9L, 1L, 3L)))
   }
 
+  test("chunkDocs: window math, coverage, overlap carry, no redundant trailing window") {
+    val docs = Seq(
+      1L -> "a b c d e f g h i j",      // 10 tokens
+      2L -> "x y z",                    // 3 -> single short window
+      3L -> "   ",                      // no tokens -> emits nothing
+      4L -> "p q r s t u v w").toDF("id", "txt") // exactly 8 -> ONE window, no redundant second
+    val out = Packing.chunkDocs(docs, "id", "txt", maxTokens = 8, overlap = 2)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      // stride 6: windows [1..8], [7..10]
+      (1L, 0L) -> ((8L, "a b c d e f g h")),
+      (1L, 1L) -> ((4L, "g h i j")),     // 2-token overlap carried (g h)
+      (2L, 0L) -> ((3L, "x y z")),
+      (4L, 0L) -> ((8L, "p q r s t u v w"))))
+    // every token of doc 1 is covered, in order, exactly stride apart
+    val n14 = Packing.chunkDocs(Seq(9L -> (1 to 15).map(i => s"t$i").mkString(" "))
+        .toDF("id", "txt"), "id", "txt", 8, 2)
+      .collect().map(r => (r.getLong(1), r.getString(3))).sortBy(_._1)
+    assert(n14.map(_._1) === Array(0L, 1L, 2L)) // 1 + ceil(7/6) = 3 windows
+    assert(n14.last._2 === "t13 t14 t15")       // last window short, reaches the end
+  }
+
   test("distributed two-pass scan equals the sequential window form") {
     val rnd = new scala.util.Random(29)
     // ids deliberately unordered and sparse; counts include zeros
