@@ -478,8 +478,16 @@ object Curation {
       .agg(countDistinct(col("w")).cast("double").as("vp")))
     val bgcT = bgT.groupBy("w1", "w2").agg(count(lit(1)).as("c12t"))
     val ctxT = bgcT.groupBy("w1").agg(sum(col("c12t")).as("c1t"))
+    // an empty target slice would make vt = 0 → pt = k/0 = +Inf → w = +Inf →
+    // keep-threshold 1 silently keeps the WHOLE pool (and the oracle, built
+    // the same way, would agree — the hash check can't catch it). Fail fast
+    // in-plan instead: raise_error costs no extra driver action.
     val vT = broadcast(tdocs.select(explode(col("tks")).as("w"))
-      .agg(countDistinct(col("w")).cast("double").as("vt")))
+      .agg(countDistinct(col("w")).cast("double").as("vt"))
+      .select(when(col("vt") > 0, col("vt"))
+        .otherwise(raise_error(lit(
+          "importanceSample: targetPred matches no documents with >= 2 tokens " +
+          "(empty target vocabulary)"))).as("vt")))
     val pP = (col("c12p").cast("double") + lit(k)) /
       (col("c1p").cast("double") + lit(k) * col("vp"))
     val pT = (coalesce(col("c12t"), lit(0L)).cast("double") + lit(k)) /

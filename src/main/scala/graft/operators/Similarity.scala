@@ -339,10 +339,21 @@ object Similarity {
                            minCosine: Double, nProbe: Int = 4,
                            admitTo: Option[String] = None,
                            admitBuckets: Int = 8): DataFrame = {
-    // stage 1: any stored near-match drops the incoming copy
+    // stage 1: any stored near-match drops the incoming copy. Near-matching
+    // alone is NOT replay-safe here: nearMatchesIvfIndexed's query_id =!= id
+    // self-exclusion means a REPLAYED batch's vectors never match their own
+    // earlier admissions (same id in the index), so — unlike the MinHash /
+    // SimHash families, where a replay drops via its jaccard-1.0 self-match —
+    // a replay would be re-admitted, appending duplicate index rows. Drop
+    // already-indexed ids explicitly (the at-least-once self-healing
+    // invariant; one left_semi on the id the probe join scans anyway).
+    val replayIds = incoming.join(index,
+        incoming(key) === index("id"), "left_semi")
+      .select(col(key).as("rid"))
     val dropIds = nearMatchesIvfIndexed(index, centroids, incoming, key, vec,
         minCosine, nProbe)
-      .select(col("query_id").as("rid")).distinct().persistTracked
+      .select(col("query_id").as("rid"))
+      .union(replayIds).distinct().persistTracked
     val survivors = incoming.join(dropIds, incoming(key) === col("rid"), "left_anti")
       .persistTracked
     // stage 2: within-batch pairs through the same centroid geometry. The

@@ -182,6 +182,16 @@ class SimilaritySpec extends SparkSpec {
     assert(k1 === Set(104L, 105L))
     assert(spark.table(table).count() === rows0 + 2)
 
+    // REPLAY day-1 (at-least-once delivery): its admitted ids are already in
+    // the index, so the replay must admit nothing and append nothing — the
+    // self-healing invariant the text families get from their jaccard-1.0
+    // self-match, here via the explicit already-indexed id drop
+    val k1Replay = Similarity.ingestKeepIdsIndexed(spark.table(table), cents, day1,
+        "vec_id", "embedding", 0.9, nProbe = 4, admitTo = Some(table), admitBuckets = 4)
+      .collect().map(_.getLong(0)).toSet
+    assert(k1Replay === Set.empty[Long])
+    assert(spark.table(table).count() === rows0 + 2)
+
     val k2 = Similarity.ingestKeepIdsIndexed(spark.table(table), cents, day2,
         "vec_id", "embedding", 0.9, nProbe = 4)
       .collect().map(_.getLong(0)).toSet

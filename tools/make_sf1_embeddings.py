@@ -4,12 +4,14 @@ replication — the ANN counterpart of make_sf1.py.
 
 Replica r > 0 applies a fixed SIGNED COORDINATE PERMUTATION (seeded by r) to
 every vector: an orthogonal transform over the same component multiset, so
-every within-replica cosine is preserved BIT-FOR-BIT (the IEEE fold sees a
-reordering of identical products on normalized axes... more precisely: the
-dot product of two identically-permuted, identically-sign-flipped vectors
-sums the same multiset of component products, and norms are unchanged).
-The near-dup / top-k structure of sf0.1 therefore replicates exactly, ten
-times. Cross-replica cosines are NOT provably bounded (unlike the token
+every within-replica cosine is preserved up to FLOAT SUMMATION REORDERING
+(~ulp): the dot product of two identically-permuted, identically-sign-flipped
+vectors sums the same MULTISET of component products, but the sequential IEEE
+fold adds them in a different ORDER, so dot and norm sums differ in the last
+ulps and borderline threshold/top-k pairs can flip between replicas. The
+near-dup / top-k structure of sf0.1 therefore replicates only APPROXIMATELY —
+do not build an exact-count assertion on per-replica structure being
+identical. Cross-replica cosines are NOT provably bounded (unlike the token
 fixture's disjointness) — two different signed permutations of similar
 vectors are merely uncorrelated — so this fixture supports SCALING
 measurements (candidate volume grows ~linearly in expectation) but not
