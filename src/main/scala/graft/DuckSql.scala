@@ -584,25 +584,56 @@ WHERE hamming <= $maxHamming"""
   md5($text) AS content_md5
 FROM $table"""
 
-  /** Mirrors Multimodal.decode's deterministic stub (n = payload byte count). */
-  def mmDecode(table: String, key: String, text: String): String =
-    s"""SELECT $key AS id,
-  CAST(16 + (n % 640) AS BIGINT) AS width,
-  CAST(16 + ((n // 7) % 480) AS BIGINT) AS height,
-  CAST(1 + (n % 24) AS BIGINT) AS frames,
-  CASE WHEN n % 2 = 0 THEN 'fake/even' ELSE 'fake/odd' END AS codec
-FROM (SELECT $key, octet_length(encode($text)) AS n FROM $table)"""
+  /** The synthetic-PNG gradient pixel as SQL printf channels: the EXPECTED
+    * output of Multimodal.decodeImage over Multimodal.synthPng, recomputed
+    * in closed form from the id — the Spark side must round-trip real PNG
+    * bytes through javax.imageio to produce the same witnesses. */
+  def mmDecode(table: String, key: String): String =
+    s"""SELECT id, 'png' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  printf('%02x%02x%02x', CAST(id % 256 AS INT), CAST(id % 256 AS INT),
+         CAST(id % 256 AS INT)) AS px00,
+  printf('%02x%02x%02x', CAST((id + w - 1) % 256 AS INT), CAST((id + h - 1) % 256 AS INT),
+         CAST((id + w + h - 2) % 256 AS INT)) AS pxc,
+  CAST((SELECT SUM((id+x)%256 + (id+y)%256 + (id+x+y)%256)
+          FROM range(0,16) rx(x), range(0,13) ry(y) WHERE x < w AND y < h)
+       AS BIGINT) AS px_sum
+FROM (SELECT $key AS id, 4 + $key % 13 AS w, 3 + $key % 11 AS h FROM $table)"""
 
-  /** Mirrors Multimodal.resize's deterministic stub (truncate to w*h*3 bytes). */
-  def mmResize(table: String, key: String, text: String, w: Int, h: Int): String =
-    s"""SELECT $key AS id, CAST($w AS BIGINT) AS width, CAST($h AS BIGINT) AS height,
-  CAST(least(octet_length(encode($text)), ${w * h * 3}) AS BIGINT) AS n_bytes_resized
-FROM $table"""
+  /** Expected decode of the nearest-neighbor resize of the synthetic PNG:
+    * dst(x,y) = gradient(x·w//tw, y·h//th) — mirrors decodeImage ∘
+    * resizeImage ∘ synthPng, entirely in closed form. */
+  def mmResize(table: String, key: String, tw: Int, th: Int): String =
+    s"""SELECT id, 'png' AS format, CAST($tw AS BIGINT) AS width, CAST($th AS BIGINT) AS height,
+  printf('%02x%02x%02x', CAST(id % 256 AS INT), CAST(id % 256 AS INT),
+         CAST(id % 256 AS INT)) AS px00,
+  printf('%02x%02x%02x', CAST((id + ${tw - 1}*w//$tw) % 256 AS INT),
+         CAST((id + ${th - 1}*h//$th) % 256 AS INT),
+         CAST((id + ${tw - 1}*w//$tw + ${th - 1}*h//$th) % 256 AS INT)) AS pxc,
+  CAST((SELECT SUM((id + x*w//$tw)%256 + (id + y*h//$th)%256
+                 + (id + x*w//$tw + y*h//$th)%256)
+          FROM range(0,$tw) rx(x), range(0,$th) ry(y))
+       AS BIGINT) AS px_sum
+FROM (SELECT $key AS id, 4 + $key % 13 AS w, 3 + $key % 11 AS h FROM $table)"""
 
-  /** Mirrors Multimodal.sampleFrameIndexes over the decode stub. */
-  def mmFrames(table: String, key: String, text: String, everyK: Int): String =
-    s"""SELECT id, CAST(unnest(generate_series(0, frames - 1, $everyK)) AS BIGINT) AS frame_idx
-FROM (${mmDecode(table, key, text)})"""
+  /** Expected per-frame decode of the synthetic animated GIF (5×4 solid
+    * frames, 1 + id%4 of them) — mirrors decodeFrames ∘ synthGif. */
+  def mmFrames(table: String, key: String): String =
+    s"""SELECT id, CAST(x AS BIGINT) AS frame_idx,
+  CAST(5 AS BIGINT) AS width, CAST(4 AS BIGINT) AS height,
+  printf('%02x%02x%02x', CAST((id+x)%256 AS INT), CAST((id+2*x)%256 AS INT),
+         CAST((id+3*x)%256 AS INT)) AS px
+FROM (SELECT $key AS id, 1 + $key % 4 AS nf FROM $table), range(0,4) t(x)
+WHERE x < nf"""
+
+  /** Expected WAV decode (16-bit mono 8 kHz PCM, 100 + id%50 samples,
+    * sample i = (id·31 + i·17) % 20001 − 10000) — mirrors
+    * decodeWav ∘ synthWav; the sample sum is exact integer arithmetic. */
+  def mmWav(table: String, key: String): String =
+    s"""SELECT id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+  CAST(16 AS BIGINT) AS bits, CAST(ns AS BIGINT) AS n_frames,
+  CAST((SELECT SUM((id*31 + i*17) % 20001 - 10000)
+          FROM range(0,150) t(i) WHERE i < ns) AS BIGINT) AS sample_sum
+FROM (SELECT $key AS id, 100 + $key % 50 AS ns FROM $table)"""
 
   /** Double-precision sequential-fold cosine between two embedding columns
     * (matches Spark's zip_with + aggregate fold). */

@@ -1,32 +1,63 @@
 package graft.operators
 
+import java.awt.image.{BufferedImage, IndexColorModel}
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.{IIOImage, ImageIO}
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 
-/** Decoded-media metadata produced by the (stubbed) decoder. */
-final case class MediaInfo(id: Long, width: Int, height: Int, frames: Int, codec: String)
+/** A decoded still image: real dimensions and format from the byte stream,
+  * plus raster witnesses — corner pixels as rrggbb hex and the whole-raster
+  * channel sum — that only an actual pixel decode can produce. */
+final case class ImageDecoded(id: Long, format: String, width: Long, height: Long,
+                              px00: String, pxc: String, px_sum: Long)
+
+/** One decoded animation frame (GIF): per-frame dimensions + pixel witness. */
+final case class FrameDecoded(id: Long, frame_idx: Long, width: Long, height: Long,
+                              px: String)
+
+/** A resized image re-encoded as PNG — real pixels, decodable downstream. */
+final case class ResizedImage(id: Long, width: Long, height: Long, payload: Array[Byte])
+
+/** Decoded PCM audio: container header fields + the exact sample sum. */
+final case class WavDecoded(id: Long, sample_rate: Long, channels: Long, bits: Long,
+                            n_frames: Long, sample_sum: Long)
+
+/** A synthesized media payload (real encoded bytes). */
+final case class MediaPayload(id: Long, payload: Array[Byte])
 
 /**
- * Multimodal-column plumbing: treat image/audio/video payloads as opaque
- * `binary` columns with typed metadata alongside.
+ * Multimodal columns: image/audio payloads as opaque `binary` columns with
+ * REAL codec passes over them — PNG/GIF decode, pixel-level resize, animation
+ * frame extraction, and WAV PCM decode — using only the JDK's built-in codecs
+ * (`javax.imageio`, `javax.sound.sampled`), no external dependencies, fully
+ * headless. Video remains out of reach in this environment (the JDK ships no
+ * video codec); everything else here runs real bytes end to end.
  *
- * The Spark-side mechanics are real and tested — binary payload column,
- * byte-level metadata extraction as codegen'd expressions, and a batched
- * per-partition decode pass (the shape a JNI/FFI decoder needs: one library
- * handle per partition, bytes in, struct out). The decode itself is a
- * clearly-marked deterministic STUB because no media codecs ship in this
- * environment; swapping `fakeDecode` for a real decoder changes no plumbing.
+ * Correctness story: the synth* generators render deterministic media whose
+ * pixel/sample values are closed-form functions of the row id, so a DuckDB
+ * oracle can compute the EXPECTED decode output (dimensions, corner pixels,
+ * whole-raster checksums, sample sums) from the id alone — while the Spark
+ * side must round-trip actual encoded bytes through the codec to produce the
+ * same values. PNG is lossless and WAV is uncompressed PCM, so round trips
+ * are exact; GIF frames are written against an explicit palette containing
+ * exactly the frame color, so they round-trip exactly too.
  *
- * Scale notes: payload bytes stay in the executor (no driver collect); decode
- * is a narrow mapPartitions (no shuffle); metadata-only queries prune the
- * payload column at the parquet scan, so `SELECT meta FROM media` never reads
- * the blobs.
+ * Scale notes: payload bytes never leave the executors (no driver collect);
+ * every codec pass is a narrow `mapPartitions` (zero shuffle) with the codec
+ * invoked per row inside the partition iterator — the same integration shape
+ * a JNI/FFI decoder (video, EXIF, resampling libraries) slots into. Metadata
+ * -only queries prune the payload column at the parquet scan, so
+ * `SELECT meta FROM media` never reads the blobs.
  */
 object Multimodal {
 
   /** Attach a binary payload column. In production this is the raw media blob
     * column of the table; here we derive bytes from a string column so the
-    * plumbing is exercisable on the text testdata. */
+    * byte-level plumbing is exercisable on the text testdata. */
   def withPayload(df: DataFrame, src: String, payloadCol: String = "payload"): DataFrame =
     df.withColumn(payloadCol, encode(col(src), "UTF-8"))
 
@@ -39,57 +70,257 @@ object Multimodal {
       lower(hex(substring(col(payloadCol), 1, 4))).as("magic"),
       md5(col(payloadCol)).as("content_md5"))
 
-  /** Deterministic fake decode — STUB for the real codec call. Derives fake
-    * dimensions from the payload bytes so tests are stable. */
-  private def fakeDecode(id: Long, payload: Array[Byte]): MediaInfo = {
-    val n = payload.length
-    MediaInfo(id,
-      width = 16 + (n % 640),
-      height = 16 + ((n / 7) % 480),
-      frames = 1 + (n % 24),
-      codec = if (n % 2 == 0) "fake/even" else "fake/odd")
+  // ---------------------------------------------------------------------
+  // Deterministic synthetic media (the oracle-checkable fixtures)
+  // ---------------------------------------------------------------------
+
+  /** Gradient pixel of the synthetic image for row `id`: channels are
+    * closed-form in (id, x, y) so an SQL oracle can recompute any pixel. */
+  @inline private def gradPixel(id: Long, x: Int, y: Int): Int = {
+    val r = ((id + x) % 256).toInt
+    val g = ((id + y) % 256).toInt
+    val b = ((id + x + y) % 256).toInt
+    (r << 16) | (g << 8) | b
   }
 
-  /**
-   * Batched decode pass: one decoder context per partition, rows streamed
-   * through it. Mirrors how a real image/audio decoder is integrated (library
-   * init per partition, not per row; bytes never leave the executor).
-   */
-  def decode(df: DataFrame, key: String, payloadCol: String = "payload"): Dataset[MediaInfo] = {
-    val rows = df.select(col(key).cast("long"), col(payloadCol))
-    rows.mapPartitions { it =>
-      // real integration point: open codec/library handle here, close after
-      it.map(r => fakeDecode(r.getLong(0), r.getAs[Array[Byte]](1)))
-    }(Encoders.product[MediaInfo])
-  }
+  private def hex6(rgb: Int): String = f"${rgb & 0xffffff}%06x"
 
-  /** Frame sampling shape: every kth frame index of a decoded video row —
-    * generates (id, frame_idx) without materializing frames. */
-  def sampleFrameIndexes(decoded: Dataset[MediaInfo], everyK: Int): DataFrame =
-    decoded.toDF().select(col("id"),
-      explode(sequence(lit(0), col("frames") - 1, lit(everyK))).as("frame_idx"))
-
-  /** A resized payload row (width/height are the requested target). */
-  final case class ResizedMedia(id: Long, width: Int, height: Int, payload: Array[Byte])
-
-  /**
-   * Resize pass — same batched per-partition shape as [[decode]]. The STUB
-   * "resize" deterministically truncates the payload to the target byte budget
-   * (w*h*3, an RGB frame) so output sizes are data-derived and testable; a
-   * real implementation swaps the body for the codec's scale call, changing
-   * no plumbing, schema, or partitioning.
-   */
-  def resize(df: DataFrame, key: String, targetW: Int, targetH: Int,
-             payloadCol: String = "payload"): Dataset[ResizedMedia] = {
-    val budget = targetW * targetH * 3
-    val rows = df.select(col(key).cast("long"), col(payloadCol))
-    rows.mapPartitions { it =>
-      // real integration point: open codec/scaler handle here, close after
+  /** Render the id-derived gradient as a real PNG: width = 4 + id%13,
+    * height = 3 + id%11, pixel(x,y) = ((id+x)%256, (id+y)%256, (id+x+y)%256).
+    * PNG is lossless, so a decode must read back exactly these values. */
+  def synthPng(df: DataFrame, key: String): Dataset[MediaPayload] =
+    df.select(col(key).cast("long")).mapPartitions { it =>
       it.map { r =>
-        val bytes = r.getAs[Array[Byte]](1)
-        ResizedMedia(r.getLong(0), targetW, targetH,
-          java.util.Arrays.copyOf(bytes, math.min(bytes.length, budget)))
+        val id = r.getLong(0)
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, gradPixel(id, x, y)); x += 1 }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        ImageIO.write(img, "png", bos)
+        MediaPayload(id, bos.toByteArray)
       }
-    }(Encoders.product[ResizedMedia])
+    }(Encoders.product[MediaPayload])
+
+  /** Render an id-derived animated GIF: 1 + id%4 frames of 5×4 solid color
+    * ((id+f)%256, (id+2f)%256, (id+3f)%256) for frame f. Each frame carries
+    * an explicit 1-bit palette holding exactly its color, so GIF's palette
+    * quantization is a no-op and the round trip is exact. */
+  def synthGif(df: DataFrame, key: String): Dataset[MediaPayload] =
+    df.select(col(key).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val nf = (1 + id % 4).toInt
+        val bos = new ByteArrayOutputStream()
+        val ios = ImageIO.createImageOutputStream(bos)
+        val wr = ImageIO.getImageWritersByFormatName("gif").next()
+        try {
+          wr.setOutput(ios)
+          wr.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val rc = ((id + f) % 256).toByte
+            val gc = ((id + 2L * f) % 256).toByte
+            val bc = ((id + 3L * f) % 256).toByte
+            val icm = new IndexColorModel(1, 2,
+              Array(rc, 0.toByte), Array(gc, 0.toByte), Array(bc, 0.toByte))
+            val fr = new BufferedImage(5, 4, BufferedImage.TYPE_BYTE_BINARY, icm)
+            wr.writeToSequence(new IIOImage(fr, null, null), null)
+            f += 1
+          }
+          wr.endWriteSequence()
+        } finally { wr.dispose(); ios.close() }
+        MediaPayload(id, bos.toByteArray)
+      }
+    }(Encoders.product[MediaPayload])
+
+  /** Render id-derived 16-bit mono PCM as a real WAV container:
+    * 100 + id%50 samples at 8 kHz, sample i = (id·31 + i·17) % 20001 − 10000.
+    * WAV PCM is uncompressed — decode reads back the exact samples. */
+  def synthWav(df: DataFrame, key: String): Dataset[MediaPayload] =
+    df.select(col(key).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val ns = (100 + id % 50).toInt
+        val pcm = new Array[Byte](ns * 2)
+        var i = 0
+        while (i < ns) {
+          val s = ((id * 31 + i * 17L) % 20001 - 10000).toShort
+          pcm(2 * i) = (s & 255).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 255).toByte
+          i += 1
+        }
+        val fmt = new AudioFormat(8000f, 16, 1, true, false)
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(
+          new AudioInputStream(new ByteArrayInputStream(pcm), fmt, ns.toLong),
+          AudioFileFormat.Type.WAVE, bos)
+        MediaPayload(id, bos.toByteArray)
+      }
+    }(Encoders.product[MediaPayload])
+
+  // ---------------------------------------------------------------------
+  // Real decode passes
+  // ---------------------------------------------------------------------
+
+  /** Channel sum + corner pixels of a decoded raster — the witnesses an SQL
+    * oracle recomputes in closed form from the generator. */
+  private def rasterWitness(id: Long, img: BufferedImage, format: String): ImageDecoded = {
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 255) + ((p >> 8) & 255) + (p & 255)
+        x += 1
+      }
+      y += 1
+    }
+    ImageDecoded(id, format, w.toLong, h.toLong,
+      hex6(img.getRGB(0, 0)), hex6(img.getRGB(w - 1, h - 1)), sum)
   }
+
+  /**
+   * REAL image decode over a binary payload column via `javax.imageio`:
+   * format name from the registered reader that claims the byte stream
+   * (PNG/JPEG/GIF/BMP ship with the JDK), true dimensions, and pixel-level
+   * witnesses (corner pixels, whole-raster channel sum) from the decoded
+   * raster. Undecodable payloads yield a (id, "unreadable", 0, 0, "", "", 0)
+   * row instead of failing the task — corrupt blobs are a fact of life in a
+   * crawled corpus; downstream filters on `format`.
+   */
+  def decodeImage(df: DataFrame, key: String,
+                  payloadCol: String = "payload"): Dataset[ImageDecoded] =
+    df.select(col(key).cast("long"), col(payloadCol)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+          val readers = ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) ImageDecoded(id, "unreadable", 0L, 0L, "", "", 0L)
+          else {
+            val rd = readers.next()
+            try {
+              rd.setInput(iis)
+              rasterWitness(id, rd.read(0), rd.getFormatName.toLowerCase)
+            } finally rd.dispose()
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            ImageDecoded(id, "unreadable", 0L, 0L, "", "", 0L)
+        }
+      }
+    }(Encoders.product[ImageDecoded])
+
+  /**
+   * REAL animation frame extraction: decode every frame of a GIF payload —
+   * `ImageReader.getNumImages` walks the actual byte stream — and emit one
+   * row per frame with its decoded dimensions and top-left pixel. The flat
+   * (id, frame_idx) output is the shape a downstream frame-sampling join
+   * (`frame_idx % k = 0`) or a per-frame featurizer consumes.
+   */
+  def decodeFrames(df: DataFrame, key: String,
+                   payloadCol: String = "payload"): Dataset[FrameDecoded] =
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(bytes))
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) Seq.empty[FrameDecoded]
+        else {
+          val rd = readers.next()
+          try {
+            rd.setInput(iis)
+            val n = rd.getNumImages(true)
+            (0 until n).map { f =>
+              val img = rd.read(f)
+              FrameDecoded(id, f.toLong, img.getWidth.toLong, img.getHeight.toLong,
+                hex6(img.getRGB(0, 0)))
+            }
+          } finally rd.dispose()
+        }
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty[FrameDecoded] }
+    }(Encoders.product[FrameDecoded])
+
+  /**
+   * REAL pixel resize: decode the payload, resample to `targetW`×`targetH`
+   * by nearest neighbor — dst(x,y) = src(⌊x·w/targetW⌋, ⌊y·h/targetH⌋), the
+   * one resampling kernel that is bit-deterministic and SQL-recomputable
+   * (area-average/bilinear round differently across runtimes) — and
+   * re-encode as PNG, so the output payload is itself decodable downstream.
+   * Undecodable inputs are dropped (countable via [[decodeImage]]).
+   */
+  def resizeImage(df: DataFrame, key: String, targetW: Int, targetH: Int,
+                  payloadCol: String = "payload"): Dataset[ResizedImage] = {
+    require(targetW > 0 && targetH > 0, s"bad target ${targetW}x$targetH")
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      try {
+        val src = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (src == null) None
+        else {
+          val w = src.getWidth
+          val h = src.getHeight
+          val dst = new BufferedImage(targetW, targetH, BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < targetH) {
+            val sy = y * h / targetH
+            var x = 0
+            while (x < targetW) {
+              dst.setRGB(x, y, src.getRGB(x * w / targetW, sy))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new ByteArrayOutputStream()
+          ImageIO.write(dst, "png", bos)
+          Some(ResizedImage(id, targetW.toLong, targetH.toLong, bos.toByteArray))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }(Encoders.product[ResizedImage])
+  }
+
+  /**
+   * REAL audio decode via `javax.sound.sampled`: parse the WAV container
+   * header (sample rate, channels, bit depth, frame count) and fold the
+   * decoded 16-bit little-endian PCM samples into an exact sum — the audio
+   * analogue of [[decodeImage]]'s raster checksum. Unparseable payloads
+   * yield an all-zero row with sample_rate 0 (filter on it downstream).
+   */
+  def decodeWav(df: DataFrame, key: String,
+                payloadCol: String = "payload"): Dataset[WavDecoded] =
+    df.select(col(key).cast("long"), col(payloadCol)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val bytes = r.getAs[Array[Byte]](1)
+        try {
+          val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+          try {
+            val fmt = ain.getFormat
+            val pcm = ain.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < pcm.length) {
+              sum += ((pcm(i) & 255) | (pcm(i + 1) << 8)).toShort
+              i += 2
+            }
+            WavDecoded(id, fmt.getSampleRate.toLong, fmt.getChannels.toLong,
+              fmt.getSampleSizeInBits.toLong, ain.getFrameLength, sum)
+          } finally ain.close()
+        } catch {
+          case scala.util.control.NonFatal(_) => WavDecoded(id, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }(Encoders.product[WavDecoded])
 }

@@ -1,13 +1,17 @@
 package graft
 
 import graft.operators._
+import org.apache.spark.sql.functions._
 
-/** Multimodal plumbing tests: payload bytes, metadata, batched decode stub. */
+/** Multimodal tests: byte plumbing + REAL codec round trips (PNG, GIF, WAV)
+  * checked against plain-Scala closed-form references. */
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
   private lazy val df = Multimodal.withPayload(
     Seq(1L -> "hello world", 2L -> "abcd").toDF("id", "txt"), "txt")
+
+  private lazy val ids = Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L).toDF("id")
 
   test("withPayload produces binary utf8 bytes") {
     val r = df.select("payload").head().getAs[Array[Byte]](0)
@@ -22,29 +26,90 @@ class MultimodalSpec extends SparkSpec {
       (2L, 4L, "61626364")))  // 'abcd'
   }
 
-  test("decode stub is deterministic and batched per partition") {
-    val out = Multimodal.decode(df, "id").collect().map(m => m.id -> m).toMap
-    assert(out(1L) === MediaInfo(1L, 16 + 11, 16 + (11 / 7) % 480, 1 + 11 % 24, "fake/odd"))
-    assert(out(2L) === MediaInfo(2L, 16 + 4, 16 + 0, 1 + 4, "fake/even"))
-    // determinism across runs
-    val again = Multimodal.decode(df, "id").collect().map(m => m.id -> m).toMap
-    assert(out === again)
+  // closed-form reference of the synthetic gradient
+  private def grad(id: Long, x: Int, y: Int): (Int, Int, Int) =
+    (((id + x) % 256).toInt, ((id + y) % 256).toInt, ((id + x + y) % 256).toInt)
+  private def hex(p: (Int, Int, Int)): String = f"${p._1}%02x${p._2}%02x${p._3}%02x"
+
+  test("synthPng -> decodeImage: real PNG round trip matches the closed form") {
+    val out = Multimodal.decodeImage(Multimodal.synthPng(ids, "id").toDF(), "id")
+      .collect().map(d => d.id -> d).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)) {
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      val d = out(id)
+      assert(d.format === "png")
+      assert(d.width === w && d.height === h)
+      assert(d.px00 === hex(grad(id, 0, 0)))
+      assert(d.pxc === hex(grad(id, w - 1, h - 1)))
+      val esum = (for (y <- 0 until h; x <- 0 until w) yield {
+        val (r, g, b) = grad(id, x, y); (r + g + b).toLong
+      }).sum
+      assert(d.px_sum === esum, s"raster checksum for id=$id")
+    }
   }
 
-  test("sampleFrameIndexes: every kth frame per decoded row") {
-    val decoded = Multimodal.decode(df, "id")
-    val frames = Multimodal.sampleFrameIndexes(decoded, 5).collect()
-      .map(r => (r.getLong(0), r.getInt(1))).toSet
-    // id=1: frames = 1+11%24 = 12 -> 0,5,10 ; id=2: frames = 5 -> 0
-    assert(frames === Set((1L, 0), (1L, 5), (1L, 10), (2L, 0)))
+  test("extractMeta over synthPng sees the real PNG magic") {
+    val magics = Multimodal.extractMeta(
+        Multimodal.synthPng(ids, "id").toDF(), "id")
+      .select("magic").distinct().collect().map(_.getString(0)).toSet
+    assert(magics === Set("89504e47")) // \x89PNG
   }
 
-  test("resize stub: payload truncated to the w*h*3 byte budget, dims set") {
-    val out = Multimodal.resize(df, "id", 1, 1).collect().map(m => m.id -> m).toMap
-    assert(out(1L).width === 1 && out(1L).height === 1)
-    assert(out(1L).payload.length === 3)       // 11 bytes -> budget 3
-    assert(out(2L).payload.length === 3)       // 4 bytes -> budget 3
-    val big = Multimodal.resize(df, "id", 100, 100).collect().map(m => m.id -> m).toMap
-    assert(big(1L).payload.length === 11)      // budget exceeds payload -> unchanged
+  test("resizeImage: nearest-neighbor pixels, re-encoded PNG decodable") {
+    val resized = Multimodal.resizeImage(
+      Multimodal.synthPng(ids, "id").toDF(), "id", 3, 2)
+    val out = Multimodal.decodeImage(resized.toDF(), "id")
+      .collect().map(d => d.id -> d).toMap
+    for (id <- Seq(0L, 255L, 4242L)) {
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      val d = out(id)
+      assert(d.format === "png" && d.width === 3 && d.height === 2)
+      def src(x: Int, y: Int) = grad(id, x * w / 3, y * h / 2)
+      assert(d.px00 === hex(src(0, 0)))
+      assert(d.pxc === hex(src(2, 1)))
+      val esum = (for (y <- 0 until 2; x <- 0 until 3) yield {
+        val (r, g, b) = src(x, y); (r + g + b).toLong
+      }).sum
+      assert(d.px_sum === esum)
+    }
+  }
+
+  test("synthGif -> decodeFrames: frame count and exact solid colors") {
+    val out = Multimodal.decodeFrames(Multimodal.synthGif(ids, "id").toDF(), "id")
+      .collect().groupBy(_.id)
+    for (id <- Seq(0L, 1L, 7L, 4242L)) {
+      val nf = (1 + id % 4).toInt
+      val frames = out(id).sortBy(_.frame_idx)
+      assert(frames.length === nf)
+      frames.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_idx === i && f.width === 5 && f.height === 4)
+        assert(f.px === f"${(id + i) % 256}%02x${(id + 2L * i) % 256}%02x${(id + 3L * i) % 256}%02x")
+      }
+    }
+  }
+
+  test("synthWav -> decodeWav: container header and exact PCM sample sum") {
+    val out = Multimodal.decodeWav(Multimodal.synthWav(ids, "id").toDF(), "id")
+      .collect().map(d => d.id -> d).toMap
+    for (id <- Seq(0L, 1L, 255L, 4242L)) {
+      val ns = (100 + id % 50).toInt
+      val d = out(id)
+      assert(d.sample_rate === 8000L && d.channels === 1L && d.bits === 16L)
+      assert(d.n_frames === ns.toLong)
+      val esum = (0 until ns).map(i => (id * 31 + i * 17L) % 20001 - 10000).sum
+      assert(d.sample_sum === esum)
+    }
+  }
+
+  test("corrupt payloads: decodeImage flags, frames/resize drop, wav zeroes") {
+    val junk = df // utf8 text bytes — not an image, not a wav
+    val dec = Multimodal.decodeImage(junk, "id").collect()
+    assert(dec.length === 2 && dec.forall(_.format === "unreadable"))
+    assert(Multimodal.decodeFrames(junk, "id").count() === 0L)
+    assert(Multimodal.resizeImage(junk, "id", 4, 4).count() === 0L)
+    val wav = Multimodal.decodeWav(junk, "id").collect()
+    assert(wav.length === 2 && wav.forall(w => w.sample_rate === 0L && w.n_frames === 0L))
   }
 }
