@@ -584,6 +584,17 @@ WHERE hamming <= $maxHamming"""
   md5($text) AS content_md5
 FROM $table"""
 
+  /** Mirrors Bpe.tokenCounts with ZERO merges — character-level
+    * tokenization, so the model-token count per document is exactly its
+    * non-whitespace character count (the end-of-word marker rides the last
+    * character of each word, adding no symbol). The learned-merges form has
+    * no SQL expression (iterative greedy merging); this twin hash-checks the
+    * pre-merge tokenization + counting machinery. */
+  def bpeTokenCounts0(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id,
+  CAST(length(regexp_replace($text, '$wsClass', '', 'g')) AS BIGINT) AS n_tokens
+FROM $table"""
+
   /** The synthetic-PNG gradient pixel as SQL printf channels: the EXPECTED
     * output of Multimodal.decodeImage over Multimodal.synthPng, recomputed
     * in closed form from the id — the Spark side must round-trip real PNG
@@ -979,6 +990,44 @@ SELECT id, count(*)::BIGINT AS n_grams,
   sum(CASE WHEN gdf >= 2 THEN 1 ELSE 0 END) > 0 AS is_dup
 FROM grams JOIN gdf USING (gh)
 GROUP BY id"""
+
+  /** Mirrors Curation.substringDedup with the SEQUENTIAL WINDOW form: every
+    * gram occurrence ranked by `row_number() OVER (PARTITION BY gram ORDER
+    * BY id, pos)`; occurrences past the first of any gram with corpus count
+    * ≥ 2 mark their n token positions; documents rebuild from unmarked
+    * tokens. Hash-equality proves the distributed partial-agg form
+    * reproduces the window semantics exactly. */
+  def substringDedup(table: String, key: String, text: String, n: Int): String = {
+    val m = n - 1
+    s"""WITH base AS (
+  SELECT $key AS id, ${wsBagExpr(text)} AS tks FROM $table),
+grams AS (
+  SELECT id, generate_subscripts(ghs, 1) - 1 AS gpos, unnest(ghs) AS gh
+  FROM (SELECT id, list_transform(
+      CASE WHEN len(tks) - $m >= 1 THEN generate_series(1, len(tks) - $m) ELSE [] END,
+      i -> substring(md5(array_to_string(
+             list_transform(tks[i:i+$m], x -> lower(x)), ' ')), 1, 16)) AS ghs
+    FROM base)),
+ranked AS (
+  SELECT id, gpos,
+    count(*) OVER (PARTITION BY gh) AS cnt,
+    row_number() OVER (PARTITION BY gh ORDER BY id, gpos) AS rn
+  FROM grams),
+marked AS (
+  SELECT DISTINCT id, gpos + k AS tpos
+  FROM ranked, unnest(generate_series(0, $m)) t(k)
+  WHERE cnt >= 2 AND rn > 1),
+toks AS (
+  SELECT id, generate_subscripts(tks, 1) - 1 AS tpos, unnest(tks) AS tok
+  FROM base),
+rebuilt AS (
+  SELECT t.id, string_agg(t.tok, ' ' ORDER BY t.tpos) AS text
+  FROM toks t LEFT JOIN marked mk ON t.id = mk.id AND t.tpos = mk.tpos
+  WHERE mk.id IS NULL
+  GROUP BY t.id)
+SELECT b.id, coalesce(r.text, '') AS text
+FROM base b LEFT JOIN rebuilt r USING (id)"""
+  }
 
   /** Mirrors Curation.piiScrub (same regexes, RE2/Java-identical subset;
     * counts on the original text, masking email → phone → IP). */

@@ -1,0 +1,238 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.functions._
+
+/** A document's BPE token sequence. Top-level + public so the Dataset
+  * encoder stays inside generated code (a nested private case class forces
+  * the interpreted fallback). */
+final case class BpeDocTokens(id: Long, tokens: Seq[String])
+
+/** A document's BPE token count. */
+final case class BpeDocCount(id: Long, n_tokens: Long)
+
+/** One decoded BPE context window. */
+final case class BpeChunk(id: Long, chunk_idx: Long, n_tokens: Long, chunk_text: String)
+
+/**
+ * Byte-pair-encoding subword tokenizer (Sennrich et al. 2016, "Neural Machine
+ * Translation of Rare Words with Subword Units" — the merges format GPT-2
+ * popularized): the tokenizer a TRAINER actually consumes, so token budgets in
+ * [[Packing.packBins]] / context windows in [[chunkBpe]] mean model tokens,
+ * not whitespace words.
+ *
+ * Words are split to character symbols with the last character carrying the
+ * `</w>` end-of-word marker (the original paper's representation); a merge
+ * list is applied greedily lowest-rank-first (the canonical GPT-2 `bpe()`
+ * loop, equivalent to replaying the learned merge passes in order — the spec
+ * pins the equivalence differentially).
+ *
+ * [[learn]] trains the merge list from the corpus itself: ONE distributed
+ * word-frequency aggregation (groupBy on word VALUES — partial aggregation
+ * collapses hot words map-side, the shuffle is vocabulary-sized), then the
+ * standard iterative pair-merge training on the driver over the top-`maxVocab`
+ * word-count dictionary. This is how production BPE trainers work — training
+ * state is the word-frequency DICT, Zipf-bounded by `maxVocab`, never the
+ * corpus — so the driver holds vocab-sized data regardless of corpus scale.
+ *
+ * Encoding is per-row iterative merging — genuinely imperative per-word work
+ * with no Column form — so [[tokens]]/[[tokenCounts]]/[[chunkBpe]] are honest
+ * `mapPartitions` passes: the merge-rank map is built once per partition from
+ * the (small, task-broadcast) merge list, rows stream through it, zero
+ * shuffles. Deterministic end to end: exact distributed counts, lexicographic
+ * tie-breaks, no RNG — the same corpus always learns the same merges.
+ */
+object Bpe {
+
+  /** End-of-word marker fused onto a word's last character (Sennrich format):
+    * it lets merges distinguish "er" mid-word from "er" word-finally, and
+    * makes decode = concatenate + marker→space. */
+  val Eow = "</w>"
+
+  private val WsClass = "[\t\n\r ]"
+
+  /** A word as its initial symbol sequence: one symbol per character, the
+    * last carrying the end-of-word marker. */
+  private[graft] def wordSymbols(word: String): Vector[String] = {
+    val n = word.length
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < n) {
+      val s = word.substring(i, i + 1)
+      b += (if (i == n - 1) s + Eow else s)
+      i += 1
+    }
+    b.result()
+  }
+
+  /** Merge every (leftmost-first, non-overlapping) occurrence of `pair` in a
+    * symbol sequence — one training pass of Sennrich's algorithm. */
+  private[graft] def mergePass(syms: Vector[String], pair: (String, String)): Vector[String] = {
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == pair._1 && syms(i + 1) == pair._2) {
+        b += syms(i) + syms(i + 1)
+        i += 2
+      } else {
+        b += syms(i)
+        i += 1
+      }
+    }
+    b.result()
+  }
+
+  /**
+   * Learn `numMerges` merges from the corpus: distributed exact word counts,
+   * capped at the `maxVocab` most frequent words (count desc, word asc — the
+   * standard practical cap; training state is the dict, not the corpus),
+   * then the textbook iterative training loop: count adjacent symbol pairs
+   * weighted by word frequency, merge the most frequent (ties broken
+   * lexicographically for determinism), repeat. Stops early when no pair
+   * reaches `minPairCount`.
+   */
+  def learn(df: DataFrame, text: String, numMerges: Int,
+            maxVocab: Int = 50000, minPairCount: Long = 2L): Seq[(String, String)] = {
+    val words = df.select(explode(
+        filter(split(col(text), WsClass), x => trim(x) =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var vocab: Array[(Vector[String], Long)] =
+      words.map { case (w, c) => (wordSymbols(w), c) }
+    val merges = mutable.ArrayBuffer.empty[(String, String)]
+    var iter = 0
+    var done = false
+    while (iter < numMerges && !done) {
+      val pairCounts = mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (syms, c) =>
+        var i = 0
+        while (i + 1 < syms.length) {
+          val p = (syms(i), syms(i + 1))
+          pairCounts.update(p, pairCounts.getOrElse(p, 0L) + c)
+          i += 1
+        }
+      }
+      if (pairCounts.isEmpty) done = true
+      else {
+        val best = pairCounts.maxBy { case ((a, b), c) => (c, a, b) }(
+          Ordering.Tuple3(Ordering.Long, Ordering.String.reverse, Ordering.String.reverse))
+        if (best._2 < minPairCount) done = true
+        else {
+          merges += best._1
+          vocab = vocab.map { case (syms, c) => (mergePass(syms, best._1), c) }
+          iter += 1
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** GPT-2-style greedy encode of one word: repeatedly merge the present
+    * pair with the LOWEST merge rank until none remains — equivalent to
+    * replaying the training passes in rank order (spec-pinned). */
+  private[graft] def encodeWord(word: String,
+                                ranks: Map[(String, String), Int]): Vector[String] = {
+    var syms = wordSymbols(word)
+    var continue = syms.length > 1
+    while (continue) {
+      var bestRank = Int.MaxValue
+      var best: (String, String) = null
+      var i = 0
+      while (i + 1 < syms.length) {
+        val p = (syms(i), syms(i + 1))
+        val r = ranks.getOrElse(p, Int.MaxValue)
+        if (r < bestRank) { bestRank = r; best = p }
+        i += 1
+      }
+      if (best == null) continue = false
+      else {
+        syms = mergePass(syms, best)
+        if (syms.length == 1) continue = false
+      }
+    }
+    syms
+  }
+
+  private def splitWords(s: String): Array[String] =
+    if (s == null) Array.empty else s.split(WsClass).filter(_.nonEmpty)
+
+  /** Per-document BPE token sequence: (id, tokens array<string>), word order
+    * preserved. One zero-shuffle mapPartitions pass; the rank map builds once
+    * per partition from the task-broadcast merge list. */
+  def tokens(df: DataFrame, key: String, text: String,
+             merges: Seq[(String, String)]): DataFrame = {
+    val m = merges.toArray
+    df.select(col(key).cast("long"), col(text)).mapPartitions { it =>
+      val ranks = m.iterator.zipWithIndex.toMap
+      it.map { r =>
+        val toks = splitWords(r.getString(1)).iterator
+          .flatMap(encodeWord(_, ranks)).toSeq
+        BpeDocTokens(r.getLong(0), toks)
+      }
+    }(Encoders.product[BpeDocTokens]).toDF()
+  }
+
+  /** Per-document BPE token count: (id, n_tokens) — the column every token
+    * budget downstream ([[Packing.packBins]], mixture caps priced in model
+    * tokens) should consume instead of whitespace word counts. */
+  def tokenCounts(df: DataFrame, key: String, text: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val m = merges.toArray
+    df.select(col(key).cast("long"), col(text)).mapPartitions { it =>
+      val ranks = m.iterator.zipWithIndex.toMap
+      it.map { r =>
+        var n = 0L
+        splitWords(r.getString(1)).foreach(w => n += encodeWord(w, ranks).length)
+        BpeDocCount(r.getLong(0), n)
+      }
+    }(Encoders.product[BpeDocCount]).toDF()
+  }
+
+  /** Decode a token window back to text: concatenate symbols, the
+    * end-of-word marker becomes a space (trailing space trimmed). */
+  private def decode(toks: Seq[String]): String = {
+    val sb = new StringBuilder
+    toks.foreach(sb ++= _)
+    val s = sb.toString.replace(Eow, " ")
+    if (s.nonEmpty && s.charAt(s.length - 1) == ' ') s.substring(0, s.length - 1) else s
+  }
+
+  /**
+   * Context-window chunking in MODEL tokens — [[Packing.chunkDocs]] with the
+   * whitespace counter swapped for BPE: windows of `maxTokens` BPE tokens
+   * advancing by `maxTokens - overlap`, each decoded back to text (a window
+   * may start mid-word — inherent to subword budgets; the decode keeps the
+   * subword fragment). Same window-count rule as chunkDocs: the last window
+   * is shorter, no redundant trailing window, empty docs emit nothing.
+   * Zero-shuffle mapPartitions; output rows ∝ total tokens / stride.
+   */
+  def chunkBpe(df: DataFrame, key: String, text: String,
+               merges: Seq[(String, String)], maxTokens: Int,
+               overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val m = merges.toArray
+    df.select(col(key).cast("long"), col(text)).mapPartitions { it =>
+      val ranks = m.iterator.zipWithIndex.toMap
+      it.flatMap { r =>
+        val toks = splitWords(r.getString(1)).iterator
+          .flatMap(encodeWord(_, ranks)).toVector
+        val n = toks.length
+        if (n == 0) Seq.empty[BpeChunk]
+        else {
+          val nWin = if (n <= maxTokens) 1
+                     else 1 + math.ceil((n - maxTokens).toDouble / stride).toInt
+          (0 until nWin).map { w =>
+            val win = toks.slice(w * stride, w * stride + maxTokens)
+            BpeChunk(r.getLong(0), w.toLong, win.length.toLong, decode(win))
+          }
+        }
+      }
+    }(Encoders.product[BpeChunk]).toDF()
+  }
+}

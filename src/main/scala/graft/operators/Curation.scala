@@ -429,6 +429,69 @@ object Curation {
   }
 
   /**
+   * Exact-substring REMOVAL — the rewrite half of Lee et al.'s deduplication
+   * (the paper's ExactSubstr operator: when a span occurs verbatim more than
+   * once in the corpus, keep ONE global copy and excise every other
+   * occurrence). [[substringDupStats]] flags; this rewrites. Semantics, all
+   * deterministic and oracle-expressible:
+   *
+   *   - spans are word `n`-grams (whitespace tokens, case-insensitive match,
+   *     original-case rebuild), every OCCURRENCE (not per-doc distinct);
+   *   - a gram value occurring ≥ 2 times corpus-wide keeps its global first
+   *     occurrence — min (id, pos) — and every other occurrence marks its
+   *     `n` token positions for removal (within-doc repeats cut too);
+   *   - overlapping marked spans merge by position-set union (the min-span
+   *     merge falls out of marking positions, not intervals);
+   *   - documents rebuild from the surviving tokens in order, single-space
+   *     joined, possibly to the empty string (kept, like [[lineDedup]]).
+   *
+   * Scale shape: the same gram-df machinery as [[substringDupStats]] — one
+   * groupBy on 16-byte md5-prefix gram keys whose `min(struct(id, pos))` +
+   * count partial-aggregate map-side (hot boilerplate spans ship one row per
+   * input partition, not per occurrence; the textbook `row_number() OVER
+   * (PARTITION BY gram)` form is the DuckDB oracle and cannot
+   * partial-aggregate), a join back on the gram key, one position explode
+   * bounded by n × duplicate occurrences, an anti-join on (id, token pos),
+   * and the per-doc sort_array rebuild. No global window anywhere. A 16-byte
+   * prefix collision would merge two gram groups (vanishingly rare; the
+   * oracle hashes identically, so verification is unaffected).
+   *
+   * Output: (id, text), one row per input row.
+   */
+  def substringDedup(df: DataFrame, key: String, text: String,
+                     n: Int = 13): DataFrame = {
+    val tksCol = filter(split(col(text), "[\t\n\r ]"), x => trim(x) =!= "")
+    val base = Parallelize.ensureMinParallelism(
+        df.select(col(key).as("id"), tksCol.as("tks")))
+      .persistTracked
+    val m = n - 1
+    val nG = size(col("tks")) - m
+    val ghs = when(nG >= 1, transform(sequence(lit(1), nG), i =>
+        substring(md5(array_join(
+          transform(slice(col("tks"), i, lit(n)), t => lower(t)), " ")), 1, 16)))
+      .otherwise(array().cast("array<string>"))
+    // every gram OCCURRENCE with its 0-based start position
+    val grams = base.select(col("id"), posexplode(ghs).as(Seq("gpos", "gh")))
+      .persistTracked
+    val firsts = grams.groupBy("gh")
+      .agg(count(lit(1)).as("cnt"), min(struct(col("id"), col("gpos"))).as("first"))
+    val marked = grams.join(firsts, "gh")
+      .where(col("cnt") >= 2 &&
+        !(col("id") === col("first.id") && col("gpos") === col("first.gpos")))
+      .select(col("id"), explode(sequence(col("gpos"), col("gpos") + m)).as("tpos"))
+      .distinct()
+    val toks = base.select(col("id"), posexplode(col("tks")).as(Seq("tpos", "tok")))
+    val rebuilt = toks.join(marked, Seq("id", "tpos"), "left_anti")
+      .groupBy("id")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("tpos"), col("tok")))),
+          s => s.getField("tok")), " ").as("text"))
+    base.select(col("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"))
+  }
+
+  /**
    * DSIR-shape importance resampling (Xie et al. 2023, "Data Selection for
    * Language Models via Importance Resampling" — the n-gram-feature variant):
    * keep documents from a general pool in proportion to how much more likely

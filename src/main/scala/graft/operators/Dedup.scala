@@ -338,7 +338,8 @@ object Dedup {
                                 rowsPerBand: Int = 8,
                                 family: HashFamily = XxHash64Family,
                                 admitTo: Option[String] = None,
-                                admitBuckets: Int = 8): DataFrame = {
+                                admitBuckets: Int = 8,
+                                autoCompactAt: Int = 16): DataFrame = {
     val batchIdx = minHashIndex(incoming, key, value, tokenizer, bands,
       rowsPerBand, family).persistTracked
     // stage 1: cross-side — a corpus near-dup drops the incoming copy
@@ -366,7 +367,8 @@ object Dedup {
         val stable = Checkpoints.cut(kept)
         val admittedIdx = batchIdx.join(stable.select(col(key).as("keep_id")),
           batchIdx("id") === col("keep_id"), "left_semi")
-        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket", admitBuckets)
+        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket",
+          admitBuckets, autoCompactAt)
         stable
     }
   }
@@ -866,7 +868,8 @@ object Dedup {
                                        tokenizer: Tokenizer, maxHamming: Int = 3,
                                        family: HashFamily = XxHash64Family,
                                        admitTo: Option[String] = None,
-                                       admitBuckets: Int = 8): DataFrame = {
+                                       admitBuckets: Int = 8,
+                                       autoCompactAt: Int = 16): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
     val bandBits = family.bits / 4
     val batchIdx = simHashIndex(incoming, key, value, tokenizer, family)
@@ -891,7 +894,8 @@ object Dedup {
         val stable = Checkpoints.cut(kept)
         val admittedIdx = batchIdx.join(stable.select(col(key).as("keep_id")),
           batchIdx("id") === col("keep_id"), "left_semi")
-        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket", admitBuckets)
+        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket",
+          admitBuckets, autoCompactAt)
         stable
     }
   }

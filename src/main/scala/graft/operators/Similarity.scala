@@ -338,7 +338,8 @@ object Similarity {
                            incoming: DataFrame, key: String, vec: String,
                            minCosine: Double, nProbe: Int = 4,
                            admitTo: Option[String] = None,
-                           admitBuckets: Int = 8): DataFrame = {
+                           admitBuckets: Int = 8,
+                           autoCompactAt: Int = 16): DataFrame = {
     // stage 1: any stored near-match drops the incoming copy. Near-matching
     // alone is NOT replay-safe here: nearMatchesIvfIndexed's query_id =!= id
     // self-exclusion means a REPLAYED batch's vectors never match their own
@@ -371,7 +372,8 @@ object Similarity {
         val stable = Checkpoints.cut(kept)
         val admittedIdx = survIdx.join(stable.select(col(key).as("keep_id")),
           survIdx("id") === col("keep_id"), "left_semi")
-        graft.sources.Stages.appendBucketed(admittedIdx, table, "cid", admitBuckets)
+        graft.sources.Stages.appendBucketed(admittedIdx, table, "cid",
+          admitBuckets, autoCompactAt)
         stable
     }
   }

@@ -84,6 +84,18 @@ object Stages {
       .saveAsTable(table)
   }
 
+  /** Parquet data files currently in a managed table's location — the
+    * small-file health metric of the append lifecycle (bucketed writes lay
+    * files flat in the table directory). 0 when the location doesn't exist. */
+  def dataFileCount(spark: SparkSession, table: String): Long = {
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) 0L
+    else fs.listStatus(loc).count(s =>
+      s.isFile && s.getPath.getName.endsWith(".parquet")).toLong
+  }
+
   /**
    * Append rows to a bucketed table created by [[writeBucketed]] — the
    * MAINTENANCE half of the durable-index lifecycle: a daily ingest joins
@@ -95,13 +107,24 @@ object Stages {
    * mismatched spec). Each append adds AT MOST one file per bucket (the
    * batch is repartitioned onto the bucket key first — see the inline
    * note); the bucket METADATA is unchanged, so joins stay exchange-free
-   * on the table — run [[compactBucketed]] occasionally when small-file
-   * counts grow (≈ every 16 appends at one file/bucket/append).
+   * on the table.
+   *
+   * AUTO-COMPACTION: after the append, if the table's average files per
+   * bucket exceeds `autoCompactAt` (default the documented ~16 small-file
+   * threshold — SCALE.md), [[compactBucketed]] fires in place, so an N-day
+   * production admission loop self-maintains instead of relying on a
+   * maintenance job it never calls. Rows/keep-sets are unaffected
+   * (compaction is a rewrite; the rehearsal spec pins it fires exactly at
+   * the promised crossing and changes nothing downstream). Pass
+   * `autoCompactAt = 0` to opt out (ingest-latency-critical loops that
+   * schedule compaction off-peak instead).
+   *
    * StagesSpec pins append-then-join == from-scratch-index-then-join and
    * the ≤ nBuckets files-per-append bound.
    */
   def appendBucketed(df: DataFrame, table: String,
-                     bucketCol: String, nBuckets: Int): Unit =
+                     bucketCol: String, nBuckets: Int,
+                     autoCompactAt: Int = 16): Unit = {
     // When the catalog lacks the table, `append`-saveAsTable would CREATE it
     // — and trip LOCATION_ALREADY_EXISTS on a warehouse directory orphaned
     // by a previous session (the case writeBucketed recovers from). Routing
@@ -109,7 +132,7 @@ object Stages {
     // (table known to this catalog) take the append path unchanged.
     if (!df.sparkSession.catalog.tableExists(table))
       writeBucketed(df, table, bucketCol, nBuckets)
-    else
+    else {
       // repartition on the bucket column with numPartitions == nBuckets:
       // HashPartitioning and the writer's bucket assignment are the same
       // pmod(murmur3, n), so each task holds exactly one bucket and each
@@ -124,6 +147,11 @@ object Stages {
         .write.mode("append").format("parquet")
         .bucketBy(nBuckets, bucketCol).sortBy(bucketCol)
         .saveAsTable(table)
+      if (autoCompactAt > 0 &&
+          dataFileCount(df.sparkSession, table) > autoCompactAt.toLong * nBuckets)
+        compactBucketed(df.sparkSession, table, bucketCol, nBuckets)
+    }
+  }
 
   /**
    * Compact a bucketed table written by [[writeBucketed]] and grown by

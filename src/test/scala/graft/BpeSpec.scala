@@ -1,0 +1,103 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.functions._
+
+/** BPE tokenizer tests: golden hand-verified merges (the Sennrich paper's
+  * corpus), encode == training-pass-replay equivalence, count invariants,
+  * decode round trips, and BPE context-window chunking. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // the classic BPE training corpus: low×5, lower×2, newest×6, widest×3
+  private lazy val corpus = Seq(
+    (1L, ("low " * 5).trim),
+    (2L, ("lower " * 2).trim),
+    (3L, ("newest " * 6).trim),
+    (4L, ("widest " * 3).trim)).toDF("id", "text")
+
+  test("learn: golden first four merges, hand-verified") {
+    // pair counts round 1: (e,s)=9, (s,t</w>)=9 -> lexicographic tie-break
+    // picks (e,s); then (es,t</w>)=9; then (l,o)=7; then the 6-way tie
+    // (e,w)/(n,e)/(w,est</w>) resolves to (e,w)
+    val merges = Bpe.learn(corpus, "text", numMerges = 4)
+    assert(merges === Seq(
+      ("e", "s"), ("es", "t</w>"), ("l", "o"), ("e", "w")))
+  }
+
+  test("learn is deterministic and stops when no pair reaches minPairCount") {
+    val a = Bpe.learn(corpus, "text", numMerges = 50)
+    val b = Bpe.learn(corpus, "text", numMerges = 50)
+    assert(a === b)
+    // every word fully merges eventually; merges stop well before 50
+    assert(a.length < 50)
+    val all = Bpe.learn(corpus, "text", numMerges = 50, minPairCount = 1L)
+    assert(all.length >= a.length)
+  }
+
+  test("encodeWord == replaying training merge passes in rank order") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 10, minPairCount = 1L)
+    val ranks = merges.zipWithIndex.toMap
+    val rnd = new scala.util.Random(7)
+    val alpha = "lowesrntwid"
+    for (_ <- 1 to 200) {
+      val w = (1 to (1 + rnd.nextInt(9))).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val greedy = Bpe.encodeWord(w, ranks)
+      val replay = merges.foldLeft(Bpe.wordSymbols(w))((s, m) => Bpe.mergePass(s, m))
+      assert(greedy === replay, s"word '$w'")
+    }
+  }
+
+  test("tokenCounts: zero merges = non-ws char count; more merges never increase") {
+    val docs = Seq(
+      (1L, "the lowest low"),
+      (2L, "  spaced\tout\nwords  "),
+      (3L, "")).toDF("id", "text")
+    val zero = Bpe.tokenCounts(docs, "id", "text", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(zero === Map(1L -> 12L, 2L -> 14L, 3L -> 0L))
+    val merges = Bpe.learn(corpus, "text", numMerges = 6)
+    val merged = Bpe.tokenCounts(docs, "id", "text", merges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged.forall { case (id, n) => n <= zero(id) })
+    // "lowest" contains the learned 'lo' and 'es' merges -> strictly fewer
+    assert(merged(1L) < zero(1L))
+  }
+
+  test("tokens: word order preserved, decode-by-marker reconstructs ws-normalized text") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 6)
+    val docs = Seq((1L, "the lowest\t\tnewest  low")).toDF("id", "text")
+    val toks = Bpe.tokens(docs, "id", "text", merges)
+      .collect().head.getSeq[String](1)
+    val decoded = toks.mkString.replace(Bpe.Eow, " ").trim
+    assert(decoded === "the lowest newest low")
+    // every word boundary is marked exactly once
+    assert(toks.mkString.sliding(Bpe.Eow.length).count(_ == Bpe.Eow) === 4)
+  }
+
+  test("chunkBpe: window count rule, overlap carry, decode of chunks") {
+    val merges = Seq.empty[(String, String)] // char tokens -> counts are plain
+    // "abcde fgh" -> 8 char tokens; maxTokens=4, overlap=1 -> stride 3 ->
+    // nWin = 1 + ceil((8-4)/3) = 3: [a b c d] [d e f g] [g h]
+    val docs = Seq((1L, "abcde fgh"), (2L, " ")).toDF("id", "text")
+    val rows = Bpe.chunkBpe(docs, "id", "text", merges, 4, 1)
+      .orderBy("id", "chunk_idx").collect()
+    assert(rows.length === 3) // blank doc emits nothing
+    assert(rows.map(_.getLong(1)).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(4L, 4L, 2L))
+    assert(rows.map(_.getString(3)).toSeq === Seq("abcd", "de fg", "gh"))
+  }
+
+  test("chunkBpe window tokens re-encode consistently (coverage, no redundant tail)") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 6)
+    val docs = Seq((1L, ("newest lowest widest low " * 6).trim)).toDF("id", "text")
+    val total = Bpe.tokenCounts(docs, "id", "text", merges).collect().head.getLong(1)
+    val rows = Bpe.chunkBpe(docs, "id", "text", merges, 10, 2)
+      .orderBy("chunk_idx").collect()
+    val stride = 8
+    val nWin = if (total <= 10) 1 else 1 + math.ceil((total - 10).toDouble / stride).toInt
+    assert(rows.length === nWin)
+    assert(rows.init.forall(_.getLong(2) === 10L))
+    assert(rows.last.getLong(2) <= 10L && rows.last.getLong(2) >= 1L)
+  }
+}

@@ -288,4 +288,57 @@ class CurationSpec extends SparkSpec {
       ("books", "ALL", 1L) -> ((1L, 1000L, 1000.0)),
       ("ALL", "ALL", 3L) -> ((4L, 1450L, 362.5))))
   }
+
+  /** Plain-Scala reference of Curation.substringDedup's semantics: rank every
+    * gram occurrence by (id, pos); non-first occurrences of any gram with
+    * corpus count >= 2 mark their n token positions; rebuild from unmarked. */
+  private def refSubstringDedup(docs: Seq[(Long, String)], n: Int): Map[Long, String] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split("[\t\n\r ]").filter(_.nonEmpty).toVector }.toMap
+    val occ = for {
+      (id, tk) <- toks.toSeq
+      p <- 0 to tk.length - n
+    } yield (tk.slice(p, p + n).map(_.toLowerCase).mkString(" "), id, p)
+    val marked = scala.collection.mutable.Set.empty[(Long, Int)]
+    occ.groupBy(_._1).valuesIterator.foreach { os =>
+      if (os.size >= 2)
+        os.sortBy(o => (o._2, o._3)).drop(1)
+          .foreach { case (_, id, p) => (0 until n).foreach(k => marked += ((id, p + k))) }
+    }
+    docs.map { case (id, _) =>
+      id -> toks(id).zipWithIndex
+        .collect { case (t, i) if !marked((id, i)) => t }.mkString(" ")
+    }.toMap
+  }
+
+  test("substringDedup: shared span excised from the later doc, first copy kept") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "other words alpha beta gamma delta tail"),  // shares the 4-gram span
+      (3L, "rep rep rep rep rep"),                      // within-doc repeats
+      (4L, "tiny"))                                     // shorter than n
+    val out = Curation.substringDedup(docs.toDF("id", "text"), "id", "text", 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === refSubstringDedup(docs, 4))
+    // doc 1 untouched (it holds the global first occurrences)
+    assert(out(1L) === "alpha beta gamma delta unique one")
+    // doc 2 lost exactly the shared span's tokens
+    assert(out(2L) === "other words tail")
+    // within-doc: "rep rep rep rep" occurs at pos 0 and 1 -> pos-1 occurrence
+    // marks tokens 1..4, keeping only token 0
+    assert(out(3L) === "rep")
+    assert(out(4L) === "tiny")
+  }
+
+  test("substringDedup: differential vs the plain-Scala reference on a random corpus") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("a", "b", "c", "d", "E") // tiny vocab -> heavy overlap
+    val docs = (1L to 40L).map { id =>
+      id -> (1 to (rnd.nextInt(25))).map(_ => vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    }
+    val out = Curation.substringDedup(docs.toDF("id", "text"), "id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === refSubstringDedup(docs, 3))
+    Api.clearCache()
+  }
 }

@@ -265,6 +265,58 @@ class StagesSpec extends SparkSpec {
     }
   }
 
+  test("auto-compaction: 18-day admission loop self-compacts at the threshold, keep-sets unchanged") {
+    // appendBucketed(autoCompactAt) fires compactBucketed when average
+    // files/bucket crosses the threshold — the admission loop maintains
+    // itself instead of relying on a job it never calls. Drive 18 simulated
+    // days through the REAL MinHash admission operator with a low threshold
+    // (autoCompactAt = 3, admitBuckets = 2) so the crossing happens several
+    // times inside the loop, and assert (a) the on-disk file count matches a
+    // step-by-step simulation of the promised trigger rule on every day —
+    // compaction fires exactly when promised, never early, never late — and
+    // (b) every day's keep-set is the constructed expectation (compaction
+    // changes no admission decision).
+    import graft.operators.{Dedup, WhitespaceTokenizer}
+    val ws = WhitespaceTokenizer()
+    def tableFiles(table: String): Long = Stages.dataFileCount(spark, table)
+    val corpus0 = (0L until 12L).map(i => (i, s"a b c d w$i x$i y$i"))
+      .toDF("id", "txt").coalesce(1)
+    def dayBatch(d: Int): org.apache.spark.sql.DataFrame = Seq(
+      (1000L * d + 0) -> s"a b c d w${d % 12} x${d % 12} y${d % 12}", // dups corpus doc
+      (1000L * d + 4) -> s"fresh$d f$d g$d h$d i$d j$d k$d l$d m$d n$d" // admitted
+    ).toDF("id", "txt").coalesce(1)
+    try {
+      Stages.writeBucketed(
+        Dedup.minHashIndex(corpus0, "id", "txt", ws, bands = 8, rowsPerBand = 4),
+        "graft_ac_idx", "bucket", 2)
+      var expectedFiles = tableFiles("graft_ac_idx")
+      var compactions = 0
+      for (d <- 1 to 18) {
+        val kept = Dedup.incrementalKeepIdsIndexed(spark.table("graft_ac_idx"),
+            dayBatch(d), "id", "txt", ws, 0.7, bands = 8, rowsPerBand = 4,
+            admitTo = Some("graft_ac_idx"), admitBuckets = 2, autoCompactAt = 3)
+          .collect().map(_.getLong(0)).toSet
+        assert(kept === Set(1000L * d + 4), s"day $d keep-set")
+        // simulate the promised rule: append adds one file per bucket; if
+        // the total then exceeds threshold × buckets, compaction rewrites
+        // to one file per bucket
+        expectedFiles += 2
+        if (expectedFiles > 3L * 2) { expectedFiles = 2; compactions += 1 }
+        assert(tableFiles("graft_ac_idx") === expectedFiles,
+          s"day $d files: compaction must fire exactly at the promised crossing")
+      }
+      assert(compactions >= 3, s"18 days at threshold 3 must compact repeatedly, got $compactions")
+      // the index still holds exactly corpus + all 18 admissions
+      val ids = spark.table("graft_ac_idx").select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      assert(ids === (0L until 12L).toSet ++ (1 to 18).map(d => 1000L * d + 4).toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_ac_idx")
+      spark.sql("DROP TABLE IF EXISTS graft_ac_idx__compact")
+      Api.clearCache()
+    }
+  }
+
   test("compactBucketed: fewer files, identical rows, join still exchange-free") {
     val rows = (0L until 1000L).map(i => (i, s"v$i")).toDF("k", "v")
     def tableFiles(table: String): Int = {
