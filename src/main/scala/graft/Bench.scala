@@ -68,6 +68,27 @@ object Bench {
     "ann_ingest_keep_embs",
   )
 
+  /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one
+    * shuffle-bound (exact dedup), one broadcast/compute-bound (exact ANN),
+    * one scan/expression-bound (text stats) — timed immediately BEFORE and
+    * AFTER every official attempt. Their total, divided by the pinned
+    * reference below, is this window's slowdown factor; the emitted JSON
+    * carries walls normalized by it, so round-over-round comparison no
+    * longer waits on a healthy window this host may never offer. */
+  private val calibrationQueries =
+    Seq("dedup_exact_docs", "ann_topk_exact", "text_stats_docs")
+
+  /** Reference calibration total (seconds) per sf profile: the EPOCH all
+    * calibrated walls normalize to. Measured at sf0.1 during the round-10
+    * local official run (pre 1.520 s / post 0.927 s, mean 1.224, in a
+    * par_eff_mem 0.19–0.24 window — BENCH_NOTES round 10). A healthier
+    * future window measures a SMALLER calibration total → ratio < 1 →
+    * calibrated walls above raw ones (and vice versa), so rounds compare
+    * on calibrated numbers regardless of the window each drew. Override
+    * with SPARK_GRAFT_CALIB_REF_SEC when re-pinning the epoch. */
+  private val calibrationRefSec: Map[String, Double] = Map(
+    "sf0.1" -> 1.224)
+
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or
     * SPARK_GRAFT_PROFILE=stress): the 8× uniform-length documents corpus has
     * ONLY the documents table, so the headline narrows to the docs-side
@@ -164,9 +185,33 @@ object Bench {
     val maxAttempts = sys.env.get("SPARK_GRAFT_BENCH_ATTEMPTS").map(_.toInt)
       .getOrElse(if (stress || recallOnly || filter.isDefined) 1 else 3)
 
+    // calibration runs on the standard profiles only: the stress corpus
+    // lacks the embeddings table, and a SPARK_GRAFT_QUERIES tuning loop
+    // should not pay it per attempt. SPARK_GRAFT_CALIBRATE=0 opts out.
+    val calibrate = !stress && !recallOnly && filter.isEmpty &&
+      !sys.env.get("SPARK_GRAFT_CALIBRATE").contains("0") &&
+      new java.io.File(s"$sfDir/embeddings.parquet").exists()
+    var calibrationWarmed = false
+    def calibrationProbe(): Double = {
+      // one untimed warm pass per JVM so attempt 1's pre-probe doesn't bill
+      // parquet-footer/codegen warm-up that later probes skip
+      if (!calibrationWarmed) {
+        calibrationQueries.foreach(n => SparkEntry.queries.get(n).foreach(timeOnce))
+        Api.clearCache()
+        calibrationWarmed = true
+      }
+      val total = calibrationQueries.flatMap(n => SparkEntry.queries.get(n).map { fn =>
+        val t = Seq.fill(2)(timeOnce(fn)).min
+        Api.clearCache()
+        t
+      }).sum
+      System.err.println(f"[bench] calibration probe: $total%.3f s")
+      total
+    }
+
     case class Attempt(results: Seq[(String, Double)], pre: HostWindow,
                        post: HostWindow, waitedSec: Int, verdictRank: Int,
-                       verdict: String) {
+                       verdict: String, calPre: Double, calPost: Double) {
       def total: Double = results.map(_._2).filter(_ >= 0).sum
       // crashed queries record -1 and are EXCLUDED from total, so an attempt
       // with a crash would otherwise look cheaper than a complete one at
@@ -177,6 +222,7 @@ object Bench {
       // probe + gate BEFORE the timed section: r5/r6 both produced official
       // artifacts whose numbers describe a degraded host, not the binary
       val (preWindow, waitedSec) = gateOnHealthyWindow()
+      val calPre = if (calibrate) calibrationProbe() else -1d
       val results = queries.flatMap { name =>
         SparkEntry.queries.get(name).map { fn =>
           System.err.println(s"[bench] running $name")
@@ -193,6 +239,7 @@ object Bench {
           name -> t
         }
       }
+      val calPost = if (calibrate) calibrationProbe() else -1d
       val postWindow = HostProbe.measure(samples = 2)
       // self-classification: does this attempt's artifact describe the
       // binary (HEALTHY) or the host (SHIFTED/DEGRADED)?
@@ -204,7 +251,8 @@ object Bench {
         else (2, "DEGRADED (timings inflate; not comparable round-over-round)")
       System.err.println(f"[bench] window verdict: $verdict - pre cpu ${preWindow.cpu}%.2f" +
         f"/mem ${preWindow.mem}%.2f, post cpu ${postWindow.cpu}%.2f/mem ${postWindow.mem}%.2f")
-      Attempt(results, preWindow, postWindow, waitedSec, rank, verdict)
+      Attempt(results, preWindow, postWindow, waitedSec, rank, verdict,
+        calPre, calPost)
     }
 
     // Total-deadline guard: the driver enforces an overall wall-clock cap on
@@ -240,12 +288,33 @@ object Bench {
       System.err.println(f"[bench] best of ${attempts.size} attempts: " +
         f"${best.verdict.takeWhile(_ != ' ')} total ${best.total}%.1f s")
     val qs = best.results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    // calibration field: this window's slowdown vs the pinned reference
+    // epoch, and the emitted attempt's walls normalized by it. The ratio
+    // uses the MEAN of the pre/post probes (the window the timed section
+    // actually spanned); both raw probes are kept so a mid-run shift is
+    // visible. Absent when calibration didn't run or no epoch is pinned
+    // for this profile.
+    val profile = new java.io.File(sfDir).getName
+    val calRef = sys.env.get("SPARK_GRAFT_CALIB_REF_SEC").map(_.toDouble)
+      .orElse(calibrationRefSec.get(profile))
+    val calJson =
+      if (!calibrate || best.calPre < 0) ""
+      else {
+        val mid = (best.calPre + best.calPost) / 2
+        val core = f""""pre_sec":${best.calPre}%.3f,"post_sec":${best.calPost}%.3f"""
+        calRef match {
+          case Some(ref) if ref > 0 =>
+            val ratio = mid / ref
+            f""","calibration":{$core,"ref_sec":$ref%.3f,"ratio":$ratio%.3f,"calibrated_total":${best.total / ratio}%.2f}"""
+          case _ => s""","calibration":{$core}"""
+        }
+      }
     val recallJson = recallField(spark, sfDir)
     HostProbe.release()
     val attemptsJson = attempts.map(a =>
       f"""{"verdict":"${a.verdict.takeWhile(_ != ' ')}","total":${a.total}%.1f,"pre_mem":${a.pre.mem}%.2f,"post_mem":${a.post.mem}%.2f,"waited_sec":${a.waitedSec}}""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${best.total},"unit":"sec","queries":$qs$recallJson${hostField(best.pre, best.post, best.waitedSec, best.verdict, attempts.indexOf(best), attemptsJson)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${best.total},"unit":"sec","queries":$qs$calJson$recallJson${hostField(best.pre, best.post, best.waitedSec, best.verdict, attempts.indexOf(best), attemptsJson)},"sf":"$sfDir"}""")
     spark.stop()
   }
 

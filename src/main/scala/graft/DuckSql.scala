@@ -1050,7 +1050,10 @@ FROM $tableExpr"""
 
   /** Mirrors Curation.repetitionStats (duplicate-token fraction + top-2/3-gram
     * occupancy; same double-division operand order). */
-  def repetitionStats(table: String, key: String, text: String): String = {
+  def repetitionStats(table: String, key: String, text: String,
+                      maxChars: Int = 20000): String = {
+    val capped =
+      if (maxChars > 0) s"substring($text, 1, $maxChars)" else text
     def grams(n: Int): String = {
       val m = n - 1
       s"""list_transform(
@@ -1067,7 +1070,7 @@ FROM $tableExpr"""
   ${topRatio("g2")} AS top_2gram_ratio,
   ${topRatio("g3")} AS top_3gram_ratio
 FROM (SELECT id, tks, ${grams(2)} AS g2, ${grams(3)} AS g3
-      FROM (SELECT $key AS id, ${wsBagLowerExpr(text)} AS tks FROM $table))"""
+      FROM (SELECT $key AS id, ${wsBagLowerExpr(capped)} AS tks FROM $table))"""
   }
 
   /** Deterministic per-id uniform in [0,1): top 60 bits of md5('<seed>:<id>')

@@ -116,14 +116,19 @@ object Curation {
    * Per-row cost bound: the top-gram count probes `filter(grams, ...)` once
    * per DISTINCT gram — O(distinct × total) per document, quadratic on a
    * pathologically long degenerate document (exactly what this filter
-   * targets). One such row makes ONE task slow but cannot skew others (no
-   * shuffle); pre-truncate the text column upstream if adversarial lengths
-   * are possible.
+   * targets). The signal is measured on the first `maxChars` characters
+   * (default 20 000 — repetition is a density signal, so a prefix reads it
+   * fine), which caps the per-row cost at ~(maxChars/5)²/… regardless of
+   * adversarial document length; the truncation may split the boundary
+   * word, costing at most one token of signal. Pass `maxChars <= 0` to
+   * scan full documents.
    *
    * Output: (id, n_tokens, dup_token_ratio, top_2gram_ratio, top_3gram_ratio).
    */
-  def repetitionStats(df: DataFrame, key: String, text: String): DataFrame = {
-    val tks = wsBagLower(col(text))
+  def repetitionStats(df: DataFrame, key: String, text: String,
+                      maxChars: Int = 20000): DataFrame = {
+    val capped = if (maxChars > 0) substring(col(text), 1, maxChars) else col(text)
+    val tks = wsBagLower(capped)
     val n = size(tks).cast("long")
     def topGramRatio(g: Int): Column = {
       val grams = wordGrams(tks, g)

@@ -589,6 +589,41 @@ object Streaming {
    * rows beyond the watermark are dropped; windows finalize (append mode)
    * once the watermark passes their end.
    */
+  /**
+   * Watermarked event-time SESSIONIZATION — the streaming twin of the
+   * evt_sessionize batch query (same 30-minute-gap rule) and the one
+   * stateful event-time surface class the engine didn't previously touch.
+   * Built on Catalyst's native `session_window` (gap-merging session state
+   * managed by the engine — declarative, no hand-rolled
+   * mapGroupsWithState), so sessions MERGE across micro-batches: an event
+   * arriving late but INSIDE the watermark extends/merges its session;
+   * an event OLDER than the watermark is dropped (the allowed-lateness
+   * contract — StreamingSpec pins both sides). In append mode a session
+   * finalizes once the watermark passes its end.
+   *
+   * Output: (user_id, session_start, session_end, n_events). NOTE the
+   * session_window convention: session_end = last event time + gap (the
+   * half-open window the engine keeps state for), whereas the BATCH
+   * evt_sessionize reports session_end = max(ts); equality is therefore
+   * stream.end == batch.end + gap, which the spec asserts exactly.
+   *
+   * Scale shape: state is per (user, open session) — keyed state store
+   * entries, not events; the watermark bounds retention, so state size is
+   * active-users × open-sessions regardless of stream length.
+   */
+  def sessionize(stream: DataFrame, timeCol: String, userCol: String,
+                 gap: String = "30 minutes",
+                 watermarkDelay: String = "2 minutes"): DataFrame =
+    stream
+      .withWatermark(timeCol, watermarkDelay)
+      .groupBy(col(userCol).as("user_id"),
+        session_window(col(timeCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   def windowedStats(stream: DataFrame, timeCol: String, text: String,
                     windowDuration: String = "1 minute",
                     watermarkDelay: String = "2 minutes"): DataFrame = {

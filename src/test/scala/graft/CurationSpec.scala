@@ -289,6 +289,22 @@ class CurationSpec extends SparkSpec {
       ("ALL", "ALL", 3L) -> ((4L, 1450L, 362.5))))
   }
 
+  test("repetitionStats: adversarial document length capped at the maxChars prefix") {
+    val long = ("spam " * 10000).trim // ~50k chars of pure repetition
+    val df = Seq((1L, long)).toDF("id", "text")
+    // 20-char prefix = "spam spam spam spam " -> 4 tokens, dup ratio 1 - 1/4
+    val capped = Curation.repetitionStats(df, "id", "text", maxChars = 20).collect().head
+    assert(capped.getLong(1) === 4L)
+    assert(capped.getDouble(2) === 0.75)
+    // maxChars <= 0 scans the full document
+    val full = Curation.repetitionStats(df, "id", "text", maxChars = 0).collect().head
+    assert(full.getLong(1) === 10000L)
+    // the default cap leaves ordinary documents untouched
+    val doc = Seq((1L, "a a b c d a")).toDF("id", "text")
+    val d = Curation.repetitionStats(doc, "id", "text").collect().head
+    assert(d.getLong(1) === 6L && d.getDouble(2) === 1.0 - 4.0 / 6.0)
+  }
+
   /** Plain-Scala reference of Curation.substringDedup's semantics: rank every
     * gram occurrence by (id, pos); non-first occurrences of any gram with
     * corpus count >= 2 mark their n token positions; rebuild from unmarked. */

@@ -165,6 +165,87 @@ class StreamingSpec extends SparkSpec {
     assert(streamed === batch)
   }
 
+  test("sessionize: late-inside-watermark merges, beyond-watermark drops, sessions finalize") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val stream = in.toDF().toDF("user_id", "ts")
+    def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    // each addData must be its OWN micro-batch so the watermark advances
+    // between them (runToTable would coalesce the feed into one batch and
+    // no row would ever be late) — step the query explicitly
+    val query = Streaming.sessionize(stream, "ts", "user_id",
+        gap = "30 minutes", watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      def step(data: (Long, Timestamp)*): Unit = {
+        in.addData(data: _*); query.processAllAvailable()
+      }
+      step(1L -> t("00:00:00"), 1L -> t("00:05:00")) // wm -> 00:03
+      // 00:10 is BEHIND the batch-1 max but INSIDE the watermark: must MERGE
+      step(1L -> t("00:10:00"))                      // wm -> 00:08
+      // advance the watermark far past user 1's session -> it finalizes
+      step(2L -> t("02:00:00"))                      // wm -> 01:58
+      // 00:20 is OLDER than the watermark: allowed-lateness exceeded -> DROP
+      step(1L -> t("00:20:00"), 2L -> t("02:05:00")) // wm -> 02:03
+      step(3L -> t("05:00:00"))                      // flush user 2
+    } finally query.stop()
+    val rows = spark.table("sess_late")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    assert(rows === Set(
+      // user 1: THREE events (00:00, 00:05, the merged 00:10 — NOT the
+      // dropped 00:20); session_end = last event + gap
+      (1L, t("00:00:00"), t("00:40:00"), 3L),
+      (2L, t("02:00:00"), t("02:35:00"), 2L)))
+  }
+
+  test("sessionize: finalized sessions equal the batch 30-min-gap sessionization") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, Timestamp)]
+    val stream = in.toDF().toDF("user_id", "ts")
+    def t(s: String) = Timestamp.valueOf(s"2026-01-01 $s")
+    // three users, in-order event times, session gaps straddling 30 min
+    val events = Seq(
+      1L -> t("00:00:00"), 2L -> t("00:01:00"), 1L -> t("00:14:00"),
+      3L -> t("00:20:00"), 1L -> t("00:50:00"), // >30m after 00:14 -> new session
+      2L -> t("00:29:00"), 2L -> t("00:58:00"), // 28m/29m gaps -> SAME session
+      3L -> t("01:10:00"))                      // 50m gap -> new session
+    val query = Streaming.sessionize(stream, "ts", "user_id",
+        gap = "30 minutes", watermarkDelay = "2 minutes")
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode("append").start()
+    try {
+      in.addData(events.take(4): _*); query.processAllAvailable()
+      in.addData(events.drop(4): _*); query.processAllAvailable()
+      in.addData(9L -> t("09:00:00")) // sentinel: flush every real session
+      query.processAllAvailable()
+    } finally query.stop()
+    val streamed = spark.table("sess_eq")
+      .where(col("user_id") =!= 9L)
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2),
+        r.getLong(3))).toSet
+    // batch twin: the evt_sessionize lag/gap window form over the same rows,
+    // with session_end mapped to the session_window convention (+ gap)
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts")
+    val batch = events.toDF("user_id", "ts")
+      .withColumn("prev_ts", lag("ts", 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ts").isNull ||
+          (col("ts").cast("long") - col("prev_ts").cast("long")) > 1800L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("new_sess").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(min("ts").as("session_start"),
+        (max("ts").cast("long") + 1800L).cast("timestamp").as("session_end"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(2), r.getTimestamp(3),
+        r.getLong(4))).toSet
+    assert(streamed.nonEmpty && streamed === batch)
+  }
+
   test("decontaminate flags streamed docs against the static eval set; agrees with batch") {
     implicit val sqlCtx = spark.sqlContext
     val train = Seq(
