@@ -252,6 +252,16 @@ SELECT id, n_ws_tokens AS n_tokens,
   CAST((cum - n_ws_tokens) % $budget AS BIGINT) AS bin_offset
 FROM c"""
 
+  /** Mirrors Packing.packedSequences over the packBins assignment: member
+    * docs per bin concatenated in key order behind the separator. */
+  def packedSequences(table: String, key: String, text: String,
+                      budget: Long, sep: String): String =
+    s"""WITH b AS (${packBins(table, key, text, budget)})
+SELECT b.bin_id, count(*) AS n_docs, CAST(sum(b.n_tokens) AS BIGINT) AS n_tokens,
+  string_agg(d.$text, '$sep' ORDER BY b.id) AS seq_text
+FROM b JOIN $table d ON b.id = d.$key
+GROUP BY b.bin_id"""
+
   /** Mirrors TextAnalysis.winnowingFingerprints (md5-prefix gram hashes,
     * window minima, distinct per doc). */
   def winnowing(table: String, key: String, text: String, k: Int, w: Int): String =

@@ -130,6 +130,35 @@ object Bpe {
     merges.toSeq
   }
 
+  /**
+   * Write a merge list in the public GPT-2 `merges.txt` format: a `#version`
+   * header line, then one merge per line as two space-separated symbols in
+   * rank order. Round-trips through [[loadMerges]]; files written by other
+   * BPE trainers in this format load directly (symbol conventions — our
+   * `</w>` suffix vs GPT-2's `Ġ` prefix — ride along as opaque symbol text).
+   */
+  def saveMerges(path: String, merges: Seq[(String, String)]): Unit = {
+    val lines = "#version: 0.2" +: merges.map { case (a, b) => s"$a $b" }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    ()
+  }
+
+  /** Load a GPT-2-format merges file: `#`-prefixed header/comment lines and
+    * blanks are skipped; each remaining line is one merge, rank = order. */
+  def loadMerges(path: String): Seq[(String, String)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
+        java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val i = l.indexOf(' ')
+        require(i > 0 && i < l.length - 1, s"malformed merges line: '$l'")
+        (l.substring(0, i), l.substring(i + 1))
+      }
+  }
+
   /** GPT-2-style greedy encode of one word: repeatedly merge the present
     * pair with the LOWEST merge rank until none remains — equivalent to
     * replaying the training passes in rank order (spec-pinned). */

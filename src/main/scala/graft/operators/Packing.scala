@@ -83,6 +83,40 @@ object Packing {
   }
 
   /**
+   * Packed-SEQUENCE emitter — the step after [[packBins]] that materializes
+   * what a trainer actually loads: one row per bin with the member documents'
+   * text concatenated in key order behind a document separator (the
+   * `<|endoftext|>`-style boundary marker). A document belongs to the bin
+   * where it STARTS (its [[packBins]] `bin_id`); a straddling document keeps
+   * its full text here and the trainer-side loader splits or pads at the
+   * budget — the same contract packBins documents. `n_tokens` is the bin's
+   * member-token sum, so a straddler's bin can exceed the budget by up to
+   * one document.
+   *
+   * Output: (bin_id, n_docs, n_tokens, seq_text).
+   *
+   * Scale shape: the two-pass prefix sum of [[packBins]] plus one equi-join
+   * back to the text and one groupBy on bin_id. Per-bin payload is bounded
+   * by the token budget (plus one straddler), so the collect_list aggregate
+   * is budget-sized regardless of corpus size — no skew beyond the budget
+   * itself. Deterministic, so the oracle hash-checks the sequence text.
+   */
+  def packedSequences(df: DataFrame, key: String, text: String,
+                      nTokens: Column, budget: Long,
+                      sep: String = "<|doc|>"): DataFrame = {
+    val bins = packBins(df, key, nTokens, budget)
+    val docs = df.select(col(key).cast("long").as("id"), col(text).as("txt"))
+    bins.join(docs, "id")
+      .groupBy(col("bin_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("id"), col("txt")))),
+            s => s.getField("txt")), sep).as("seq_text"))
+  }
+
+  /**
    * @param df      input with a unique orderable key and a token count
    * @param key     unique id column (long-castable; defines packing order)
    * @param nTokens token-count column expression (long-castable)

@@ -48,6 +48,18 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("saveMerges/loadMerges: GPT-2 merges.txt format round trip, header skipped") {
+    val merges = Bpe.learn(corpus, "text", numMerges = 6)
+    val f = java.nio.file.Files.createTempFile("graft_merges", ".txt")
+    try {
+      Bpe.saveMerges(f.toString, merges)
+      assert(Bpe.loadMerges(f.toString) === merges)
+      // a hand-written file in the public format (comments + blanks) loads
+      java.nio.file.Files.write(f, "#version: 0.2\n\ne s\nes t</w>\n".getBytes("UTF-8"))
+      assert(Bpe.loadMerges(f.toString) === Seq(("e", "s"), ("es", "t</w>")))
+    } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
   test("tokenCounts: zero merges = non-ws char count; more merges never increase") {
     val docs = Seq(
       (1L, "the lowest low"),

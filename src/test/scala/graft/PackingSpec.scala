@@ -58,4 +58,22 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(dist === seq)
   }
+
+  test("packedSequences: bins emit member docs in key order; straddler stays in its start bin") {
+    // token counts 3,4,5,2,6 at budget 8: prefix sums 0,3,7,12,14 ->
+    // bins 0,0,0,1,1 (doc 3 straddles 8 at offset 7 but STARTS in bin 0)
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e f g"), (3L, "h i j k l"),
+      (4L, "m n"), (5L, "o p q r s t")).toDF("id", "txt")
+    val nTok = size(filter(split(col("txt"), "[\t\n\r ]"), x => trim(x) =!= "")).cast("long")
+    val out = Packing.packedSequences(docs, "id", "txt", nTok, 8L, sep = "|")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out === Map(
+      0L -> ((3L, 12L, "a b c|d e f g|h i j k l")),
+      1L -> ((2L, 8L, "m n|o p q r s t"))))
+    // coverage invariant: splicing all bins in bin order reproduces the
+    // corpus in key order — no doc lost, duplicated, or reordered
+    val spliced = out.toSeq.sortBy(_._1).map(_._2._3).mkString("|")
+    assert(spliced === "a b c|d e f g|h i j k l|m n|o p q r s t")
+  }
 }

@@ -137,6 +137,24 @@ class PlanShapeSpec extends SparkSpec {
     } finally Api.clearCache()
   }
 
+  test("substringDedup: min-struct partial-aggregates, no window, no cartesian, base computed once") {
+    // the scale promise: first-occurrence selection is min(struct)+count with
+    // map-side partial aggregation (the window row_number form is ONLY the
+    // oracle), the token/gram base persists once, and nothing plans a
+    // cartesian or a global window
+    val docs = (0L until 40L).map(i => (i, s"shared span here $i tail words"))
+      .toDF("id", "txt")
+    try {
+      val plan = finalPlan(Curation.substringDedup(docs, "id", "txt", n = 3))
+      assert(plan.contains("partial_min"), plan)
+      assert(plan.contains("partial_count"), plan)
+      assert(!plan.contains("Window"), plan)
+      assert(!plan.contains("CartesianProduct"), plan)
+      // grams AND the token rebuild both read the persisted base
+      assert(plan.split("InMemoryTableScan").length - 1 >= 2, plan)
+    } finally Api.clearCache()
+  }
+
   test("nearMatchesIvfIndexed: stored lists scanned in place, no window, probes broadcast") {
     val e = embeddings(60)
     val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 4)
