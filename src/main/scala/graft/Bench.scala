@@ -66,6 +66,11 @@ object Bench {
     "hybrid_topk_docs",
     // the production ANN admission operator (read-only form)
     "ann_ingest_keep_embs",
+    // round-10 additions — real-codec image decode throughput (PNG render +
+    // ImageIO decode per row) and BPE model-token counting (merge training
+    // paid by the FIRST run via the per-dir memo; warm runs time encode)
+    "mm_decode_docs",
+    "bpe_token_counts_docs",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one

@@ -605,6 +605,35 @@ FROM $table"""
   CAST(length(regexp_replace($text, '$wsClass', '', 'g')) AS BIGINT) AS n_tokens
 FROM $table"""
 
+  /** Mirrors Bpe.chunkBpe with ZERO merges: symbols are single characters
+    * (word-final ones decode to char+space), so windows and their decoded
+    * text are list-slice expressible. Same window-count rule as the engine;
+    * rtrim == the decode's strip-one-trailing-space because no symbol can
+    * decode to more than one trailing space. Hash-checks the whole chunk
+    * machinery (tokenize → window → decode); only the merge APPLICATION
+    * stays rows-only. */
+  def bpeChunk0(table: String, key: String, text: String,
+                maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"""WITH base AS (
+  SELECT $key AS id, ${wsBagExpr(text)} AS tks FROM $table),
+syms AS (
+  SELECT id, flatten(list_transform(tks, w ->
+    list_transform(range(1, len(w) + 1),
+      i -> CASE WHEN i = len(w) THEN w[i:i] || ' ' ELSE w[i:i] END))) AS ss
+  FROM base),
+wins AS (
+  SELECT id, ss,
+    CASE WHEN len(ss) <= $maxTokens THEN 1
+         ELSE 1 + CAST(ceil((len(ss) - $maxTokens) / CAST($stride AS DOUBLE)) AS BIGINT)
+    END AS nwin
+  FROM syms WHERE len(ss) >= 1)
+SELECT id, CAST(k AS BIGINT) AS chunk_idx,
+  CAST(len(ss[k*$stride+1 : k*$stride+$maxTokens]) AS BIGINT) AS n_tokens,
+  rtrim(array_to_string(ss[k*$stride+1 : k*$stride+$maxTokens], '')) AS chunk_text
+FROM wins, range(0, 1000) t(k) WHERE k < nwin"""
+  }
+
   /** The synthetic-PNG gradient pixel as SQL printf channels: the EXPECTED
     * output of Multimodal.decodeImage over Multimodal.synthPng, recomputed
     * in closed form from the id — the Spark side must round-trip real PNG
@@ -645,6 +674,24 @@ FROM (SELECT $key AS id, 4 + $key % 13 AS w, 3 + $key % 11 AS h FROM $table)"""
          CAST((id+3*x)%256 AS INT)) AS px
 FROM (SELECT $key AS id, 1 + $key % 4 AS nf FROM $table), range(0,4) t(x)
 WHERE x < nf"""
+
+  /** Expected per-frame WAV features (energy + zero crossings over the synth
+    * PCM) — mirrors wavFrameFeatures ∘ synthWav in exact integer arithmetic;
+    * the window-lead form is the sequential oracle of the engine's
+    * per-partition frame fold. */
+  def mmWavFrames(table: String, key: String, frameSize: Int): String =
+    s"""WITH w AS (SELECT $key AS id, 100 + $key % 50 AS ns FROM $table),
+s AS (SELECT id, i, (id*31 + i*17) % 20001 - 10000 AS v
+      FROM w, range(0,150) t(i) WHERE i < ns),
+f AS (SELECT id, i // $frameSize AS frame_idx, i, v,
+        lead(v) OVER (PARTITION BY id, i // $frameSize ORDER BY i) AS nv
+      FROM s)
+SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
+  CAST(count(*) AS BIGINT) AS n_samples,
+  CAST(sum(v*v) AS BIGINT) AS sum_sq,
+  CAST(sum(CASE WHEN nv IS NOT NULL AND ((v >= 0) != (nv >= 0)) THEN 1 ELSE 0 END)
+       AS BIGINT) AS n_zero_cross
+FROM f GROUP BY id, frame_idx"""
 
   /** Expected WAV decode (16-bit mono 8 kHz PCM, 100 + id%50 samples,
     * sample i = (id·31 + i·17) % 20001 − 10000) — mirrors

@@ -26,6 +26,12 @@ final case class ResizedImage(id: Long, width: Long, height: Long, payload: Arra
 final case class WavDecoded(id: Long, sample_rate: Long, channels: Long, bits: Long,
                             n_frames: Long, sample_sum: Long)
 
+/** Per-frame audio features over decoded PCM: energy (exact integer sum of
+  * squares) and zero-crossing count — the classic cheap speech/music/silence
+  * signals a pipeline computes right after decode. */
+final case class WavFrameFeatures(id: Long, frame_idx: Long, n_samples: Long,
+                                  sum_sq: Long, n_zero_cross: Long)
+
 /** A synthesized media payload (real encoded bytes). */
 final case class MediaPayload(id: Long, payload: Array[Byte])
 
@@ -298,6 +304,49 @@ object Multimodal {
    * analogue of [[decodeImage]]'s raster checksum. Unparseable payloads
    * yield an all-zero row with sample_rate 0 (filter on it downstream).
    */
+  /**
+   * REAL audio FEATURE extraction: decode the WAV PCM and fold each
+   * `frameSize`-sample frame into (energy = Σ s², zero crossings = sign
+   * flips between consecutive samples within the frame) — the step after
+   * [[decodeWav]] that a speech/music/silence gate consumes. Both features
+   * are exact integer arithmetic, so the oracle recomputes them in closed
+   * form from the synth formula. A sample is "non-negative" for crossing
+   * purposes when s >= 0. Unparseable payloads emit nothing.
+   */
+  def wavFrameFeatures(df: DataFrame, key: String, frameSize: Int,
+                       payloadCol: String = "payload"): Dataset[WavFrameFeatures] = {
+    require(frameSize > 0, s"frameSize must be positive, got $frameSize")
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      try {
+        val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val pcm = ain.readAllBytes()
+          val ns = pcm.length / 2
+          val nf = (ns + frameSize - 1) / frameSize
+          (0 until nf).map { f =>
+            val lo = f * frameSize
+            val hi = math.min(lo + frameSize, ns)
+            var sumSq = 0L
+            var zc = 0L
+            var prevNonNeg = false
+            var i = lo
+            while (i < hi) {
+              val s = ((pcm(2 * i) & 255) | (pcm(2 * i + 1) << 8)).toShort
+              sumSq += s.toLong * s.toLong
+              val nonNeg = s >= 0
+              if (i > lo && nonNeg != prevNonNeg) zc += 1
+              prevNonNeg = nonNeg
+              i += 1
+            }
+            WavFrameFeatures(id, f.toLong, (hi - lo).toLong, sumSq, zc)
+          }
+        } finally ain.close()
+      } catch { case scala.util.control.NonFatal(_) => Seq.empty[WavFrameFeatures] }
+    }(Encoders.product[WavFrameFeatures])
+  }
+
   def decodeWav(df: DataFrame, key: String,
                 payloadCol: String = "payload"): Dataset[WavDecoded] =
     df.select(col(key).cast("long"), col(payloadCol)).mapPartitions { it =>

@@ -103,6 +103,33 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("wavFrameFeatures: per-frame energy and zero crossings match the closed form") {
+    val out = Multimodal.wavFrameFeatures(
+        Multimodal.synthWav(ids, "id").toDF(), "id", 50)
+      .collect().groupBy(_.id)
+    for (id <- Seq(0L, 1L, 255L, 4242L)) {
+      val ns = (100 + id % 50).toInt
+      val samples = (0 until ns).map(i => ((id * 31 + i * 17L) % 20001 - 10000).toInt)
+      val frames = out(id).sortBy(_.frame_idx)
+      assert(frames.length === (ns + 49) / 50)
+      frames.zipWithIndex.foreach { case (f, fi) =>
+        val fr = samples.slice(fi * 50, fi * 50 + 50)
+        assert(f.n_samples === fr.length.toLong)
+        assert(f.sum_sq === fr.map(s => s.toLong * s.toLong).sum)
+        assert(f.n_zero_cross ===
+          fr.zip(fr.tail).count { case (a, b) => (a >= 0) != (b >= 0) }.toLong)
+      }
+    }
+    // at least one doc in this sweep must actually CROSS zero, or the
+    // feature is untested signal-wise: the synth ramp (start id·31 % 20001
+    // − 10000, +17/sample) crosses zero exactly when the start lies in
+    // [−2533, 0), i.e. id·31 % 20001 ∈ [7467, 10000) — ids ~241–322
+    val wide = Multimodal.wavFrameFeatures(
+        Multimodal.synthWav((230L until 330L).toDF("id"), "id").toDF(), "id", 50)
+      .collect()
+    assert(wide.exists(_.n_zero_cross > 0))
+  }
+
   test("corrupt payloads: decodeImage flags, frames/resize drop, wav zeroes") {
     val junk = df // utf8 text bytes — not an image, not a wav
     val dec = Multimodal.decodeImage(junk, "id").collect()
