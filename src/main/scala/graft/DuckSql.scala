@@ -1048,6 +1048,37 @@ SELECT id, count(*)::BIGINT AS n_grams,
 FROM grams JOIN gdf USING (gh)
 GROUP BY id"""
 
+  /** Mirrors Curation.stripHtml: same RE2∩Java regex passes in the same
+    * order (script, style, comments, tags — no backreferences), same entity
+    * decode order (&amp; last), same collapse + trim. `textExpr` may be any
+    * SQL expression (the registered query wraps the corpus in synthetic
+    * markup so stripping is exercised on every row). */
+  def stripHtml(table: String, key: String, textExpr: String): String =
+    s"""SELECT $key AS id,
+  trim(regexp_replace(
+    replace(replace(replace(replace(replace(replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace($textExpr, '(?is)<script\\b[^>]*>.*?</script>', ' ', 'g'),
+            '(?is)<style\\b[^>]*>.*?</style>', ' ', 'g'),
+          '(?s)<!--.*?-->', ' ', 'g'),
+        '(?s)<[^>]+>', ' ', 'g'),
+      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
+      '&nbsp;', ' '), '&amp;', '&'),
+    '[\\t\\n\\r ]+', ' ', 'g')) AS text
+FROM $table"""
+
+  /** Mirrors Curation.normalizeText: NFC (nfc_normalize — the same Unicode
+    * standard as java.text.Normalizer), C0/DEL control strip, whitespace
+    * collapse, trim. */
+  def normalizeText(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id,
+  trim(regexp_replace(
+    regexp_replace(nfc_normalize($text), '[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]', '', 'g'),
+    '[\\t\\n\\r ]+', ' ', 'g')) AS text
+FROM $table"""
+
   /** Mirrors Curation.substringDedup with the SEQUENTIAL WINDOW form: every
     * gram occurrence ranked by `row_number() OVER (PARTITION BY gram ORDER
     * BY id, pos)`; occurrences past the first of any gram with corpus count

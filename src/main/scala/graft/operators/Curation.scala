@@ -17,6 +17,10 @@ import graft.operators.PersistTracker.TrackedPersist
  * hash-verified against the DuckDB oracle like the core pipeline
  * (see [[graft.DuckSql]] counterparts).
  */
+/** A normalized/cleaned document row (top-level so the Dataset encoder
+  * stays in generated code). */
+final case class CleanDoc(id: Long, text: String)
+
 object Curation {
 
   /** Lowercased whitespace bag tokens, order preserved (blank tokens dropped) —
@@ -38,6 +42,66 @@ object Curation {
     val idx = when(nGrams >= 1, sequence(lit(1), nGrams))
       .otherwise(array().cast("array<int>"))
     transform(idx, i => array_join(slice(tks, i, lit(n)), " "))
+  }
+
+  /**
+   * HTML stripping — the FIRST pass of a web-crawl curation pipeline:
+   * remove `<script>`/`<style>` blocks (content and all), comments, and
+   * tags (each replaced by a space so block boundaries keep words apart),
+   * decode the common entities (`&lt; &gt; &quot; &#39; &nbsp;` first,
+   * `&amp;` LAST so `&amp;lt;` decodes once, to `&lt;`), collapse
+   * whitespace runs, trim. Pure column expressions — zero shuffles, runs
+   * inside the scan stage; the regexes stay in the RE2 ∩ Java subset (no
+   * backreferences — script and style are separate passes), so the operator
+   * is DuckDB-oracle-checked. An UNCLOSED script/style block keeps its body
+   * as text (only the opening tag strips) — malformed markup degrades to
+   * extra text, never to lost rows.
+   *
+   * Output: (id, text).
+   */
+  def stripHtml(df: DataFrame, key: String, text: String): DataFrame = {
+    val noBlocks = regexp_replace(
+      regexp_replace(
+        regexp_replace(col(text), "(?is)<script\\b[^>]*>.*?</script>", " "),
+        "(?is)<style\\b[^>]*>.*?</style>", " "),
+      "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noBlocks, "(?s)<[^>]+>", " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"", "&#39;" -> "'",
+      "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, v)) => replace(c, lit(e), lit(v)) }
+    df.select(col(key).as("id"),
+      trim(regexp_replace(decoded, "[\t\n\r ]+", " ")).as("text"))
+  }
+
+  /**
+   * Unicode text normalization — the fix-encoding pass every multilingual
+   * corpus needs before hashing/dedup (the same logical text in NFC vs NFD
+   * hashes differently and silently defeats exact dedup): NFC composition
+   * (`java.text.Normalizer`; DuckDB's `nfc_normalize` implements the same
+   * Unicode standard, so outputs hash-match), C0/DEL control-character
+   * strip (tab/newline/CR survive as whitespace), whitespace-run collapse,
+   * trim. NFC has no Column form, so this is a zero-shuffle mapPartitions
+   * pass with patterns compiled once per partition.
+   *
+   * Output: (id, text).
+   */
+  def normalizeText(df: DataFrame, key: String, text: String): DataFrame = {
+    df.select(col(key).cast("long"), col(text)).mapPartitions { it =>
+      val controls = java.util.regex.Pattern.compile("[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]")
+      val ws = java.util.regex.Pattern.compile("[\t\n\r ]+")
+      it.map { r =>
+        val s = r.getString(1)
+        val out =
+          if (s == null) ""
+          else {
+            val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+            ws.matcher(controls.matcher(nfc).replaceAll(""))
+              .replaceAll(" ").trim
+          }
+        CleanDoc(r.getLong(0), out)
+      }
+    }(org.apache.spark.sql.Encoders.product[CleanDoc]).toDF()
   }
 
   /**

@@ -289,6 +289,38 @@ class CurationSpec extends SparkSpec {
       ("ALL", "ALL", 3L) -> ((4L, 1450L, 362.5))))
   }
 
+  test("stripHtml: blocks, comments, tags, entity order, unclosed-block degradation") {
+    val docs = Seq(
+      (1L, "<p  class=\"a\">Hello <b>world</b></p><script type=x>var a\n=1;</script>done"),
+      (2L, "<style>p{color:red}</style>A &amp;lt; B &lt;tag&gt; &quot;q&quot; &#39;s&#39;&nbsp;end"),
+      (3L, "<!-- hidden\ntext -->visible"),
+      (4L, "<script>never closed so body stays as text"),
+      (5L, "")).toDF("id", "text")
+    val out = Curation.stripHtml(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "Hello world done")
+    // &amp;lt; decodes ONCE: -> &lt; (amp decoded last, no double decode)
+    assert(out(2L) === "A &lt; B <tag> \"q\" 's' end")
+    assert(out(3L) === "visible")
+    assert(out(4L) === "never closed so body stays as text")
+    assert(out(5L) === "")
+  }
+
+  test("normalizeText: NFC composition, control strip, whitespace collapse") {
+    val decomposed = "cafe\u0301" // e + combining acute -> composed e-acute under NFC
+    val docs = Seq(
+      (1L, decomposed),
+      (2L, "a\u0001b\u0007c"), // C0 controls stripped entirely
+      (3L, "  x\t\ty \n z  "),
+      (4L, "caf\u00e9")).toDF("id", "text") // already composed: unchanged
+    val out = Curation.normalizeText(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "caf\u00e9" && out(1L).length === 4)
+    assert(out(2L) === "abc")
+    assert(out(3L) === "x y z")
+    assert(out(4L) === "caf\u00e9")
+  }
+
   test("repetitionStats: adversarial document length capped at the maxChars prefix") {
     val long = ("spam " * 10000).trim // ~50k chars of pure repetition
     val df = Seq((1L, long)).toDF("id", "text")
