@@ -61,6 +61,13 @@ final case class MediaPayload(id: Long, payload: Array[Byte])
  */
 object Multimodal {
 
+  // These images are tiny and in-memory end to end: never let ImageIO spool
+  // its streams through java.io.tmpdir (the default FILE cache costs a temp
+  // file per encode/decode — a hidden per-row disk IO — and fails the whole
+  // task on transient /tmp trouble, observed as sf1 bench crashes). Runs once
+  // per JVM when the object first loads on an executor.
+  ImageIO.setUseCache(false)
+
   /** Attach a binary payload column. In production this is the raw media blob
     * column of the table; here we derive bytes from a string column so the
     * byte-level plumbing is exercisable on the text testdata. */
