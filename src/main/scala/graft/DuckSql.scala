@@ -710,6 +710,59 @@ FROM (SELECT $key AS id, 100 + $key % 50 AS ns FROM $table)"""
  / (sqrt(list_sum(list_transform(generate_series(1, len($a)), i -> CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE))))
   * sqrt(list_sum(list_transform(generate_series(1, len($b)), i -> CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE))))))"""
 
+  /** Double-precision sequential-fold squared-L2 distance (matches Spark's
+    * zip_with + aggregate fold — the cosExpr rule). */
+  private def l2Expr(a: String, b: String): String =
+    s"""list_sum(list_transform(generate_series(1, len($a)),
+ i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+
+  /** The PQ sample/codebook/encode CTE chain shared by [[annPqCodes]] and
+    * [[annPqTopK]] — mirrors Similarity.pqCodebooks + pqEncode: md5-sample
+    * codes, per-block slices, argmin by (squared-L2, code). */
+  private def pqEncCtes(table: String, key: String, vec: String,
+                        dim: Int, m: Int, k: Int): String = {
+    val bd = dim / m
+    s"""samp AS (
+  SELECT sid, sv, CAST(rn - 1 AS INT) AS code FROM (
+    SELECT $key AS sid, $vec AS sv,
+      row_number() OVER (ORDER BY md5(CAST($key AS VARCHAR)), $key) AS rn
+    FROM $table) WHERE rn <= $k),
+cb AS (
+  SELECT CAST(j AS INT) AS j, code, sv[j*$bd+1 : j*$bd+$bd] AS cvec
+  FROM samp, range(0, $m) t(j)),
+enc AS (
+  SELECT id, j, code FROM (
+    SELECT e.$key AS id, c.j, c.code,
+      row_number() OVER (PARTITION BY e.$key, c.j
+        ORDER BY ${l2Expr(s"e.$vec[c.j*$bd+1 : c.j*$bd+$bd]", "c.cvec")}, c.code) AS rn
+    FROM $table e, cb c)
+  WHERE rn = 1)"""
+  }
+
+  /** Mirrors Similarity.pqEncode ∘ pqCodebooks: per-document PQ codes. */
+  def annPqCodes(table: String, key: String, vec: String,
+                 dim: Int, m: Int, k: Int): String =
+    s"""WITH ${pqEncCtes(table, key, vec, dim, m, k)}
+SELECT id, array_to_string(list(code ORDER BY j), ',') AS pq_codes_csv
+FROM enc GROUP BY id"""
+
+  /** Mirrors Similarity.pqTopK: ADC ranking against the reconstructed
+    * vectors (per-block codebook entries concatenated in block order). */
+  def annPqTopK(table: String, key: String, vec: String, queryPred: String,
+                kNN: Int, dim: Int, m: Int, k: Int): String =
+    s"""WITH ${pqEncCtes(table, key, vec, dim, m, k)},
+recon AS (
+  SELECT id, flatten(list(cvec ORDER BY j)) AS rv
+  FROM enc JOIN cb USING (j, code)
+  GROUP BY id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.$key AS query_id, r.id AS neighbor_id,
+    row_number() OVER (PARTITION BY q.$key
+      ORDER BY ${l2Expr(s"q.$vec", "r.rv")}, r.id) AS rank
+  FROM $table q JOIN recon r ON r.id != q.$key
+  WHERE $queryPred)
+WHERE rank <= $kNN"""
+
   /** Mirrors Similarity.topKExact (rank-only output). */
   def annTopKExact(table: String, key: String, vec: String,
                    queryPred: String, k: Int): String =

@@ -448,6 +448,106 @@ object Similarity {
     topKIvfWith(corpus, queries, key, vec, k,
       kmeansCentroids(corpus, key, vec, nCentroids, iters), nProbe)
 
+  /** Squared-L2 distance of two float-array columns in DOUBLE with the
+    * sequential ascending fold (the cosine rule: deterministic and
+    * oracle-matchable against the same list_sum fold in SQL). */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => {
+      val d = x.cast("double") - y.cast("double"); d * d
+    }), lit(0.0d), (acc, x) => acc + x)
+
+  /**
+   * Product-quantization codebooks (Jégou et al. 2011, "Product Quantization
+   * for Nearest Neighbor Search"): split the `dim`-dimensional space into
+   * `m` contiguous blocks and give each block a `k`-entry codebook. Like
+   * [[sampleCentroids]], entries are the `k` corpus vectors with the
+   * smallest (md5(id), id) — a deterministic pseudo-random sample, so the
+   * codebooks are reproducible and SQL-oracle-able — sliced per block;
+   * `code` is the rank in that sample order.
+   *
+   * Output: (j, code, cvec) — m × k rows of dim/m floats: the index
+   * METADATA (store alongside the codes like the IVF centroid table). The
+   * ranking window runs over the k sampled rows only (TakeOrdered gets
+   * them there distributed) — bounded by k, never corpus-sized.
+   */
+  def pqCodebooks(corpus: DataFrame, key: String, vec: String,
+                  dim: Int, m: Int, k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m blocks")
+    val bd = dim / m
+    val sample = corpus.select(col(key).as("sid"), col(vec).as("sv"))
+      .orderBy(md5(col("sid").cast("string")), col("sid")).limit(k)
+    val w = Window.orderBy(md5(col("sid").cast("string")), col("sid"))
+    sample.withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(explode(transform(sequence(lit(0), lit(m - 1)), j =>
+        struct(j.cast("int").as("j"), col("code"),
+          slice(col("sv"), j.cast("int") * bd + 1, lit(bd)).as("cvec")))).as("e"))
+      .select(col("e.j").as("j"), col("e.code").as("code"), col("e.cvec").as("cvec"))
+  }
+
+  /** The codebooks as ONE broadcast nested-array row: cb[j][code] = cvec
+    * (1-based element_at indexing downstream). */
+  private def codebookArray(codebooks: DataFrame): DataFrame =
+    broadcast(broadcast(codebooks)
+      .groupBy("j")
+      .agg(transform(array_sort(collect_list(struct(col("code"), col("cvec")))),
+        s => s.getField("cvec")).as("row"))
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("row")))),
+        s => s.getField("row")).as("cb")))
+
+  /**
+   * PQ ENCODE: each vector becomes `m` small codes — the nearest codebook
+   * entry per block by squared-L2 (ties to the smaller code). At dim 64 /
+   * m 8 / k ≤ 256 a vector compresses 256 bytes → 8, the storage/shipping
+   * win PQ exists for. Map-side over the broadcast codebooks — ZERO corpus
+   * shuffle, same plan shape as [[ivfIndex]] assignment. Deterministic
+   * (double folds, explicit tie order), so codes are oracle-hash-verified.
+   *
+   * Output: (id, codes array<int>).
+   */
+  def pqEncode(corpus: DataFrame, key: String, vec: String,
+               codebooks: DataFrame, dim: Int, m: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m blocks")
+    val bd = dim / m
+    corpus.select(col(key).as("id"), col(vec).as("v"))
+      .crossJoin(codebookArray(codebooks))
+      .select(col("id"), transform(sequence(lit(0), lit(m - 1)), j => {
+        val sub = slice(col("v"), j.cast("int") * bd + 1, lit(bd))
+        val scored = transform(element_at(col("cb"), j.cast("int") + 1),
+          (cvec, idx) => struct(l2sq(sub, cvec).as("d"), idx.cast("int").as("code")))
+        element_at(array_sort(scored), 1).getField("code")
+      }).as("codes"))
+  }
+
+  /**
+   * PQ approximate top-k (ADC — asymmetric distance computation): rank the
+   * encoded corpus against each query by the squared-L2 distance to the
+   * RECONSTRUCTED vector (per-block codebook entries concatenated), which
+   * equals the classic per-block ADC table sum but computes as ONE
+   * sequential fold over the full dimension — the form both engines
+   * reproduce bit-for-bit, so the ranking is oracle-hash-verified. Queries
+   * broadcast; the codes frame never reshuffles; reconstruction is a
+   * per-row array lookup against the broadcast codebooks.
+   *
+   * Output: (query_id, neighbor_id, rank), rank 1..k by distance asc, ties
+   * by neighbor_id. The exact twin for recall measurement is brute-force
+   * L2 ranking (spec); PQ trades that exactness for 32× smaller vectors.
+   */
+  def pqTopK(codes: DataFrame, codebooks: DataFrame, queries: DataFrame,
+             key: String, vec: String, k: Int): DataFrame = {
+    val recon = codes.select(col("id"), col("codes"))
+      .crossJoin(codebookArray(codebooks))
+      .select(col("id"), flatten(transform(col("codes"), (c, j) =>
+        element_at(element_at(col("cb"), j.cast("int") + 1), c + 1))).as("rv"))
+    val q = broadcast(queries.select(col(key).as("query_id"), col(vec).as("qv")))
+    val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+    q.join(recon, col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        l2sq(col("qv"), col("rv")).as("dist"))
+      .select(col("query_id"), col("neighbor_id"),
+        row_number().over(w).cast("long").as("rank"))
+      .where(col("rank") <= k)
+  }
+
   /**
    * Symmetric per-vector int8 quantization — the storage/bandwidth prep step
    * of a large-scale embedding pipeline (4× smaller vectors for ANN shipping):

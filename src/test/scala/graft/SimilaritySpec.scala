@@ -213,6 +213,81 @@ class SimilaritySpec extends SparkSpec {
     Api.clearCache()
   }
 
+  test("pqEncode: codes match a plain-Scala argmin reference; deterministic") {
+    val dim = 16; val m = 4; val k = 6; val bd = dim / m
+    val data = clustered(31, 5, 8, dim)
+    val df = data.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding", dim, m, k)
+    // reference codebooks: the k md5-smallest ids, sliced
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val sampleIds = data.map(_._1).sortBy(id => (md5hex(id.toString), id)).take(k)
+    val byId = data.toMap
+    val refCb: Map[(Int, Int), Array[Float]] = (for {
+      (sid, code) <- sampleIds.zipWithIndex
+      j <- 0 until m
+    } yield (j, code) -> byId(sid).slice(j * bd, j * bd + bd)).toMap
+    val gotCb = cbs.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    assert(gotCb.keySet === refCb.keySet)
+    assert(gotCb.forall { case (key0, v) => v.sameElements(refCb(key0)) })
+    // reference encode: per block argmin of double L2^2, ties to smaller code
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val refCodes = data.map { case (id, v) =>
+      id -> (0 until m).map { j =>
+        val sub = v.slice(j * bd, j * bd + bd)
+        (0 until k).minBy(c => (l2(sub, refCb((j, c))), c))
+      }.toVector
+    }.toMap
+    val got = Similarity.pqEncode(df, "vec_id", "embedding", cbs, dim, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(got === refCodes)
+    // deterministic across invocations
+    val again = Similarity.pqEncode(df, "vec_id", "embedding", cbs, dim, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1).toVector).toMap
+    assert(again === got)
+  }
+
+  test("pqTopK: ADC ranking == reconstruction reference; usable recall vs exact L2") {
+    val dim = 16; val m = 4; val k = 8; val bd = dim / m
+    val data = clustered(33, 4, 12, dim)
+    val df = data.toDF("vec_id", "embedding")
+    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding", dim, m, k)
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cbs, dim, m)
+    val queries = df.where($"vec_id" < 6)
+    val out = Similarity.pqTopK(codes, cbs, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.groupBy(_._1).forall(_._2.length == 5))
+    // reference: reconstruct every vector from its codes, rank by L2^2 asc, id
+    val cbMap = cbs.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    val codeMap = codes.collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val recon = codeMap.map { case (id, cs) =>
+      id -> cs.zipWithIndex.flatMap { case (c, j) => cbMap((j, c)) }.toArray
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val byId = data.toMap
+    for (qid <- 0L until 6L) {
+      val expect = recon.toSeq.filter(_._1 != qid)
+        .map { case (nid, rv) => (l2(byId(qid), rv), nid) }
+        .sortBy(identity).take(5).map(_._2)
+      val gotQ = out.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq
+      assert(gotQ === expect, s"query $qid")
+    }
+    // recall vs exact L2 on the clustered fixture: same-cluster neighbors
+    // reconstruct close, so PQ@5 must recover most of the exact set
+    val exact = (0L until 6L).map { qid =>
+      qid -> data.filter(_._1 != qid)
+        .map { case (nid, v) => (l2(byId(qid), v), nid) }
+        .sortBy(identity).take(5).map(_._2).toSet
+    }.toMap
+    val hits = (0L until 6L).map { qid =>
+      out.filter(_._1 == qid).map(_._2).count(exact(qid)) }.sum
+    assert(hits >= 20, s"PQ recall@5 too low: $hits/30") // >= 2/3
+  }
+
   test("nearMatchesIvfIndexed == hand-computed in-probed-list pairs above the cosine floor") {
     val all = clustered(17, 4, 12, 16)
     val df = all.toDF("vec_id", "embedding")
