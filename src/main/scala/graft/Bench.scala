@@ -71,6 +71,9 @@ object Bench {
     // paid by the FIRST run via the per-dir memo; warm runs time encode)
     "mm_decode_docs",
     "bpe_token_counts_docs",
+    // PQ ADC search over the 32x-compressed codes (codebooks + encode
+    // recomputed in-plan — still sub-second at sf0.1)
+    "ann_pq_topk",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one
