@@ -450,8 +450,19 @@ object Similarity {
 
   /** Squared-L2 distance of two float-array columns in DOUBLE with the
     * sequential ascending fold (the cosine rule: deterministic and
-    * oracle-matchable against the same list_sum fold in SQL). */
-  private def l2sq(a: Column, b: Column): Column =
+    * oracle-matchable against the same list_sum fold in SQL). Backed by the
+    * native codegen'd [[graft.expressions.L2Sq]] — bit-identical to
+    * [[l2sqHof]] (CosineSimSpec proves it) but compiled into whole-stage
+    * codegen; the PQ encode/search hot kernel. */
+  private[graft] def l2sq(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.expressions.L2Sq(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b)))
+
+  /** Higher-order-function form of [[l2sq]] — kept as the reference
+    * implementation for the bit-equality spec. */
+  private[graft] def l2sqHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => {
       val d = x.cast("double") - y.cast("double"); d * d
     }), lit(0.0d), (acc, x) => acc + x)

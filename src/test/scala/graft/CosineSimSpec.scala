@@ -28,6 +28,29 @@ class CosineSimSpec extends SparkSpec {
     }
   }
 
+  test("native l2sq == HOF l2sq bit-for-bit on random float vectors") {
+    val rnd = new Random(17)
+    val rows = (0 until 500).map { i =>
+      (i.toLong,
+        Array.fill(32)(rnd.nextFloat() * 2f - 1f),
+        Array.fill(32)(rnd.nextFloat() * 2f - 1f))
+    }
+    val df = rows.toDF("id", "a", "b")
+    val out = df.select(
+        Similarity.l2sq(col("a"), col("b")).as("native"),
+        Similarity.l2sqHof(col("a"), col("b")).as("hof"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ===
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+    // identical vectors: exactly zero; hand case
+    val z = Seq((Array(1.5f, -2f), Array(1.5f, -2f)),
+                (Array(1f, 2f), Array(0f, 4f))).toDF("a", "b")
+      .select(Similarity.l2sq(col("a"), col("b"))).collect().map(_.getDouble(0))
+    assert(z(0) === 0.0 && z(1) === 5.0)
+  }
+
   test("native cosine matches a driver-side double computation") {
     val a = Array(0.5f, -1.25f, 3.0f)
     val b = Array(2.0f, 0.25f, -0.5f)
