@@ -24,11 +24,25 @@ import org.apache.spark.sql.types._
  * IEEE operation sequence, only compiled instead of interpreted.
  *
  * Accepts float or double arrays (elements are widened to double either
- * way, matching the HOF's explicit casts). Mismatched lengths fold over the
- * shorter array (the operators always pass equal-dimension vectors).
+ * way, matching the HOF's explicit casts). A NULL element in either array
+ * nulls the whole similarity, exactly as the HOF's null-propagating fold
+ * does (the [[L2Sq]] rule). Mismatched lengths fold over the shorter array
+ * (the operators always pass equal-dimension vectors; the HOF's zip_with
+ * null-pads instead — the one documented divergence).
  */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  /** Nullable also when either array TYPE admits null elements — see
+    * [[L2Sq.nullable]]. */
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    elementsNullable
+
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -58,6 +72,7 @@ case class CosineSim(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var dot = 0d; var na = 0d; var nb = 0d; var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = get(x, xt, i)
       val yi = get(y, yt, i)
       dot += xi * yi; na += xi * xi; nb += yi * yi
@@ -79,10 +94,15 @@ case class CosineSim(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val xi = ctx.freshName("xi")
       val yi = ctx.freshName("yi")
+      val nullBreak =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullBreak
          |  double $xi = ${getter(a, elementType(left), i)};
          |  double $yi = ${getter(b, elementType(right), i)};
          |  $dot += $xi * $yi;

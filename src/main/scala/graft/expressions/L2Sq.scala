@@ -16,11 +16,26 @@ import org.apache.spark.sql.types._
  * (`aggregate(zip_with(a, b, (x,y) -> (x-y)²), 0.0, _+_)`, spec-proven
  * bit-for-bit): both fold `(double(a_i) − double(b_i))²` ascending from 0.0
  * — the exact same IEEE operation sequence, only compiled into whole-stage
- * codegen instead of interpreted per element. Accepts float or double
- * arrays; mismatched lengths fold over the shorter (the operators always
- * pass equal-dimension vectors).
+ * codegen instead of interpreted per element — and a NULL element in either
+ * array nulls the WHOLE result, exactly as the HOF's null-propagating `+`
+ * does (ArrayData.getFloat on a null slot would otherwise read garbage).
+ * Accepts float or double arrays; mismatched lengths fold over the shorter
+ * (the operators always pass equal-dimension vectors; the HOF's zip_with
+ * null-pads instead — the one documented divergence).
  */
 case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
+
+  /** Nullable also when either array TYPE admits null elements — the
+    * null-element → null-result rule above needs a real isNull slot in
+    * generated code even under non-nullable array columns. */
+  override def nullable: Boolean = left.nullable || right.nullable ||
+    elementsNullable
+
+  private def elementsNullable: Boolean =
+    Seq(left, right).exists(_.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => false
+    })
 
   override def checkInputDataTypes(): TypeCheckResult = {
     def ok(dt: DataType): Boolean = dt match {
@@ -51,6 +66,7 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
     var acc = 0d
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val d = get(x, xt, i) - get(y, yt, i)
       acc += d * d
       i += 1
@@ -68,10 +84,18 @@ case class L2Sq(left: Expression, right: Expression) extends BinaryExpression {
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
+      // a null element nulls the whole distance (HOF parity); the isNull
+      // assignment only compiles when a real slot exists, which `nullable`
+      // guarantees whenever an input type admits null elements
+      val nullBreak =
+        if (elementsNullable)
+          s"""if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"""
+        else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullBreak
          |  double $d = ${getter(a, elementType(left), i)} - ${getter(b, elementType(right), i)};
          |  $acc += $d * $d;
          |}

@@ -144,14 +144,19 @@ object Bpe {
     ()
   }
 
-  /** Load a GPT-2-format merges file: `#`-prefixed header/comment lines and
-    * blanks are skipped; each remaining line is one merge, rank = order. */
+  /** Load a GPT-2-format merges file: the `#version` header line and blanks
+    * are skipped; each remaining line is one merge, rank = order. ONLY the
+    * version header is dropped — the GPT-2 format has no general comments,
+    * and a learned merge whose first symbol starts with '#' (corpora
+    * containing '#include', '#!/bin/sh', …) is a legitimate line that a
+    * blanket '#'-filter would silently drop, changing tokenization after a
+    * save/load round trip. */
   def loadMerges(path: String): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
     java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
         java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
       .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .filter(l => l.nonEmpty && !l.startsWith("#version"))
       .map { l =>
         val i = l.indexOf(' ')
         require(i > 0 && i < l.length - 1, s"malformed merges line: '$l'")
@@ -220,12 +225,27 @@ object Bpe {
     }(Encoders.product[BpeDocCount]).toDF()
   }
 
-  /** Decode a token window back to text: concatenate symbols, the
-    * end-of-word marker becomes a space (trailing space trimmed). */
+  /** Decode a token window back to text: PER SYMBOL, a word-final symbol
+    * (one ending with the end-of-word marker) contributes its text minus the
+    * marker plus a space; others contribute their text verbatim (trailing
+    * space trimmed). Per-symbol — not a global marker replace over the
+    * concatenation — because a document whose CHARACTERS spell a literal
+    * "</w>" (plausible in web/code corpora) would have that content corrupted
+    * to a space by the global form, and the zero-merge DuckDB oracle
+    * ([[graft.DuckSql.bpeChunk0]]) likewise appends one space per word-final
+    * symbol. The REAL marker is always a symbol suffix (wordSymbols fuses it
+    * onto the last character; merges concatenate, keeping it terminal), so
+    * one suffix strip recovers it exactly; only a merged symbol whose literal
+    * characters happen to END in "</w>" remains ambiguous — inherent to the
+    * string-marker representation, and strictly rarer than the global
+    * replace's any-occurrence corruption. */
   private def decode(toks: Seq[String]): String = {
     val sb = new StringBuilder
-    toks.foreach(sb ++= _)
-    val s = sb.toString.replace(Eow, " ")
+    toks.foreach { t =>
+      if (t.endsWith(Eow)) { sb ++= t.substring(0, t.length - Eow.length); sb += ' ' }
+      else sb ++= t
+    }
+    val s = sb.toString
     if (s.nonEmpty && s.charAt(s.length - 1) == ' ') s.substring(0, s.length - 1) else s
   }
 

@@ -84,12 +84,21 @@ object Stages {
       .saveAsTable(table)
   }
 
-  /** Parquet data files currently in a managed table's location — the
-    * small-file health metric of the append lifecycle (bucketed writes lay
-    * files flat in the table directory). 0 when the location doesn't exist. */
+  /** Parquet data files currently in a table's location — the small-file
+    * health metric of the append lifecycle (bucketed writes lay files flat in
+    * the table directory). The location comes from the CATALOG, not from
+    * reconstructing `<warehouse>/<name>` — a warehouse dir changed since
+    * table creation or a custom-location table would make the reconstruction
+    * probe the wrong (usually absent) directory and silently report 0, so
+    * [[appendBucketed]]'s auto-compaction would never fire. 0 when the table
+    * is not in the catalog or its location doesn't exist. */
   def dataFileCount(spark: SparkSession, table: String): Long = {
-    val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    // getTableMetadata throws for names the persistent catalog doesn't hold
+    // (absent tables, temp views shadowing a name) — both mean "no data files"
+    val meta = scala.util.Try(spark.sessionState.catalog.getTableMetadata(
+      spark.sessionState.sqlParser.parseTableIdentifier(table)))
+    if (meta.isFailure) return 0L
+    val loc = new org.apache.hadoop.fs.Path(meta.get.location)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(loc)) 0L
     else fs.listStatus(loc).count(s =>

@@ -54,10 +54,30 @@ class BpeSpec extends SparkSpec {
     try {
       Bpe.saveMerges(f.toString, merges)
       assert(Bpe.loadMerges(f.toString) === merges)
-      // a hand-written file in the public format (comments + blanks) loads
+      // a hand-written file in the public format (header + blanks) loads
       java.nio.file.Files.write(f, "#version: 0.2\n\ne s\nes t</w>\n".getBytes("UTF-8"))
       assert(Bpe.loadMerges(f.toString) === Seq(("e", "s"), ("es", "t</w>")))
+      // a merge whose FIRST SYMBOL starts with '#' (corpora with '#include')
+      // must survive the round trip — only the #version header is skipped
+      // (r10 advice: a blanket '#'-filter silently dropped such merges)
+      val hashy = Seq(("#", "i"), ("#i", "n"), ("x", "y</w>"))
+      Bpe.saveMerges(f.toString, hashy)
+      assert(Bpe.loadMerges(f.toString) === hashy)
     } finally java.nio.file.Files.deleteIfExists(f)
+  }
+
+  test("decode is per-symbol: literal '</w>' characters in text survive chunking") {
+    // the word "a</w>b" spells the marker in its CHARACTERS; a global
+    // marker-replace decode would corrupt it to "a b" (r10 advice, medium)
+    val docs = Seq((1L, "a</w>b ok")).toDF("id", "text")
+    val rows = Bpe.chunkBpe(docs, "id", "text", Seq.empty, 100, 0).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getString(3) === "a</w>b ok")
+    // and with merges learned from the same pathological corpus
+    val m = Bpe.learn(Seq((1L, "a</w>b a</w>b a</w>b ok ok")).toDF("id", "text"),
+      "text", numMerges = 3)
+    val merged = Bpe.chunkBpe(docs, "id", "text", m, 100, 0).collect()
+    assert(merged.head.getString(3) === "a</w>b ok")
   }
 
   test("tokenCounts: zero merges = non-ws char count; more merges never increase") {

@@ -89,6 +89,27 @@ class CosineSimSpec extends SparkSpec {
       java.lang.Double.doubleToLongBits(viaCol))
   }
 
+  test("null array element nulls the whole result — HOF parity (r10 advice)") {
+    // containsNull=true schema; row 0 has a null slot, row 1 is clean
+    val df = Seq(
+      (Seq(Option(1.0f), None, Option(2.0f)), Seq(Option(1.0f), Option(1.0f), Option(1.0f))),
+      (Seq(Option(1.0f), Option(0.5f), Option(2.0f)), Seq(Option(1.0f), Option(1.0f), Option(1.0f))))
+      .toDF("a", "b")
+    val out = df.select(
+      Similarity.cosine(col("a"), col("b")).as("cos_native"),
+      Similarity.cosineHof(col("a"), col("b")).as("cos_hof"),
+      Similarity.l2sq(col("a"), col("b")).as("l2_native"),
+      Similarity.l2sqHof(col("a"), col("b")).as("l2_hof")).collect()
+    // null slot: all four forms agree on NULL
+    assert((0 until 4).forall(out(0).isNullAt), s"expected all-null row, got ${out(0)}")
+    // clean row: native == HOF bit-for-bit, nothing nulled
+    assert((0 until 4).forall(i => !out(1).isNullAt(i)))
+    assert(java.lang.Double.doubleToLongBits(out(1).getDouble(0)) ===
+      java.lang.Double.doubleToLongBits(out(1).getDouble(1)))
+    assert(java.lang.Double.doubleToLongBits(out(1).getDouble(2)) ===
+      java.lang.Double.doubleToLongBits(out(1).getDouble(3)))
+  }
+
   test("identical vectors have cosine 1.0; orthogonal have 0.0") {
     val df = Seq(
       (Array(1f, 2f, 3f), Array(1f, 2f, 3f)),
