@@ -74,6 +74,10 @@ object Bench {
     // PQ ADC search over the 32x-compressed codes (codebooks + encode
     // recomputed in-plan — still sub-second at sf0.1)
     "ann_pq_topk",
+    // round-11: the list-pruned IVF-PQ search against the durable
+    // (id, cid, codes) index (build paid by the FIRST run via
+    // buildTableOnce; warm runs time the probe) — the production PQ path
+    "ann_pq_ivf_topk",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one
@@ -499,6 +503,24 @@ object Bench {
       val ivfKm = timed("ann_ivf_kmeans")(Recall.topK(exactTopK,
         Similarity.topKIvfKmeans(e, q, "vec_id", "embedding", 10, 16, 4, 3)))
       exactTopK.unpersist()
+      // PQ recall vs the exact-L2 twin (ADC approximates L2, not cosine):
+      // pq@10 isolates pure quantization loss (exhaustive ADC), ivfpq@10
+      // adds the nProbe-list pruning of the production composition — a
+      // codebook-quality or probe-count regression becomes a number here
+      // (round-10 verdict missing #2)
+      val exactL2 = Similarity.topKExactL2(e, q, "vec_id", "embedding", 10)
+        .persist()
+      val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", 64, 8, 16)
+      val pq = timed("ann_pq")(Recall.topK(exactL2,
+        Similarity.pqTopK(
+          Similarity.pqEncode(e, "vec_id", "embedding", cbs, 64, 8),
+          cbs, q, "vec_id", "embedding", 10)))
+      val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 16)
+      val ivfPq = timed("ann_ivfpq")(Recall.topK(exactL2,
+        Similarity.pqTopKIvfIndexed(
+          Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, cbs, 64, 8),
+          cents, cbs, q, "vec_id", "embedding", 10, 4)))
+      exactL2.unpersist()
       // IVF on a CLUSTERED fixture: the driver's embeddings are isotropic
       // random vectors, where IVF recall has a ~0.5 structural ceiling at
       // nProbe/nCentroids = 1/4 regardless of centroid quality (BENCH_NOTES
@@ -536,7 +558,7 @@ object Bench {
         Dedup.minHashPairsRs(corpus, incoming, "doc_id", "text", ws, 0.9), "lid", "rid"))
       exactRs.unpersist()
       Api.clearCache()
-      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
+      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_pq_at10":$pq%.4f,"ann_ivfpq_at10":$ivfPq%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] recall sidecar failed: $t")

@@ -631,7 +631,7 @@ wins AS (
 SELECT id, CAST(k AS BIGINT) AS chunk_idx,
   CAST(len(ss[k*$stride+1 : k*$stride+$maxTokens]) AS BIGINT) AS n_tokens,
   rtrim(array_to_string(ss[k*$stride+1 : k*$stride+$maxTokens], '')) AS chunk_text
-FROM wins, range(0, 1000) t(k) WHERE k < nwin"""
+FROM (SELECT id, ss, unnest(generate_series(0, nwin - 1)) AS k FROM wins)"""
   }
 
   /** The synthetic-PNG gradient pixel as SQL printf channels: the EXPECTED
@@ -761,6 +761,44 @@ SELECT query_id, neighbor_id, rank FROM (
       ORDER BY ${l2Expr(s"q.$vec", "r.rv")}, r.id) AS rank
   FROM $table q JOIN recon r ON r.id != q.$key
   WHERE $queryPred)
+WHERE rank <= $kNN"""
+
+  /** Mirrors Similarity.pqTopKIvfIndexed ∘ pqIvfIndex: the IVF-PQ
+    * composition — md5-sample centroids, nearest-centroid list assignment
+    * (the [[annTopKIvf]] CTEs), PQ encode + reconstruction (the
+    * [[annPqTopK]] CTEs), then ADC ranking ONLY within each query's nProbe
+    * nearest lists. */
+  def annPqIvfTopK(table: String, key: String, vec: String, queryPred: String,
+                   kNN: Int, nCentroids: Int, nProbe: Int,
+                   dim: Int, m: Int, k: Int): String =
+    s"""WITH cents AS (
+  SELECT $key AS cid, $vec AS cvec FROM $table
+  ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
+assign AS (
+  SELECT id, cid FROM (
+    SELECT e.$key AS id, c.cid AS cid,
+      row_number() OVER (PARTITION BY e.$key
+        ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table e, cents c)
+  WHERE rn = 1),
+${pqEncCtes(table, key, vec, dim, m, k)},
+recon AS (
+  SELECT id, flatten(list(cvec ORDER BY j)) AS rv
+  FROM enc JOIN cb USING (j, code)
+  GROUP BY id),
+probes AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.$key AS query_id, q.$vec AS qv, c.cid AS cid,
+      row_number() OVER (PARTITION BY q.$key
+        ORDER BY ${cosExpr(s"q.$vec", "c.cvec")} DESC, c.cid) AS rn
+    FROM $table q, cents c WHERE $queryPred)
+  WHERE rn <= $nProbe)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT p.query_id AS query_id, a.id AS neighbor_id,
+    row_number() OVER (PARTITION BY p.query_id
+      ORDER BY ${l2Expr("p.qv", "r.rv")}, a.id) AS rank
+  FROM probes p JOIN assign a USING (cid) JOIN recon r ON r.id = a.id
+  WHERE a.id != p.query_id)
 WHERE rank <= $kNN"""
 
   /** Mirrors Similarity.topKExact (rank-only output). */

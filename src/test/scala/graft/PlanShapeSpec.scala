@@ -53,6 +53,36 @@ class PlanShapeSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS graft_ivf_plan_c")
   }
 
+  test("ANN ranking: bounded top-k aggregate, never a per-query window over the distance stream") {
+    // the round-10 scale-killer: row_number() OVER (PARTITION BY query_id)
+    // funnels a query's ENTIRE distance stream into one task. All ANN
+    // rankings must plan as the DistTopK partial/final aggregate pair
+    // (map-side k-capped heaps; the exchange ships only the heaps).
+    val e = embeddings(60)
+    val q = e.where(col("vec_id") < 3)
+    val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 4)
+    val cbs = Similarity.pqCodebooks(e, "vec_id", "embedding", 4, 2, 4)
+    val plans = Map(
+      "topKExact" -> finalPlan(Similarity.topKExact(e, q, "vec_id", "embedding", 5)),
+      "topKExactL2" -> finalPlan(Similarity.topKExactL2(e, q, "vec_id", "embedding", 5)),
+      "pqTopK" -> finalPlan(Similarity.pqTopK(
+        Similarity.pqEncode(e, "vec_id", "embedding", cbs, 4, 2),
+        cbs, q, "vec_id", "embedding", 5)),
+      "pqTopKIvfIndexed" -> finalPlan(Similarity.pqTopKIvfIndexed(
+        Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, cbs, 4, 2),
+        cents, cbs, q, "vec_id", "embedding", 5, 2)))
+    plans.foreach { case (name, plan) =>
+      // no window PARTITIONED BY query_id anywhere (pqCodebooks keeps a
+      // legitimate window over its k sampled rows — bounded index metadata)
+      assert(!plan.contains("windowspecdefinition(query_id"),
+        s"$name ranks via a per-query window:\n$plan")
+      assert(plan.contains("graft_dist_topk"), s"$name missing the top-k aggregate:\n$plan")
+      // partial + final: the aggregate must split, or the map side ships raw rows
+      assert(plan.contains("partial_graft_dist_topk"),
+        s"$name top-k aggregate did not partial-aggregate:\n$plan")
+    }
+  }
+
   test("decontaminate: the eval-gram side joins as a broadcast, not a shuffle") {
     val train = (0L until 50L).map(i => (i, s"w$i x$i a b c d e")).toDF("id", "txt")
     val evalSet = Seq(100L -> "a b c d e").toDF("id", "txt")

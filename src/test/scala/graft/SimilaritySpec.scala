@@ -288,6 +288,88 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 20, s"PQ recall@5 too low: $hits/30") // >= 2/3
   }
 
+  test("pqTopKIvfIndexed: stored IVF-PQ index == in-plan; == hand-computed probed-list ADC ranking") {
+    val dim = 16; val m = 4; val kCb = 8; val bd = dim / m
+    val data = clustered(37, 5, 12, dim)
+    val df = data.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 5)
+    val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 5)
+    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding", dim, m, kCb)
+    val idx = Similarity.pqIvfIndex(df, "vec_id", "embedding", cents, cbs, dim, m)
+    // durable round trip through the real bucketed sink == in-plan index
+    graft.sources.Stages.writeBucketed(idx, "graft_pq_idx_t", "cid", 4)
+    graft.sources.Stages.writeBucketed(cents, "graft_pq_cents_t", "cid", 1)
+    graft.sources.Stages.writeBucketed(cbs, "graft_pq_cb_t", "j", 1)
+    val key = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+    val stored = Similarity.pqTopKIvfIndexed(spark.table("graft_pq_idx_t"),
+      spark.table("graft_pq_cents_t"), spark.table("graft_pq_cb_t"),
+      q, "vec_id", "embedding", 5, 2).collect().map(key).toSet
+    val inPlan = Similarity.pqTopKIvfIndexed(idx, cents, cbs,
+      q, "vec_id", "embedding", 5, 2).collect().map(key).toSet
+    assert(stored === inPlan)
+    // hand reference: cosine-nearest 2 of the 5 centroid lists per query,
+    // members ADC-ranked by L2^2 to their code reconstruction, ties by id
+    val byId = data.toMap
+    val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cbMap = cbs.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+    val assignMap = idx.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) { val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val expect = (0L until 5L).flatMap { qid =>
+      val probed = centMap.toSeq
+        .map { case (cid, cv) => (-cos(byId(qid), cv), cid) }.sorted.take(2)
+        .map(_._2).toSet
+      assignMap.toSeq
+        .filter { case (nid, (cid, _)) => nid != qid && probed(cid) }
+        .map { case (nid, (_, codes)) =>
+          val rv = codes.zipWithIndex.flatMap { case (c, j) => cbMap((j, c)) }.toArray
+          (l2(byId(qid), rv), nid) }
+        .sorted.take(5).zipWithIndex
+        .map { case ((_, nid), i) => (qid, nid, i + 1L) }
+    }.toSet
+    assert(stored === expect)
+    spark.sql("DROP TABLE IF EXISTS graft_pq_idx_t")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_cents_t")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_cb_t")
+  }
+
+  test("pqIvfIndex == ivfIndex assignment + pqEncode codes, column-for-column") {
+    val dim = 16; val m = 4
+    val df = clustered(41, 4, 10, dim).toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 4)
+    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding", dim, m, 6)
+    val fused = Similarity.pqIvfIndex(df, "vec_id", "embedding", cents, cbs, dim, m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    val assign = Similarity.ivfIndex(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cbs, dim, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fused === assign.map { case (id, cid) => id -> (cid, codes(id)) })
+  }
+
+  test("topKExactL2: ranks by squared-L2 asc with id tie-break, self excluded") {
+    val data = clustered(43, 4, 10, 16)
+    val df = data.toDF("vec_id", "embedding")
+    val out = Similarity.topKExactL2(df, df.where($"vec_id" < 3), "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val byId = data.toMap
+    for (qid <- 0L until 3L) {
+      val expect = data.filter(_._1 != qid)
+        .map { case (nid, v) => (l2(byId(qid), v), nid) }
+        .sorted.take(5).map(_._2)
+      assert(out.filter(_._1 == qid).sortBy(_._3).map(_._2).toSeq === expect)
+    }
+  }
+
   test("nearMatchesIvfIndexed == hand-computed in-probed-list pairs above the cosine floor") {
     val all = clustered(17, 4, 12, 16)
     val df = all.toDF("vec_id", "embedding")
