@@ -584,6 +584,59 @@ object Streaming {
       .start()
 
   /**
+   * [[ingestAnn]] that ALSO maintains the durable IVF-PQ codes table —
+   * completing the "every durable index has a streaming twin" invariant for
+   * the search artifact [[graft.operators.Similarity.pqTopKIvfIndexed]]
+   * probes: each micro-batch runs the same admission loop against the full
+   * IVF index (drop near stored, collapse within batch, append the kept
+   * vectors' index rows), then encodes the KEPT vectors' PQ codes — from the
+   * BATCH frame and the frozen centroids + codebooks, never by re-reading a
+   * table — and appends them cid-bucketed to `pqCodesTable`, so the search
+   * index tracks admissions without any rebuild.
+   *
+   * Both metadata tables (`centroids`, `codebooks`) are frozen at index
+   * build time — admitting rows never re-trains them (retrain = rebuild,
+   * a batch maintenance job), which is what makes the appended codes
+   * comparable to the stored ones.
+   *
+   * Delivery: the two appends are not one transaction, so a crash between
+   * them can leave an admitted vector momentarily absent from the codes
+   * table (search misses it until repair; admission correctness is
+   * unaffected — the drop logic reads only `indexTable`). The repair is the
+   * batch rebuild of the codes rows for `indexTable` ids missing from
+   * `pqCodesTable` — an anti-join + [[graft.operators.Similarity.pqIvfIndex]]
+   * over the index's stored vectors. Same at-least-once admission semantics
+   * as [[ingestAnn]] otherwise: a replayed batch keeps nothing and appends
+   * nothing.
+   */
+  def ingestAnnPq(stream: DataFrame, indexTable: String, pqCodesTable: String,
+                  centroids: DataFrame, codebooks: DataFrame,
+                  dim: Int, m: Int,
+                  key: String, vec: String, minCosine: Double, nProbe: Int = 4,
+                  admitBuckets: Int = 8,
+                  onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.operators.Similarity.ingestKeepIdsIndexed(
+            batch.sparkSession.table(indexTable), centroids, batch, key, vec,
+            minCosine, nProbe, admitTo = Some(indexTable),
+            admitBuckets = admitBuckets)
+          // kept is already a materialized leaf (the operator's lineage cut),
+          // so this join cannot see the appends above
+          val keptRows = batch.join(kept.select(col(key).as("keep_id")),
+            batch(key) === col("keep_id"), "left_semi")
+          if (!keptRows.isEmpty)
+            graft.sources.Stages.appendBucketed(
+              graft.operators.Similarity.pqIvfIndex(
+                keptRows, key, vec, centroids, codebooks, dim, m),
+              pqCodesTable, "cid", admitBuckets)
+          onBatch(kept, batchId)
+        }
+      }
+      .start()
+
+  /**
    * Watermarked tumbling-window corpus quality monitor: per (window, lang)
    * doc counts and average quality signals over an ingestion stream. Late
    * rows beyond the watermark are dropped; windows finalize (append mode)

@@ -617,6 +617,59 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS graft_si_ann")
   }
 
+  test("ingestAnnPq: admission loop also maintains the IVF-PQ codes table (stream == batch rebuild)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Stages
+    def vecOf(c: Int): Array[Float] = {
+      val r = new scala.util.Random(1000 + c)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    def dayBatch(d: Int): Seq[(Long, Array[Float])] = Seq(
+      (1000L * d + 0) -> vecOf(d % 4),      // identical to a corpus vector -> dropped
+      (1000L * d + 2) -> vecOf(100 + d),    // in-batch identical pair {2,3} -> keep 2
+      (1000L * d + 3) -> vecOf(100 + d),
+      (1000L * d + 4) -> vecOf(10 + d))     // fresh -> admitted
+    val corpus = (0 until 20).map(i => i.toLong -> vecOf(i % 4)).toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 4)
+    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 16, 4, 6)
+    try {
+      Stages.writeBucketed(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", cents), "graft_si_pq_ivf", "cid", 4)
+      Stages.writeBucketed(
+        Similarity.pqIvfIndex(corpus, "vec_id", "embedding", cents, cbs, 16, 4),
+        "graft_si_pq_codes", "cid", 4)
+      val in = MemoryStream[(Long, Array[Float])]
+      val q = Streaming.ingestAnnPq(in.toDF().toDF("vec_id", "embedding"),
+        "graft_si_pq_ivf", "graft_si_pq_codes", cents, cbs, 16, 4,
+        "vec_id", "embedding", 0.95, nProbe = 4, admitBuckets = 4)
+      try {
+        for (d <- 1 to 2) { in.addData(dayBatch(d): _*); q.processAllAvailable() }
+      } finally q.stop()
+      // the streamed codes table == pqIvfIndex rebuilt over the FULL index's
+      // stored vectors (corpus + every admission), column for column
+      val rebuilt = Similarity.pqIvfIndex(
+          spark.table("graft_si_pq_ivf").select(col("id").as("vec_id"), col("v").as("embedding")),
+          "vec_id", "embedding", cents, cbs, 16, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      val streamed = spark.table("graft_si_pq_codes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      assert(streamed === rebuilt)
+      // both index families saw the same admissions
+      assert(spark.table("graft_si_pq_codes").select("id").distinct().count()
+        === spark.table("graft_si_pq_ivf").select("id").distinct().count())
+      // and the search path over the streamed codes == over the rebuild
+      val queries = corpus.where(col("vec_id") < 3)
+      val key3 = (r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(Similarity.pqTopKIvfIndexed(spark.table("graft_si_pq_codes"), cents, cbs,
+          queries, "vec_id", "embedding", 5, 2).collect().map(key3).toSet
+        === Similarity.pqTopKIvfIndexed(rebuilt.toSeq.toDF("id", "cid", "codes"), cents, cbs,
+          queries, "vec_id", "embedding", 5, 2).collect().map(key3).toSet)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_si_pq_ivf")
+      spark.sql("DROP TABLE IF EXISTS graft_si_pq_codes")
+    }
+  }
+
   test("ingestDedupSimHash: Hamming-side admission loop across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Stages
