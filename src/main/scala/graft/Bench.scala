@@ -199,10 +199,14 @@ object Bench {
 
     // calibration runs on the standard profiles only: the stress corpus
     // lacks the embeddings table, and a SPARK_GRAFT_QUERIES tuning loop
-    // should not pay it per attempt. SPARK_GRAFT_CALIBRATE=0 opts out.
-    val calibrate = !stress && !recallOnly && filter.isEmpty &&
-      !sys.env.get("SPARK_GRAFT_CALIBRATE").contains("0") &&
-      new java.io.File(s"$sfDir/embeddings.parquet").exists()
+    // should not pay it per attempt. SPARK_GRAFT_CALIBRATE=0 opts out;
+    // SPARK_GRAFT_CALIBRATE=1 forces it INTO a filtered tuning run — the
+    // matched-window cross-scale measurements (sf0.1 vs sf1 pairs) need the
+    // probe trio in-session around a narrowed query list.
+    val calibrate = new java.io.File(s"$sfDir/embeddings.parquet").exists() &&
+      (sys.env.get("SPARK_GRAFT_CALIBRATE").contains("1") ||
+        (!stress && !recallOnly && filter.isEmpty &&
+          !sys.env.get("SPARK_GRAFT_CALIBRATE").contains("0")))
     var calibrationWarmed = false
     def calibrationProbe(): Double = {
       // one untimed warm pass per JVM so attempt 1's pre-probe doesn't bill
@@ -317,7 +321,19 @@ object Bench {
         calRef match {
           case Some(ref) if ref > 0 =>
             val ratio = mid / ref
-            f""","calibration":{$core,"ref_sec":$ref%.3f,"ratio":$ratio%.3f,"calibrated_total":${best.total / ratio}%.2f}"""
+            // per-query calibrated walls (round-10 verdict missing #5): a
+            // single mid-run ratio misattributes a window swing to whichever
+            // queries ran inside it (the 55% pre/post swing run), so each
+            // query normalizes by the ratio INTERPOLATED at its position in
+            // the run — pre/post ratios are both recorded so the
+            // interpolation is reconstructible
+            val n = best.results.size.max(1)
+            val calQ = best.results.zipWithIndex.map { case ((name, v), i) =>
+              val ri = (best.calPre + (best.calPost - best.calPre) * ((i + 0.5) / n)) / ref
+              val cv = if (v < 0 || ri <= 0) v else v / ri
+              "\"" + name + "\":" + f"$cv%.3f"
+            }.mkString("{", ",", "}")
+            f""","calibration":{$core,"ref_sec":$ref%.3f,"ratio":$ratio%.3f,"ratio_pre":${best.calPre / ref}%.3f,"ratio_post":${best.calPost / ref}%.3f,"calibrated_total":${best.total / ratio}%.2f},"queries_calibrated":$calQ"""
           case _ => s""","calibration":{$core}"""
         }
       }

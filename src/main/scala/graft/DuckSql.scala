@@ -605,6 +605,16 @@ FROM $table"""
   CAST(length(regexp_replace($text, '$wsClass', '', 'g')) AS BIGINT) AS n_tokens
 FROM $table"""
 
+  /** Mirrors Bpe.tokenCountsBytes with ZERO merges — the GPT-2
+    * pre-tokenization pattern PARTITIONS the text and every UTF-8 byte is
+    * one symbol, so the byte-level model-token count per document is exactly
+    * its UTF-8 byte length. Hash-checks the pre-tokenize + byte-alphabet
+    * machinery; only the learned merge application stays rows-only. */
+  def bpeByteCounts0(table: String, key: String, text: String): String =
+    s"""SELECT $key AS id,
+  CAST(octet_length(encode($text)) AS BIGINT) AS n_tokens
+FROM $table"""
+
   /** Mirrors Bpe.chunkBpe with ZERO merges: symbols are single characters
     * (word-final ones decode to char+space), so windows and their decoded
     * text are list-slice expressible. Same window-count rule as the engine;
@@ -956,51 +966,69 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM probes p JOIN assign a USING (cid) WHERE a.id != p.query_id)
 WHERE rank <= $k"""
 
-  /** Mirrors Similarity.topKIvfKmeans at iters = 1 — the ONE Lloyd round that
-    * IS expressible as a single SQL statement: md5-sample init, nearest-
-    * centroid assignment, per-element mean (exact decimal(38,18) sum, then
-    * divide and cast to FLOAT — DuckDB's decimal division goes through
-    * DOUBLE while Spark divides exactly at scale 18, but both approximate
-    * the exact quotient within 2^-52 relative, far inside the final FLOAT
-    * cast's 2^-24 rounding), empty lists keep their init centroid
-    * (LEFT JOIN + coalesce = Spark's coalesce(mvec, cvec)), then the same
-    * probe engine as [[annTopKIvf]] over the refined centroids. */
+  /** Mirrors Similarity.topKIvfKmeans at iters = 1 — kept as the named
+    * single-round form the registered `ann_topk_ivf_kmeans1` query uses. */
   def annTopKIvfKmeans1(table: String, key: String, vec: String,
                         queryPred: String, k: Int, nCentroids: Int,
                         nProbe: Int, dim: Int): String =
-    s"""WITH cents0 AS (
-  SELECT $key AS cid, $vec AS cvec FROM $table
-  ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
-assign0 AS (
+    annTopKIvfKmeansN(table, key, vec, queryPred, k, nCentroids, nProbe, dim, 1)
+
+  /** Mirrors Similarity.topKIvfKmeans at ANY iteration count — `iters`
+    * chained Lloyd rounds, one (assignᵣ → meansᵣ → centsᵣ₊₁) CTE triple per
+    * round, generated the way [[graft.operators.Similarity.kmeansCentroids]]
+    * loops. Each round: md5-sample init, nearest-centroid assignment,
+    * per-element mean (exact decimal(38,18) sum, then divide and cast to
+    * FLOAT — DuckDB's decimal division goes through DOUBLE while Spark
+    * divides exactly at scale 18, but both approximate the exact quotient
+    * within 2^-52 relative, far inside the final FLOAT cast's 2^-24
+    * rounding), empty lists keep their previous centroid (LEFT JOIN +
+    * coalesce = Spark's coalesce(mvec, cvec)). The float cast SNAPS both
+    * engines to identical centroids after every round, so equality composes
+    * by induction across rounds — what makes the 3-iter registered query
+    * oracle-expressible after all (it was the ANN family's one remaining
+    * rows-only-by-design entry). Probe engine as [[annTopKIvf]] over the
+    * final centroids. */
+  def annTopKIvfKmeansN(table: String, key: String, vec: String,
+                        queryPred: String, k: Int, nCentroids: Int,
+                        nProbe: Int, dim: Int, iters: Int): String = {
+    require(iters >= 1, s"need at least one Lloyd round, got $iters")
+    val rounds = (0 until iters).map { r =>
+      s"""assign$r AS (
   SELECT cid, v FROM (
     SELECT e.$vec AS v, c.cid AS cid,
       row_number() OVER (PARTITION BY e.$key
         ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
-    FROM $table e, cents0 c)
+    FROM $table e, cents$r c)
   WHERE rn = 1),
-means AS (
+means$r AS (
   SELECT cid, list(m ORDER BY j) AS mvec FROM (
     SELECT cid, jj AS j,
       CAST(CAST(SUM(CAST(v[jj] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS FLOAT) AS m
-    FROM assign0, generate_series(1, $dim) t(jj)
+    FROM assign$r, generate_series(1, $dim) t(jj)
     GROUP BY cid, jj)
   GROUP BY cid),
-cents AS (
+cents${r + 1} AS (
   SELECT c.cid AS cid, coalesce(m.mvec, c.cvec) AS cvec
-  FROM cents0 c LEFT JOIN means m USING (cid)),
+  FROM cents$r c LEFT JOIN means$r m USING (cid))"""
+    }.mkString(",\n")
+    val fin = s"cents$iters"
+    s"""WITH cents0 AS (
+  SELECT $key AS cid, $vec AS cvec FROM $table
+  ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
+$rounds,
 assign AS (
   SELECT id, cid, v FROM (
     SELECT e.$key AS id, e.$vec AS v, c.cid AS cid,
       row_number() OVER (PARTITION BY e.$key
         ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
-    FROM $table e, cents c)
+    FROM $table e, $fin c)
   WHERE rn = 1),
 probes AS (
   SELECT query_id, qv, cid FROM (
     SELECT q.$key AS query_id, q.$vec AS qv, c.cid AS cid,
       row_number() OVER (PARTITION BY q.$key
         ORDER BY ${cosExpr(s"q.$vec", "c.cvec")} DESC, c.cid) AS rn
-    FROM $table q, cents c WHERE $queryPred)
+    FROM $table q, $fin c WHERE $queryPred)
   WHERE rn <= $nProbe)
 SELECT query_id, neighbor_id, rank FROM (
   SELECT p.query_id AS query_id, a.id AS neighbor_id,
@@ -1008,6 +1036,7 @@ SELECT query_id, neighbor_id, rank FROM (
       ORDER BY ${cosExpr("p.qv", "a.v")} DESC, a.id) AS rank
   FROM probes p JOIN assign a USING (cid) WHERE a.id != p.query_id)
 WHERE rank <= $k"""
+  }
 
   /** Random-hyperplane LSH bucket of a vector expression — plane components
     * baked in as literals from Similarity.planeComponent, the same

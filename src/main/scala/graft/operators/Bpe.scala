@@ -99,9 +99,18 @@ object Bpe {
         filter(split(col(text), WsClass), x => trim(x) =!= "")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("c"))
       .orderBy(col("c").desc, col("w")).limit(maxVocab)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
-    var vocab: Array[(Vector[String], Long)] =
-      words.map { case (w, c) => (wordSymbols(w), c) }
+      .collect().map(r => (wordSymbols(r.getString(0)), r.getLong(1)))
+    learnMerges(words, numMerges, minPairCount)
+  }
+
+  /** The driver-side iterative pair-merge loop shared by [[learn]] (Sennrich
+    * word-internal symbols) and [[learnBytes]] (GPT-2 byte symbols): count
+    * adjacent pairs weighted by unit frequency, merge the most frequent
+    * (lexicographic tie-break), repeat. State is the capped frequency dict —
+    * never the corpus. */
+  private def learnMerges(init: Array[(Vector[String], Long)], numMerges: Int,
+                          minPairCount: Long): Seq[(String, String)] = {
+    var vocab = init
     val merges = mutable.ArrayBuffer.empty[(String, String)]
     var iter = 0
     var done = false
@@ -168,8 +177,14 @@ object Bpe {
     * pair with the LOWEST merge rank until none remains — equivalent to
     * replaying the training passes in rank order (spec-pinned). */
   private[graft] def encodeWord(word: String,
+                                ranks: Map[(String, String), Int]): Vector[String] =
+    encodeSyms(wordSymbols(word), ranks)
+
+  /** The greedy lowest-rank-first merge loop over any initial symbol
+    * sequence — shared by the word-internal and byte-level modes. */
+  private[graft] def encodeSyms(init: Vector[String],
                                 ranks: Map[(String, String), Int]): Vector[String] = {
-    var syms = wordSymbols(word)
+    var syms = init
     var continue = syms.length > 1
     while (continue) {
       var bestRank = Int.MaxValue
@@ -258,6 +273,115 @@ object Bpe {
    * is shorter, no redundant trailing window, empty docs emit nothing.
    * Zero-shuffle mapPartitions; output rows ∝ total tokens / stride.
    */
+  // ── Byte-level mode (GPT-2 family: Radford et al. 2019) ──────────────────
+  //
+  // The word-internal mode above is Sennrich's original formulation; real
+  // trainer tokenizers (GPT-2/BPE descendants) operate on BYTES under a
+  // pre-tokenization regex: the text is first split by the GPT-2 pattern
+  // (contraction suffixes, space-attached letter/number/punctuation runs,
+  // whitespace runs), each pre-token is UTF-8 encoded, and every byte maps
+  // to a printable stand-in character (the bytes_to_unicode trick) so merges
+  // are plain string pairs over a 256-symbol alphabet — NO end-of-word
+  // marker, NO out-of-alphabet fallback needed (any input is bytes). Token
+  // budgets priced with this mode mean a real model family's tokens.
+
+  /** GPT-2's bytes_to_unicode map: printable latin bytes stand for
+    * themselves; the rest (control chars, space, DEL, …) shift to 256+n so
+    * every symbol is a visible, non-space character and merges files stay
+    * line-oriented. Byte 0x20 maps to 'Ġ' (U+0120) — the leading-space
+    * marker familiar from GPT-2 vocabularies. */
+  private[graft] val byteToChar: Array[Char] = {
+    val keep = ((33 to 126) ++ (161 to 172) ++ (174 to 255)).toSet
+    val arr = new Array[Char](256)
+    var n = 0
+    for (b <- 0 until 256) {
+      if (keep(b)) arr(b) = b.toChar
+      else { arr(b) = (256 + n).toChar; n += 1 }
+    }
+    arr
+  }
+
+  /** The GPT-2 pre-tokenization pattern (contractions, ` ?letters`,
+    * ` ?numbers`, ` ?other`, whitespace runs). Matches partition the input:
+    * every character lands in exactly one pre-token. */
+  private val Gpt2Pattern = java.util.regex.Pattern.compile(
+    """'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+(?!\S)|\s+""")
+
+  private[graft] def preTokenize(s: String): Vector[String] = {
+    if (s == null) return Vector.empty
+    val m = Gpt2Pattern.matcher(s)
+    val b = Vector.newBuilder[String]
+    while (m.find()) b += m.group()
+    b.result()
+  }
+
+  /** A pre-token as its initial byte-level symbol sequence: one symbol per
+    * UTF-8 byte, mapped through [[byteToChar]]. */
+  private[graft] def byteSymbols(pretoken: String): Vector[String] = {
+    val bytes = pretoken.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = Vector.newBuilder[String]
+    var i = 0
+    while (i < bytes.length) {
+      b += byteToChar(bytes(i) & 0xFF).toString
+      i += 1
+    }
+    b.result()
+  }
+
+  /**
+   * Learn byte-level merges: ONE distributed pre-token frequency aggregation
+   * (the [[learn]] shape with the whitespace split swapped for the GPT-2
+   * pattern), capped at the `maxVocab` most frequent pre-tokens, then the
+   * shared driver merge loop over byte symbols. Merges written by
+   * [[saveMerges]] in this mode are directly comparable to public GPT-2
+   * format merges files (same symbol conventions, e.g. 'Ġ' leading-space).
+   */
+  def learnBytes(df: DataFrame, text: String, numMerges: Int,
+                 maxVocab: Int = 50000, minPairCount: Long = 2L): Seq[(String, String)] = {
+    val pre = df.select(col(text).cast("string").as("t"))
+      .flatMap(r => if (r.isNullAt(0)) Nil else preTokenize(r.getString(0)))(Encoders.STRING)
+      .groupBy(col("value").as("w")).agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(maxVocab)
+      .collect().map(r => (byteSymbols(r.getString(0)), r.getLong(1)))
+    learnMerges(pre, numMerges, minPairCount)
+  }
+
+  /** Per-document byte-level BPE token sequence: (id, tokens array<string>),
+    * pre-token order preserved, symbols in the bytes_to_unicode alphabet.
+    * Zero-shuffle mapPartitions, per-partition rank map — the [[tokens]]
+    * shape in byte mode. */
+  def tokensBytes(df: DataFrame, key: String, text: String,
+                  merges: Seq[(String, String)]): DataFrame = {
+    val m = merges.toArray
+    df.select(col(key).cast("long"), col(text)).mapPartitions { it =>
+      val ranks = m.iterator.zipWithIndex.toMap
+      it.map { r =>
+        val t = if (r.isNullAt(1)) null else r.getString(1)
+        val toks = preTokenize(t).iterator
+          .flatMap(p => encodeSyms(byteSymbols(p), ranks)).toSeq
+        BpeDocTokens(r.getLong(0), toks)
+      }
+    }(Encoders.product[BpeDocTokens]).toDF()
+  }
+
+  /** Per-document byte-level BPE token count: (id, n_tokens). With ZERO
+    * merges this is exactly the document's UTF-8 byte length (the pattern
+    * partitions the text; every byte is one symbol) — the SQL-expressible
+    * twin that hash-checks the pre-tokenize + byte-map machinery. */
+  def tokenCountsBytes(df: DataFrame, key: String, text: String,
+                       merges: Seq[(String, String)]): DataFrame = {
+    val m = merges.toArray
+    df.select(col(key).cast("long"), col(text)).mapPartitions { it =>
+      val ranks = m.iterator.zipWithIndex.toMap
+      it.map { r =>
+        val t = if (r.isNullAt(1)) null else r.getString(1)
+        var n = 0L
+        preTokenize(t).foreach(p => n += encodeSyms(byteSymbols(p), ranks).length)
+        BpeDocCount(r.getLong(0), n)
+      }
+    }(Encoders.product[BpeDocCount]).toDF()
+  }
+
   def chunkBpe(df: DataFrame, key: String, text: String,
                merges: Seq[(String, String)], maxTokens: Int,
                overlap: Int = 0): DataFrame = {

@@ -66,6 +66,50 @@ class BpeSpec extends SparkSpec {
     } finally java.nio.file.Files.deleteIfExists(f)
   }
 
+  test("byte-level: committed GPT-2-format merges fixture -> encode == hand-computed tokens") {
+    // the fixture uses the real public conventions (Ġ = byte 0x20's
+    // bytes_to_unicode stand-in, '#version' header, rank = line order)
+    val path = getClass.getResource("/gpt2_format_merges.txt").getPath
+    val merges = Bpe.loadMerges(path)
+    assert(merges === Seq(("h", "e"), ("l", "l"), ("Ġ", "t"), ("Ġt", "he")))
+    // hand-derivation: "the" -> [t, he]; " hello" -> [Ġ, he, ll, o]
+    // (rank-0 h+e, then rank-1 l+l, nothing else applies);
+    // " the" -> [Ġ, t, he] -> [Ġt, he] -> [Ġthe] (ranks 0, 2, 3)
+    val docs = Seq((1L, "the hello the")).toDF("id", "text")
+    val toks = Bpe.tokensBytes(docs, "id", "text", merges)
+      .collect().head.getSeq[String](1)
+    assert(toks === Seq("t", "he", "Ġ", "he", "ll", "o", "Ġthe"))
+    assert(Bpe.tokenCountsBytes(docs, "id", "text", merges)
+      .collect().head.getLong(1) === 7L)
+  }
+
+  test("byte-level: non-ASCII falls back to per-byte symbols; zero merges == UTF-8 byte count") {
+    // 'é' is UTF-8 C3 A9: both bytes are in bytes_to_unicode's identity
+    // ranges, so the symbols are the latin-1 chars Ã and ©
+    val docs = Seq((1L, "é"), (2L, "ab c"), (3L, "")).toDF("id", "text")
+    val toks = Bpe.tokensBytes(docs.where($"id" === 1), "id", "text", Seq.empty)
+      .collect().head.getSeq[String](1)
+    assert(toks === Seq("Ã", "©"))
+    val counts = Bpe.tokenCountsBytes(docs, "id", "text", Seq.empty)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts === Map(1L -> 2L, 2L -> 4L, 3L -> 0L)) // utf-8 byte lengths
+  }
+
+  test("learnBytes: golden first merges on a tiny corpus; save/load round trip") {
+    // pre-tokens: "the"(2), " the"(1), " hello"(2); weighted pairs put (h,e)
+    // first (2+1+2=5), then (t,he) (2+1=3)
+    val tiny = Seq((1L, "the the hello"), (2L, "the hello")).toDF("id", "text")
+    val m = Bpe.learnBytes(tiny, "text", numMerges = 2)
+    assert(m === Seq(("h", "e"), ("t", "he")))
+    val f = java.nio.file.Files.createTempFile("graft_byte_merges", ".txt")
+    try {
+      Bpe.saveMerges(f.toString, m)
+      assert(Bpe.loadMerges(f.toString) === m)
+    } finally java.nio.file.Files.deleteIfExists(f)
+    // deterministic
+    assert(Bpe.learnBytes(tiny, "text", numMerges = 2) === m)
+  }
+
   test("decode is per-symbol: literal '</w>' characters in text survive chunking") {
     // the word "a</w>b" spells the marker in its CHARACTERS; a global
     // marker-replace decode would corrupt it to "a b" (r10 advice, medium)
