@@ -97,9 +97,18 @@ object Bench {
     * future window measures a SMALLER calibration total → ratio < 1 →
     * calibrated walls above raw ones (and vice versa), so rounds compare
     * on calibrated numbers regardless of the window each drew. Override
-    * with SPARK_GRAFT_CALIB_REF_SEC when re-pinning the epoch. */
+    * with SPARK_GRAFT_CALIB_REF_SEC when re-pinning the epoch.
+    *
+    * sf1: pinned from the round-11 MATCHED-WINDOW sf0.1↔sf1 pair
+    * (BENCH_NOTES round 11): the sf1 trio measured 3.4725 s mid in the same
+    * window where the sf0.1 trio ran at ratio 1.0253 vs its epoch, so the
+    * counterfactual epoch-window sf1 trio is 3.4725 / 1.0253 = 3.387 —
+    * cross-scale calibrated ratios are consistent with the sf0.1 epoch by
+    * construction. The trio scales with data (text_stats/dedup/ann over the
+    * 10× tables), so each profile MUST carry its own epoch. */
   private val calibrationRefSec: Map[String, Double] = Map(
-    "sf0.1" -> 1.224)
+    "sf0.1" -> 1.224,
+    "sf1" -> 3.387)
 
   /** Stress profile (SPARK_GRAFT_SF_DIR containing "stress", or
     * SPARK_GRAFT_PROFILE=stress): the 8× uniform-length documents corpus has
