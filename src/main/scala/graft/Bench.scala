@@ -76,8 +76,10 @@ object Bench {
     "ann_pq_topk",
     // round-11: the list-pruned IVF-PQ search against the durable
     // (id, cid, codes) index (build paid by the FIRST run via
-    // buildTableOnce; warm runs time the probe) — the production PQ path
+    // buildTableOnce; warm runs time the probe) and the IVFADC+R refined
+    // form (ADC shortlist re-ranked exact) — the production PQ paths
     "ann_pq_ivf_topk",
+    "ann_pq_ivf_refined_topk",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one
@@ -486,8 +488,8 @@ object Bench {
     * and machines, no RNG). Noise amplitude 0.15 of the center component
     * range keeps members far closer to their own center than to any other,
     * the geometry ANN workloads presuppose. */
-  private def clusteredEmbeddings(spark: SparkSession, n: Int, nClusters: Int,
-                                  dim: Int): org.apache.spark.sql.DataFrame = {
+  private[graft] def clusteredEmbeddings(spark: SparkSession, n: Int, nClusters: Int,
+                                         dim: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     def unit(h: org.apache.spark.sql.Column) = // hash -> float in [-1, 1]
       ((pmod(h, lit(2001L)) - 1000L).cast("float") / 1000.0f)
@@ -541,11 +543,18 @@ object Bench {
           Similarity.pqEncode(e, "vec_id", "embedding", cbs, 64, 8),
           cbs, q, "vec_id", "embedding", 10)))
       val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 16)
+      val rcbs = Similarity.pqResidualCodebooks(e, "vec_id", "embedding",
+        cents, 64, 8, 64)
+      val pqIdx = Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, rcbs, 64, 8)
+        .persist()
       val ivfPq = timed("ann_ivfpq")(Recall.topK(exactL2,
-        Similarity.pqTopKIvfIndexed(
-          Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, cbs, 64, 8),
-          cents, cbs, q, "vec_id", "embedding", 10, 4)))
-      exactL2.unpersist()
+        Similarity.pqTopKIvfIndexed(pqIdx,
+          cents, rcbs, q, "vec_id", "embedding", 10, 4)))
+      val ivfPqRef = timed("ann_ivfpq_ref")(Recall.topK(exactL2,
+        Similarity.pqTopKIvfRefined(pqIdx,
+          Similarity.ivfIndex(e, "vec_id", "embedding", cents),
+          cents, rcbs, q, "vec_id", "embedding", 10, 4, 100)))
+      pqIdx.unpersist(); exactL2.unpersist()
       // IVF on a CLUSTERED fixture: the driver's embeddings are isotropic
       // random vectors, where IVF recall has a ~0.5 structural ceiling at
       // nProbe/nCentroids = 1/4 regardless of centroid quality (BENCH_NOTES
@@ -561,7 +570,30 @@ object Bench {
         Similarity.topKIvf(ce, cq, "vec_id", "embedding", 10, 16, 4)))
       val cIvfKm = timed("ann_ivf_km_clus")(Recall.topK(cExact,
         Similarity.topKIvfKmeans(ce, cq, "vec_id", "embedding", 10, 16, 4, 3)))
-      cExact.unpersist(); ce.unpersist()
+      // PQ on the same clustered fixture (vs exact L2 — ADC's metric): on
+      // isotropic random vectors a 16-entry/block codebook has the same
+      // structural recall ceiling raw IVF does, so like ivf_clustered these
+      // are the lines that move when codebook quality breaks
+      val cExactL2 = Similarity.topKExactL2(ce, cq, "vec_id", "embedding", 10)
+        .persist()
+      val cCbs = Similarity.pqCodebooks(ce, "vec_id", "embedding", 64, 8, 16)
+      val cPq = timed("ann_pq_clus")(Recall.topK(cExactL2,
+        Similarity.pqTopK(
+          Similarity.pqEncode(ce, "vec_id", "embedding", cCbs, 64, 8),
+          cCbs, cq, "vec_id", "embedding", 10)))
+      val cCents = Similarity.sampleCentroids(ce, "vec_id", "embedding", 16)
+      val cRCbs = Similarity.pqResidualCodebooks(ce, "vec_id", "embedding",
+        cCents, 64, 8, 64)
+      val cPqIdx = Similarity.pqIvfIndex(ce, "vec_id", "embedding", cCents, cRCbs, 64, 8)
+        .persist()
+      val cIvfPq = timed("ann_ivfpq_clus")(Recall.topK(cExactL2,
+        Similarity.pqTopKIvfIndexed(cPqIdx,
+          cCents, cRCbs, cq, "vec_id", "embedding", 10, 4)))
+      val cIvfPqRef = timed("ann_ivfpq_ref_clus")(Recall.topK(cExactL2,
+        Similarity.pqTopKIvfRefined(cPqIdx,
+          Similarity.ivfIndex(ce, "vec_id", "embedding", cCents),
+          cCents, cRCbs, cq, "vec_id", "embedding", 10, 4, 100)))
+      cPqIdx.unpersist(); cExactL2.unpersist(); cExact.unpersist(); ce.unpersist()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val exactPairs = timed("exact_pairs")(JaccardJoin
         .selfJoinDeduped(docs, "doc_id", "text", ws, 0.9)
@@ -583,7 +615,7 @@ object Bench {
         Dedup.minHashPairsRs(corpus, incoming, "doc_id", "text", ws, 0.9), "lid", "rid"))
       exactRs.unpersist()
       Api.clearCache()
-      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_pq_at10":$pq%.4f,"ann_ivfpq_at10":$ivfPq%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
+      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_pq_at10":$pq%.4f,"ann_ivfpq_at10":$ivfPq%.4f,"ann_ivfpq_refined_at10":$ivfPqRef%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"ann_pq_clustered_at10":$cPq%.4f,"ann_ivfpq_clustered_at10":$cIvfPq%.4f,"ann_ivfpq_refined_clustered_at10":$cIvfPqRef%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] recall sidecar failed: $t")

@@ -773,15 +773,59 @@ SELECT query_id, neighbor_id, rank FROM (
   WHERE $queryPred)
 WHERE rank <= $kNN"""
 
-  /** Mirrors Similarity.pqTopKIvfIndexed ∘ pqIvfIndex: the IVF-PQ
-    * composition — md5-sample centroids, nearest-centroid list assignment
-    * (the [[annTopKIvf]] CTEs), PQ encode + reconstruction (the
-    * [[annPqTopK]] CTEs), then ADC ranking ONLY within each query's nProbe
-    * nearest lists. */
+  /** Mirrors Similarity.pqTopKIvfIndexed ∘ pqIvfIndex ∘ pqResidualCodebooks:
+    * the IVF-PQ composition — md5-sample centroids, nearest-centroid list
+    * assignment (the [[annTopKIvf]] CTEs), per-row RESIDUAL `v − cvec(cid)`
+    * in DOUBLE, residual-space codebooks (md5-sample of residuals, sliced
+    * per block), residual encode by per-block (L2², code) argmin, ABSOLUTE
+    * reconstruction `cvec + concatenated codewords`, then ADC ranking ONLY
+    * within each query's nProbe nearest lists. Every arithmetic form (the
+    * double subtraction/addition element-wise, the ordered L2 folds) is the
+    * exact IEEE sequence the Spark side computes, so the whole composition
+    * hash-matches. */
   def annPqIvfTopK(table: String, key: String, vec: String, queryPred: String,
                    kNN: Int, nCentroids: Int, nProbe: Int,
                    dim: Int, m: Int, k: Int): String =
-    s"""WITH cents AS (
+    s"""WITH ${pqIvfCtes(table, key, vec, queryPred, nCentroids, nProbe, dim, m, k)}
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT p.query_id AS query_id, r.id AS neighbor_id,
+    row_number() OVER (PARTITION BY p.query_id
+      ORDER BY ${l2Expr("p.qv", "r.rv")}, r.id) AS rank
+  FROM probes p JOIN recon_abs r USING (cid)
+  WHERE r.id != p.query_id)
+WHERE rank <= $kNN"""
+
+  /** Mirrors Similarity.pqTopKIvfRefined (Jégou §V, IVFADC+R): the
+    * [[annPqIvfTopK]] ADC ranking truncated at `refine` becomes a shortlist,
+    * which re-ranks by EXACT squared-L2 against the full-precision vectors. */
+  def annPqIvfRefinedTopK(table: String, key: String, vec: String,
+                          queryPred: String, kNN: Int, nCentroids: Int,
+                          nProbe: Int, dim: Int, m: Int, k: Int,
+                          refine: Int): String =
+    s"""WITH ${pqIvfCtes(table, key, vec, queryPred, nCentroids, nProbe, dim, m, k)},
+short AS (
+  SELECT query_id, qv, neighbor_id FROM (
+    SELECT p.query_id AS query_id, p.qv AS qv, r.id AS neighbor_id,
+      row_number() OVER (PARTITION BY p.query_id
+        ORDER BY ${l2Expr("p.qv", "r.rv")}, r.id) AS rank
+    FROM probes p JOIN recon_abs r USING (cid)
+    WHERE r.id != p.query_id)
+  WHERE rank <= $refine)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT s.query_id AS query_id, s.neighbor_id AS neighbor_id,
+    row_number() OVER (PARTITION BY s.query_id
+      ORDER BY ${l2Expr("s.qv", s"e.$vec")}, s.neighbor_id) AS rank
+  FROM short s JOIN $table e ON e.$key = s.neighbor_id)
+WHERE rank <= $kNN"""
+
+  /** The shared IVF-PQ CTE chain of [[annPqIvfTopK]]/[[annPqIvfRefinedTopK]]:
+    * cents → assign → residuals → residual codebooks → encode → absolute
+    * reconstruction → probes. */
+  private def pqIvfCtes(table: String, key: String, vec: String,
+                        queryPred: String, nCentroids: Int, nProbe: Int,
+                        dim: Int, m: Int, k: Int): String = {
+    val bd = dim / m
+    s"""cents AS (
   SELECT $key AS cid, $vec AS cvec FROM $table
   ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
 assign AS (
@@ -791,25 +835,46 @@ assign AS (
         ORDER BY ${cosExpr(s"e.$vec", "c.cvec")} DESC, c.cid) AS rn
     FROM $table e, cents c)
   WHERE rn = 1),
-${pqEncCtes(table, key, vec, dim, m, k)},
+resid AS (
+  SELECT a.id AS id, a.cid AS cid,
+    list_transform(generate_series(1, $dim),
+      i -> CAST(e.$vec[i] AS DOUBLE) - CAST(c.cvec[i] AS DOUBLE)) AS rv
+  FROM assign a
+  JOIN $table e ON e.$key = a.id
+  JOIN cents c ON c.cid = a.cid),
+samp AS (
+  SELECT sv, CAST(rn - 1 AS INT) AS code FROM (
+    SELECT rv AS sv, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
+    FROM resid) WHERE rn <= $k),
+cb AS (
+  SELECT CAST(j AS INT) AS j, code, sv[j*$bd+1 : j*$bd+$bd] AS cvec
+  FROM samp, range(0, $m) t(j)),
+enc AS (
+  SELECT id, j, code FROM (
+    SELECT r.id AS id, c.j, c.code,
+      row_number() OVER (PARTITION BY r.id, c.j
+        ORDER BY ${l2Expr(s"r.rv[c.j*$bd+1 : c.j*$bd+$bd]", "c.cvec")}, c.code) AS rn
+    FROM resid r, cb c)
+  WHERE rn = 1),
 recon AS (
-  SELECT id, flatten(list(cvec ORDER BY j)) AS rv
+  SELECT id, flatten(list(cvec ORDER BY j)) AS rr
   FROM enc JOIN cb USING (j, code)
   GROUP BY id),
+recon_abs AS (
+  SELECT a.id AS id, a.cid AS cid,
+    list_transform(generate_series(1, $dim),
+      i -> CAST(c.cvec[i] AS DOUBLE) + r.rr[i]) AS rv
+  FROM assign a
+  JOIN recon r ON r.id = a.id
+  JOIN cents c ON c.cid = a.cid),
 probes AS (
   SELECT query_id, qv, cid FROM (
     SELECT q.$key AS query_id, q.$vec AS qv, c.cid AS cid,
       row_number() OVER (PARTITION BY q.$key
         ORDER BY ${cosExpr(s"q.$vec", "c.cvec")} DESC, c.cid) AS rn
     FROM $table q, cents c WHERE $queryPred)
-  WHERE rn <= $nProbe)
-SELECT query_id, neighbor_id, rank FROM (
-  SELECT p.query_id AS query_id, a.id AS neighbor_id,
-    row_number() OVER (PARTITION BY p.query_id
-      ORDER BY ${l2Expr("p.qv", "r.rv")}, a.id) AS rank
-  FROM probes p JOIN assign a USING (cid) JOIN recon r ON r.id = a.id
-  WHERE a.id != p.query_id)
-WHERE rank <= $kNN"""
+  WHERE rn <= $nProbe)"""
+  }
 
   /** Mirrors Similarity.topKExact (rank-only output). */
   def annTopKExact(table: String, key: String, vec: String,

@@ -627,17 +627,135 @@ object Similarity {
     rankTopKAsc(scored, k)
   }
 
+  /** The centroid vector of a `cid` column, looked up in the broadcast
+    * `cents` array (expects it in scope). */
+  private def cvecOfCid(cid: Column): Column =
+    element_at(filter(col("cents"), c => c.getField("cid") === cid), 1)
+      .getField("cvec")
+
+  /** Residual of a vector from its assigned centroid, element-wise in
+    * DOUBLE (the canonical IEEE form both engines mirror). */
+  private def residualExpr(v: Column, cvec: Column): Column =
+    zip_with(v, cvec, (x, c) => x.cast("double") - c.cast("double"))
+
+  /**
+   * RESIDUAL-space PQ codebooks — the codebooks [[pqIvfIndex]] encodes
+   * against (Jégou et al. 2011 §IV-A: quantize `v − centroid(cid)`, not v).
+   * Raw-space codebooks are useless inside an inverted list: every member of
+   * a cluster shares the same nearest raw codeword per block, so ADC cannot
+   * rank WITHIN a list (measured: clustered ivfpq recall@10 0.14 raw-space).
+   * The residual IS the within-list signal, so quantizing it spreads list
+   * members across codeword combinations and ADC discriminates again.
+   *
+   * Same deterministic construction as [[pqCodebooks]] — the k corpus rows
+   * with the smallest (md5(id), id), their RESIDUALS sliced per block —
+   * so the codebooks stay reproducible and SQL-oracle-able.
+   * Output: (j, code, cvec array<double>).
+   */
+  def pqResidualCodebooks(corpus: DataFrame, key: String, vec: String,
+                          centroids: DataFrame, dim: Int, m: Int,
+                          k: Int): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m blocks")
+    val bd = dim / m
+    val centArr = broadcast(
+      broadcast(centroids).agg(collect_list(struct(col("cid"), col("cvec"))).as("cents")))
+    // explode(array(...)) barrier: see pqIvfIndex — keeps the argmax from
+    // re-evaluating inside the centroid-lookup filter
+    val resid = corpus.select(col(key).as("sid"), col(vec).as("v"))
+      .crossJoin(centArr)
+      .select(col("sid"), col("v"), col("cents"),
+        explode(array(argmaxCid(col("v")))).as("cid"))
+      .select(col("sid"),
+        residualExpr(col("v"), cvecOfCid(col("cid"))).as("sv"))
+    val sample = resid.orderBy(md5(col("sid").cast("string")), col("sid")).limit(k)
+    val w = Window.orderBy(md5(col("sid").cast("string")), col("sid"))
+    sample.withColumn("code", (row_number().over(w) - 1).cast("int"))
+      .select(explode(transform(sequence(lit(0), lit(m - 1)), j =>
+        struct(j.cast("int").as("j"), col("code"),
+          slice(col("sv"), j.cast("int") * bd + 1, lit(bd)).as("cvec")))).as("e"))
+      .select(col("e.j").as("j"), col("e.code").as("code"), col("e.cvec").as("cvec"))
+  }
+
+  /**
+   * Lloyd-TRAINED residual-space PQ codebooks — `iters` k-means rounds per
+   * block over the corpus residuals, initialized from the md5 sample
+   * ([[pqResidualCodebooks]]). This is the actual PQ training algorithm
+   * (Jégou et al. §II run per sub-space): sampled codebooks cannot tile the
+   * residual ball (measured: clustered ivfpq recall@10 0.04 at k=16 / 0.36
+   * at k=256 sampled), training is what buys within-list resolution.
+   *
+   * Deterministic by the [[kmeansCentroids]] construction: per-element
+   * means sum in decimal(38,18) (associative — partial-agg order can't
+   * perturb), snap to FLOAT (then back to double — the same grid both
+   * engines would round to), fixed init, explicit (distance, code) tie
+   * order, empty cells keep their previous codeword. All `m` blocks train
+   * in ONE pass per round: the corpus residual slices explode to (j, bv)
+   * rows, assignment is a map-side argmin over the broadcast codebooks,
+   * and the mean shuffle is m·k·blockDim×partitions rows — never
+   * corpus-sized. Driver holds m·k·blockDim values between rounds.
+   *
+   * Output: (j, code, cvec array<double>) — drop-in for
+   * [[pqIvfIndex]]/[[pqTopKIvfIndexed]].
+   */
+  def pqTrainedCodebooks(corpus: DataFrame, key: String, vec: String,
+                         centroids: DataFrame, dim: Int, m: Int, k: Int,
+                         iters: Int = 3): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m blocks")
+    val spark = corpus.sparkSession
+    val bd = dim / m
+    val centArr = broadcast(
+      broadcast(centroids).agg(collect_list(struct(col("cid"), col("cvec"))).as("cents")))
+    val blocks = corpus.select(col(key).as("sid"), col(vec).as("v"))
+      .crossJoin(centArr)
+      .select(col("sid"), col("v"), col("cents"),
+        explode(array(argmaxCid(col("v")))).as("cid"))
+      .select(col("sid"),
+        residualExpr(col("v"), cvecOfCid(col("cid"))).as("sv"))
+      .select(explode(transform(sequence(lit(0), lit(m - 1)), j =>
+        struct(j.cast("int").as("j"),
+          slice(col("sv"), j.cast("int") * bd + 1, lit(bd)).as("bv")))).as("e"))
+      .select(col("e.j").as("j"), col("e.bv").as("bv"))
+      .persistTracked
+    var cb = pqResidualCodebooks(corpus, key, vec, centroids, dim, m, k)
+    for (_ <- 1 to iters) {
+      val assigned = blocks.crossJoin(codebookArray(cb))
+        .select(col("j"), col("bv"), {
+          val scored = transform(element_at(col("cb"), col("j") + 1),
+            (cvec, idx) => struct(l2sq(col("bv"), cvec).as("d"), idx.cast("int").as("code")))
+          element_at(array_sort(scored), 1).getField("code").as("code")
+        })
+      val means = assigned
+        .select(col("j"), col("code"), posexplode(col("bv")).as(Seq("e", "x")))
+        .groupBy("j", "code", "e")
+        .agg(((sum(col("x").cast("decimal(38,18)")) / count(lit(1)))
+          .cast("float").cast("double")).as("mx"))
+        .groupBy("j", "code")
+        .agg(transform(array_sort(collect_list(struct(col("e"), col("mx")))),
+          s => s.getField("mx")).as("mvec"))
+      val rows = cb.join(means, Seq("j", "code"), "left")
+        .select(col("j"), col("code"), coalesce(col("mvec"), col("cvec")).as("cvec"))
+        .collect()
+      if (rows.isEmpty) return cb
+      import scala.jdk.CollectionConverters._
+      cb = spark.createDataFrame(rows.toSeq.asJava, rows.head.schema)
+    }
+    cb
+  }
+
   /**
    * Durable IVF-PQ index rows — the standard composition (Jégou et al. 2011
-   * §IV: coarse quantizer + per-list PQ codes): every corpus vector assigned
-   * to its nearest IVF centroid AND encoded to its `m` PQ codes in ONE
-   * map-side pass over the broadcast centroids + codebooks — ZERO corpus
-   * shuffle, the [[ivfIndex]] plan shape with the code columns riding along.
-   * Output: (id, cid, codes array<int>), meant for
-   * [[graft.sources.Stages.writeBucketed]] on `cid` so a probe reads only
-   * its lists, already co-located; store the centroid AND codebook tables
-   * alongside (both are index METADATA — searching against any other set
-   * silently breaks list membership / reconstruction).
+   * §IV: coarse quantizer + per-list RESIDUAL PQ codes): every corpus vector
+   * assigned to its nearest IVF centroid AND its residual `v − cvec(cid)`
+   * encoded to `m` PQ codes in ONE map-side pass over the broadcast
+   * centroids + codebooks — ZERO corpus shuffle, the [[ivfIndex]] plan shape
+   * with the code columns riding along. `codebooks` must be the matching
+   * RESIDUAL-space table from [[pqResidualCodebooks]] (see there for why raw
+   * codebooks cannot rank within a list). Output: (id, cid,
+   * codes array<int>), meant for [[graft.sources.Stages.writeBucketed]] on
+   * `cid` so a probe reads only its lists, already co-located; store the
+   * centroid AND codebook tables alongside (both are index METADATA —
+   * searching against any other set silently breaks list membership /
+   * reconstruction).
    *
    * This is what makes PQ search run at 1e9 vectors: the registered search
    * path probes nProbe/nCentroids of THESE rows ([[pqTopKIvfIndexed]])
@@ -651,11 +769,20 @@ object Similarity {
     val bd = dim / m
     val centArr = broadcast(
       broadcast(centroids).agg(collect_list(struct(col("cid"), col("cvec"))).as("cents")))
+    // the explode(array(...)) wrappers are materialization barriers (the
+    // quantizeInt8 rule): without them CollapseProject inlines the argmax
+    // into the centroid-lookup filter (nCentroids× re-evaluation) and the
+    // residual into every per-block-per-codeword l2sq of the encode
+    // (m·k× re-evaluation) — the winnowing interpreted-eval trap
     corpus.select(col(key).as("id"), col(vec).as("v"))
       .crossJoin(centArr)
       .crossJoin(codebookArray(codebooks))
-      .select(col("id"), argmaxCid(col("v")).as("cid"),
-        pqCodesExpr(col("v"), m, bd).as("codes"))
+      .select(col("id"), col("v"), col("cents"), col("cb"),
+        explode(array(argmaxCid(col("v")))).as("cid"))
+      .select(col("id"), col("cid"), col("cb"),
+        explode(array(residualExpr(col("v"), cvecOfCid(col("cid"))))).as("rv"))
+      .select(col("id"), col("cid"),
+        pqCodesExpr(col("rv"), m, bd).as("codes"))
   }
 
   /**
@@ -664,14 +791,18 @@ object Similarity {
    * query ranks the broadcast centroids (no window — [[nearestCidsExpr]]'s
    * array sort over index metadata), joins only its `nProbe` nearest
    * inverted lists on `cid` (the bucketed layout reads them co-located),
-   * ADC-scores the ~nProbe/nCentroids corpus fraction it touched, and ranks
+   * ADC-scores the ~nProbe/nCentroids corpus fraction it touched against
+   * the ABSOLUTE reconstruction `cvec(cid) + residual-codewords` (the
+   * residual-encoding counterpart of [[pqTopK]]'s flat reconstruction —
+   * one canonical IEEE form, mirrored exactly in the oracle), and ranks
    * via the bounded [[rankTopKAsc]] aggregate. Per-query cost scales with
    * the probed lists, not the corpus; no stage anywhere sees a
    * corpus-per-task stream.
    *
-   * Deterministic end to end (md5-sample centroids/codebooks, IEEE folds,
-   * explicit tie orders), so the whole composition is oracle-hash-verified
-   * (`ann_pq_ivf_topk`); indexed == in-plan is an equality (SimilaritySpec).
+   * Deterministic end to end (md5-sample centroids/residual codebooks, IEEE
+   * folds, explicit tie orders), so the whole composition is
+   * oracle-hash-verified (`ann_pq_ivf_topk`); indexed == in-plan is an
+   * equality (SimilaritySpec).
    *
    * Output: (query_id, neighbor_id, rank), rank 1..k by ADC distance asc,
    * ties by neighbor_id, among the probed lists' members.
@@ -686,13 +817,55 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(nearestCidsExpr(col("qv"), col("cents"), nProbe)).as("pc"))
       .select(col("query_id"), col("qv"), col("pc.cid").as("cid"))
+    // absolute reconstruction: centroid (broadcast join on cid — map-side)
+    // plus the concatenated residual codewords, element-wise in DOUBLE
     val recon = index.select(col("id"), col("cid"), col("codes"))
       .crossJoin(codebookArray(codebooks))
-      .select(col("id"), col("cid"), pqReconExpr(col("codes")).as("rv"))
+      .join(broadcast(centroids), "cid")
+      .select(col("id"), col("cid"),
+        zip_with(col("cvec"), pqReconExpr(col("codes")),
+          (c, r) => c.cast("double") + r).as("rv"))
     val scored = probes.join(recon, Seq("cid"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("neighbor_id"),
         l2sq(col("qv"), col("rv")).as("dist"))
+    rankTopKAsc(scored, k)
+  }
+
+  /**
+   * IVF-PQ search WITH exact re-ranking (Jégou et al. 2011 §V, "IVFADC+R"
+   * — the standard production composition): the ADC pass over the probed
+   * lists produces a `refine`-deep shortlist (compressed-domain work only),
+   * then ONLY those `refine` candidates per query fetch their full-precision
+   * vectors and re-rank by exact squared-L2. ADC at m blocks has an
+   * intrinsic quantization floor that caps top-k directly (measured:
+   * recall@10 ≈ 0.38 at m=8/k=256 trained on the clustered fixture, against
+   * an 0.88 list-pruning ceiling) — but placing true neighbors in an ADC
+   * top-`refine` is easy, so the re-rank recovers nearly the whole pruning
+   * ceiling at `refine` exact distances per query instead of corpus-many.
+   *
+   * `vectors` is any (id, v) source for the full-precision lookups — in
+   * production the [[ivfIndex]] table itself (the join ships the
+   * |Q|·refine-row shortlist, never the corpus). Deterministic end to end,
+   * so the whole composition is oracle-hash-verified
+   * (`ann_pq_ivf_refined_topk`).
+   *
+   * Output: (query_id, neighbor_id, rank), rank 1..k by exact distance asc,
+   * ties by neighbor_id, among the query's ADC top-`refine`.
+   */
+  def pqTopKIvfRefined(index: DataFrame, vectors: DataFrame,
+                       centroids: DataFrame, codebooks: DataFrame,
+                       queries: DataFrame, key: String, vec: String,
+                       k: Int, nProbe: Int, refine: Int): DataFrame = {
+    require(refine >= k, s"refine $refine must cover k $k")
+    val shortlist = pqTopKIvfIndexed(index, centroids, codebooks, queries,
+      key, vec, refine, nProbe)
+    val q = broadcast(queries.select(col(key).as("query_id"), col(vec).as("qv")))
+    val scored = shortlist
+      .join(vectors.select(col("id").as("neighbor_id"), col("v")), "neighbor_id")
+      .join(q, "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        l2sq(col("qv"), col("v")).as("dist"))
     rankTopKAsc(scored, k)
   }
 

@@ -68,9 +68,12 @@ class PlanShapeSpec extends SparkSpec {
       "pqTopK" -> finalPlan(Similarity.pqTopK(
         Similarity.pqEncode(e, "vec_id", "embedding", cbs, 4, 2),
         cbs, q, "vec_id", "embedding", 5)),
-      "pqTopKIvfIndexed" -> finalPlan(Similarity.pqTopKIvfIndexed(
-        Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, cbs, 4, 2),
-        cents, cbs, q, "vec_id", "embedding", 5, 2)))
+      "pqTopKIvfIndexed" -> {
+        val rcbs = Similarity.pqResidualCodebooks(e, "vec_id", "embedding", cents, 4, 2, 4)
+        finalPlan(Similarity.pqTopKIvfIndexed(
+          Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, rcbs, 4, 2),
+          cents, rcbs, q, "vec_id", "embedding", 5, 2))
+      })
     plans.foreach { case (name, plan) =>
       // no window PARTITIONED BY query_id anywhere (pqCodebooks keeps a
       // legitimate window over its k sampled rows — bounded index metadata)

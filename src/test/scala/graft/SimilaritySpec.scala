@@ -288,13 +288,13 @@ class SimilaritySpec extends SparkSpec {
     assert(hits >= 20, s"PQ recall@5 too low: $hits/30") // >= 2/3
   }
 
-  test("pqTopKIvfIndexed: stored IVF-PQ index == in-plan; == hand-computed probed-list ADC ranking") {
+  test("pqTopKIvfIndexed: stored IVF-PQ index == in-plan; == hand-computed probed-list residual-ADC ranking") {
     val dim = 16; val m = 4; val kCb = 8; val bd = dim / m
     val data = clustered(37, 5, 12, dim)
     val df = data.toDF("vec_id", "embedding")
     val q = df.where($"vec_id" < 5)
     val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 5)
-    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding", dim, m, kCb)
+    val cbs = Similarity.pqResidualCodebooks(df, "vec_id", "embedding", cents, dim, m, kCb)
     val idx = Similarity.pqIvfIndex(df, "vec_id", "embedding", cents, cbs, dim, m)
     // durable round trip through the real bucketed sink == in-plan index
     graft.sources.Stages.writeBucketed(idx, "graft_pq_idx_t", "cid", 4)
@@ -308,12 +308,89 @@ class SimilaritySpec extends SparkSpec {
       q, "vec_id", "embedding", 5, 2).collect().map(key).toSet
     assert(stored === inPlan)
     // hand reference: cosine-nearest 2 of the 5 centroid lists per query,
-    // members ADC-ranked by L2^2 to their code reconstruction, ties by id
+    // members ADC-ranked by L2^2 to the ABSOLUTE reconstruction
+    // centroid + residual-codewords, ties by id
     val byId = data.toMap
     val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     val cbMap = cbs.collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Float](2).toArray).toMap
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
     val assignMap = idx.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) { val x = a(i).toDouble; val y = b(i).toDouble
+        dot += x * y; na += x * x; nb += y * y }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    def l2(a: Array[Float], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y; d * d }.sum
+    val expect = (0L until 5L).flatMap { qid =>
+      val probed = centMap.toSeq
+        .map { case (cid, cv) => (-cos(byId(qid), cv), cid) }.sorted.take(2)
+        .map(_._2).toSet
+      assignMap.toSeq
+        .filter { case (nid, (cid, _)) => nid != qid && probed(cid) }
+        .map { case (nid, (cid, codes)) =>
+          val rr = codes.zipWithIndex.flatMap { case (c, j) => cbMap((j, c)) }
+          val rv = centMap(cid).zip(rr).map { case (cv, r) => cv.toDouble + r }.toArray
+          (l2(byId(qid), rv), nid) }
+        .sorted.take(5).zipWithIndex
+        .map { case ((_, nid), i) => (qid, nid, i + 1L) }
+    }.toSet
+    assert(stored === expect)
+    spark.sql("DROP TABLE IF EXISTS graft_pq_idx_t")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_cents_t")
+    spark.sql("DROP TABLE IF EXISTS graft_pq_cb_t")
+  }
+
+  test("pqIvfIndex == ivfIndex assignment + pqEncode over the residuals, column-for-column") {
+    val dim = 16; val m = 4
+    val data = clustered(41, 4, 10, dim)
+    val df = data.toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 4)
+    val cbs = Similarity.pqResidualCodebooks(df, "vec_id", "embedding", cents, dim, m, 6)
+    val fused = Similarity.pqIvfIndex(df, "vec_id", "embedding", cents, cbs, dim, m)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
+    val assign = Similarity.ivfIndex(df, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    // residual frame built independently: v - cvec(assigned cid) in double
+    val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val residDf = data.map { case (id, v) =>
+      (id, v.zip(centMap(assign(id))).map { case (x, c) => x.toDouble - c.toDouble })
+    }.toDF("id", "rv")
+    val codes = Similarity.pqEncode(residDf, "id", "rv", cbs, dim, m)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(fused === assign.map { case (id, cid) => id -> (cid, codes(id)) })
+    // residual recall sanity: on the clustered fixture the residual-encoded
+    // IVF-PQ must rank same-cluster neighbors usefully (the raw-space
+    // codebooks provably cannot — they collapse a cluster to one codeword)
+    val q = df.where($"vec_id" < 8)
+    val exact = Similarity.topKExactL2(df, q, "vec_id", "embedding", 5)
+    val approx = Similarity.pqTopKIvfIndexed(
+      Similarity.pqIvfIndex(df, "vec_id", "embedding", cents, cbs, dim, m),
+      cents, cbs, q, "vec_id", "embedding", 5, 4)
+    val rec = Recall.topK(exact, approx)
+    assert(rec >= 0.5, s"residual IVF-PQ recall@5 too low: $rec")
+  }
+
+  test("pqTopKIvfRefined: exhaustive refine == exact-L2 ranking within the probed lists") {
+    // with refine >= |corpus|, the ADC shortlist necessarily contains every
+    // probed candidate, so the exact re-rank must EQUAL brute-force L2
+    // ranking restricted to the probed lists — a sharp equality, no recall
+    // tolerance needed
+    val dim = 16; val m = 4
+    val data = clustered(47, 5, 12, dim)
+    val df = data.toDF("vec_id", "embedding")
+    val q = df.where($"vec_id" < 5)
+    val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 5)
+    val rcbs = Similarity.pqResidualCodebooks(df, "vec_id", "embedding", cents, dim, m, 8)
+    val ivf = Similarity.ivfIndex(df, "vec_id", "embedding", cents)
+    val idx = Similarity.pqIvfIndex(df, "vec_id", "embedding", cents, rcbs, dim, m)
+    val got = Similarity.pqTopKIvfRefined(idx, ivf, cents, rcbs,
+        q, "vec_id", "embedding", 5, 2, refine = data.size)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val byId = data.toMap
+    val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val assignMap = ivf.collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var dot = 0d; var na = 0d; var nb = 0d
       for (i <- a.indices) { val x = a(i).toDouble; val y = b(i).toDouble
@@ -326,32 +403,46 @@ class SimilaritySpec extends SparkSpec {
       val probed = centMap.toSeq
         .map { case (cid, cv) => (-cos(byId(qid), cv), cid) }.sorted.take(2)
         .map(_._2).toSet
-      assignMap.toSeq
-        .filter { case (nid, (cid, _)) => nid != qid && probed(cid) }
-        .map { case (nid, (_, codes)) =>
-          val rv = codes.zipWithIndex.flatMap { case (c, j) => cbMap((j, c)) }.toArray
-          (l2(byId(qid), rv), nid) }
+      data.filter { case (nid, _) => nid != qid && probed(assignMap(nid)) }
+        .map { case (nid, v) => (l2(byId(qid), v), nid) }
         .sorted.take(5).zipWithIndex
         .map { case ((_, nid), i) => (qid, nid, i + 1L) }
     }.toSet
-    assert(stored === expect)
-    spark.sql("DROP TABLE IF EXISTS graft_pq_idx_t")
-    spark.sql("DROP TABLE IF EXISTS graft_pq_cents_t")
-    spark.sql("DROP TABLE IF EXISTS graft_pq_cb_t")
+    assert(got === expect)
   }
 
-  test("pqIvfIndex == ivfIndex assignment + pqEncode codes, column-for-column") {
+  test("pqTrainedCodebooks: deterministic, drop-in shape, never worse encode error than the sample init") {
     val dim = 16; val m = 4
-    val df = clustered(41, 4, 10, dim).toDF("vec_id", "embedding")
+    val data = clustered(53, 4, 15, dim)
+    val df = data.toDF("vec_id", "embedding")
     val cents = Similarity.sampleCentroids(df, "vec_id", "embedding", 4)
-    val cbs = Similarity.pqCodebooks(df, "vec_id", "embedding", dim, m, 6)
-    val fused = Similarity.pqIvfIndex(df, "vec_id", "embedding", cents, cbs, dim, m)
-      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Int](2))).toMap
-    val assign = Similarity.ivfIndex(df, "vec_id", "embedding", cents)
-      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    val codes = Similarity.pqEncode(df, "vec_id", "embedding", cbs, dim, m)
-      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
-    assert(fused === assign.map { case (id, cid) => id -> (cid, codes(id)) })
+    val t1 = Similarity.pqTrainedCodebooks(df, "vec_id", "embedding", cents, dim, m, 8, 2)
+    val t2 = Similarity.pqTrainedCodebooks(df, "vec_id", "embedding", cents, dim, m, 8, 2)
+    def asMap(cb: org.apache.spark.sql.DataFrame) = cb.collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toVector).toMap
+    assert(asMap(t1) === asMap(t2)) // deterministic across invocations
+    assert(asMap(t1).keySet === (for (j <- 0 until m; c <- 0 until 8) yield (j, c)).toSet)
+    // quantization error (sum of per-row ADC reconstruction L2^2 to the
+    // residual) must not exceed the untrained init's — Lloyd never increases
+    // the k-means objective
+    val init = Similarity.pqResidualCodebooks(df, "vec_id", "embedding", cents, dim, m, 8)
+    def err(cb: org.apache.spark.sql.DataFrame): Double = {
+      val cbm = cb.collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2).toArray).toMap
+      val centMap = cents.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+      val assignMap = Similarity.ivfIndex(df, "vec_id", "embedding", cents)
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val bd = dim / m
+      data.map { case (id, v) =>
+        val resid = v.zip(centMap(assignMap(id))).map { case (x, c) => x.toDouble - c.toDouble }
+        (0 until m).map { j =>
+          val sub = resid.slice(j * bd, j * bd + bd)
+          (0 until 8).map { c =>
+            sub.zip(cbm((j, c))).map { case (x, y) => val d = x - y; d * d }.sum
+          }.min
+        }.sum
+      }.sum
+    }
+    assert(err(t1) <= err(init) + 1e-9, "training increased the quantization objective")
   }
 
   test("topKExactL2: ranks by squared-L2 asc with id tie-break, self excluded") {

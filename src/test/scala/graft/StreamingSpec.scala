@@ -631,7 +631,7 @@ class StreamingSpec extends SparkSpec {
       (1000L * d + 4) -> vecOf(10 + d))     // fresh -> admitted
     val corpus = (0 until 20).map(i => i.toLong -> vecOf(i % 4)).toDF("vec_id", "embedding")
     val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 4)
-    val cbs = Similarity.pqCodebooks(corpus, "vec_id", "embedding", 16, 4, 6)
+    val cbs = Similarity.pqResidualCodebooks(corpus, "vec_id", "embedding", cents, 16, 4, 6)
     try {
       Stages.writeBucketed(
         Similarity.ivfIndex(corpus, "vec_id", "embedding", cents), "graft_si_pq_ivf", "cid", 4)
