@@ -602,7 +602,7 @@ FROM $table"""
     * pre-merge tokenization + counting machinery. */
   def bpeTokenCounts0(table: String, key: String, text: String): String =
     s"""SELECT $key AS id,
-  CAST(length(regexp_replace($text, '$wsClass', '', 'g')) AS BIGINT) AS n_tokens
+  coalesce(CAST(length(regexp_replace($text, '$wsClass', '', 'g')) AS BIGINT), 0) AS n_tokens
 FROM $table"""
 
   /** Mirrors Bpe.tokenCountsBytes with ZERO merges — the GPT-2
@@ -612,7 +612,7 @@ FROM $table"""
     * machinery; only the learned merge application stays rows-only. */
   def bpeByteCounts0(table: String, key: String, text: String): String =
     s"""SELECT $key AS id,
-  CAST(octet_length(encode($text)) AS BIGINT) AS n_tokens
+  coalesce(CAST(octet_length(encode($text)) AS BIGINT), 0) AS n_tokens
 FROM $table"""
 
   /** Mirrors Bpe.chunkBpe with ZERO merges: symbols are single characters
@@ -1051,8 +1051,13 @@ WHERE rank <= $k"""
     * engines to identical centroids after every round, so equality composes
     * by induction across rounds — what makes the 3-iter registered query
     * oracle-expressible after all (it was the ANN family's one remaining
-    * rows-only-by-design entry). Probe engine as [[annTopKIvf]] over the
-    * final centroids. */
+    * rows-only-by-design entry). Known residual risk, quantified: a mean
+    * whose exact value lies within ~2^-53 relative of a float rounding
+    * boundary could snap differently (P ≈ 2^-28 per value; 16 cents ×
+    * 64 dims × 3 rounds ≈ 3·10³ lotteries → ~10^-5 per dataset) — if this
+    * oracle ever flakes on new data, that lottery is the first suspect and
+    * the fallback is re-registering the 3-iter form rows-only. Probe engine
+    * as [[annTopKIvf]] over the final centroids. */
   def annTopKIvfKmeansN(table: String, key: String, vec: String,
                         queryPred: String, k: Int, nCentroids: Int,
                         nProbe: Int, dim: Int, iters: Int): String = {

@@ -31,23 +31,21 @@ object PqTune {
           cbs, q, "vec_id", "embedding", 10))
         val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 16)
         val rcbs = Similarity.pqResidualCodebooks(e, "vec_id", "embedding", cents, 64, 8, k)
+        val idx = Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, rcbs, 64, 8)
         val ivfpqR = Recall.topK(exactL2, Similarity.pqTopKIvfIndexed(
-          Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, rcbs, 64, 8),
-          cents, rcbs, q, "vec_id", "embedding", 10, 4))
+          idx, cents, rcbs, q, "vec_id", "embedding", 10, 4))
         val ivfpqR8 = Recall.topK(exactL2, Similarity.pqTopKIvfIndexed(
-          Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, rcbs, 64, 8),
-          cents, rcbs, q, "vec_id", "embedding", 10, 8))
+          idx, cents, rcbs, q, "vec_id", "embedding", 10, 8))
         println(f"[pqtune] $label%-10s k=$k%3d  pq@10=$pq%.3f  ivfpq(res,nProbe4)=$ivfpqR%.3f  ivfpq(res,nProbe8)=$ivfpqR8%.3f")
       }
       for (k <- Seq(64, 256)) {
         val cents = Similarity.sampleCentroids(e, "vec_id", "embedding", 16)
         val tcbs = Similarity.pqTrainedCodebooks(e, "vec_id", "embedding", cents, 64, 8, k, 3)
+        val tidx = Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, tcbs, 64, 8)
         val ivfpqT4 = Recall.topK(exactL2, Similarity.pqTopKIvfIndexed(
-          Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, tcbs, 64, 8),
-          cents, tcbs, q, "vec_id", "embedding", 10, 4))
+          tidx, cents, tcbs, q, "vec_id", "embedding", 10, 4))
         val ivfpqT8 = Recall.topK(exactL2, Similarity.pqTopKIvfIndexed(
-          Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, tcbs, 64, 8),
-          cents, tcbs, q, "vec_id", "embedding", 10, 8))
+          tidx, cents, tcbs, q, "vec_id", "embedding", 10, 8))
         println(f"[pqtune] $label%-10s TRAINED k=$k%3d  ivfpq(nProbe4)=$ivfpqT4%.3f  ivfpq(nProbe8)=$ivfpqT8%.3f")
         Api.clearCache()
       }

@@ -153,19 +153,22 @@ object Bpe {
     ()
   }
 
-  /** Load a GPT-2-format merges file: the `#version` header line and blanks
-    * are skipped; each remaining line is one merge, rank = order. ONLY the
-    * version header is dropped — the GPT-2 format has no general comments,
-    * and a learned merge whose first symbol starts with '#' (corpora
-    * containing '#include', '#!/bin/sh', …) is a legitimate line that a
-    * blanket '#'-filter would silently drop, changing tokenization after a
-    * save/load round trip. */
+  /** Load a GPT-2-format merges file: the `#version` header (LINE 1 only —
+    * [[saveMerges]] and the public format always put it there) and blanks
+    * are skipped; each remaining line is one merge, rank = order. The
+    * header test is positional, not a prefix filter over every line: the
+    * format has no general comments, and a learned merge whose first
+    * symbol starts with '#' — or even with '#version', plausible in shader
+    * corpora dense in '#version330' tokens — is a legitimate DATA line
+    * that any blanket filter would silently drop, changing tokenization
+    * after a save/load round trip. */
   def loadMerges(path: String): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
-        java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
-      .map(_.trim)
-      .filter(l => l.nonEmpty && !l.startsWith("#version"))
+    val all = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
+      java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
+    val body = if (all.headOption.exists(_.trim.startsWith("#version"))) all.tail else all
+    body.map(_.trim)
+      .filter(_.nonEmpty)
       .map { l =>
         val i = l.indexOf(' ')
         require(i > 0 && i < l.length - 1, s"malformed merges line: '$l'")

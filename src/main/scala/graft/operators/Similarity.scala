@@ -67,8 +67,28 @@ object Similarity {
    *
    * Callers must pre-dedup when one neighbor can be scored twice for a query
    * (the multi-table LSH union) — the heap has no set semantics.
+   *
+   * The aggregate's heap is (double, LONG)-typed, so the fast path applies
+   * to integral neighbor keys (cast up and restored to the input type —
+   * every in-repo corpus is long-keyed). A NON-integral key (string UUIDs…)
+   * falls back to the window form: correct for any type and any tie order,
+   * at the straggler cost the aggregate exists to avoid — documented, not
+   * silent (a blind cast('long') would null string ids and return EMPTY
+   * results).
    */
   private[graft] def rankTopKAsc(scored: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.types._
+    val idType = scored.schema("neighbor_id").dataType
+    val integral = idType match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral) {
+      val w = Window.partitionBy("query_id").orderBy(col("dist"), col("neighbor_id"))
+      return scored.select(col("query_id"), col("neighbor_id"),
+          row_number().over(w).cast("long").as("rank"))
+        .where(col("rank") <= k)
+    }
     val agg = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.expressions.DistTopK(
         org.apache.spark.sql.GraftExpressionBridge.expression(col("dist")),
@@ -77,7 +97,7 @@ object Similarity {
     scored.groupBy("query_id")
       .agg(agg.as("top"))
       .select(col("query_id"), posexplode(col("top")).as(Seq("p", "e")))
-      .select(col("query_id"), col("e.id").as("neighbor_id"),
+      .select(col("query_id"), col("e.id").cast(idType).as("neighbor_id"),
         (col("p") + 1).cast("long").as("rank"))
   }
 
@@ -817,9 +837,17 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         explode(nearestCidsExpr(col("qv"), col("cents"), nProbe)).as("pc"))
       .select(col("query_id"), col("qv"), col("pc.cid").as("cid"))
-    // absolute reconstruction: centroid (broadcast join on cid — map-side)
-    // plus the concatenated residual codewords, element-wise in DOUBLE
+    // prune to the probed lists BEFORE any decode work: the broadcast
+    // semi-join on cid is what actually skips the (nCentroids − nProbe)/
+    // nCentroids corpus fraction — reconstructing first and joining after
+    // would decode 100% of the codes and discard the unprobed lists
+    // unjoined (Catalyst cannot push the join's cid membership below the
+    // reconstruction Project)
+    val probedCids = broadcast(probes.select("cid").distinct())
     val recon = index.select(col("id"), col("cid"), col("codes"))
+      .join(probedCids, Seq("cid"), "left_semi")
+      // absolute reconstruction: centroid (broadcast join on cid — map-side)
+      // plus the concatenated residual codewords, element-wise in DOUBLE
       .crossJoin(codebookArray(codebooks))
       .join(broadcast(centroids), "cid")
       .select(col("id"), col("cid"),

@@ -60,7 +60,9 @@ class BpeSpec extends SparkSpec {
       // a merge whose FIRST SYMBOL starts with '#' (corpora with '#include')
       // must survive the round trip — only the #version header is skipped
       // (r10 advice: a blanket '#'-filter silently dropped such merges)
-      val hashy = Seq(("#", "i"), ("#i", "n"), ("x", "y</w>"))
+      // …including one whose first symbol IS '#version' (shader corpora:
+      // '#version330' tokens) — only the LINE-1 header may be skipped
+      val hashy = Seq(("#", "i"), ("#i", "n"), ("#version", "3"), ("x", "y</w>"))
       Bpe.saveMerges(f.toString, hashy)
       assert(Bpe.loadMerges(f.toString) === hashy)
     } finally java.nio.file.Files.deleteIfExists(f)

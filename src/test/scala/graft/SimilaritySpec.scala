@@ -445,6 +445,25 @@ class SimilaritySpec extends SparkSpec {
     assert(err(t1) <= err(init) + 1e-9, "training increased the quantization objective")
   }
 
+  test("topKExact on a STRING-keyed corpus: window fallback, keys intact (review r11)") {
+    // the DistTopK fast path is long-typed; a blind cast('long') on string
+    // UUID-ish ids would null them all and return EMPTY — the fallback must
+    // keep full results with the original key type
+    val data = clustered(59, 3, 8, 8)
+    val df = data.map { case (id, v) => (s"doc-$id", v) }.toDF("vec_id", "embedding")
+    val out = Similarity.topKExact(df, df.where($"vec_id" === "doc-0"),
+      "vec_id", "embedding", 4).collect()
+    assert(out.length === 4)
+    assert(out.forall(_.getString(1).startsWith("doc-")))
+    // and the int-keyed path returns the INPUT key type, not long
+    val intDf = data.map { case (id, v) => (id.toInt, v) }.toDF("vec_id", "embedding")
+    val intOut = Similarity.topKExact(intDf, intDf.where($"vec_id" === 0),
+      "vec_id", "embedding", 4)
+    assert(intOut.schema("neighbor_id").dataType ===
+      org.apache.spark.sql.types.IntegerType)
+    assert(intOut.count() === 4)
+  }
+
   test("topKExactL2: ranks by squared-L2 asc with id tie-break, self excluded") {
     val data = clustered(43, 4, 10, 16)
     val df = data.toDF("vec_id", "embedding")
