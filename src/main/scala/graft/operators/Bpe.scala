@@ -153,20 +153,21 @@ object Bpe {
     ()
   }
 
-  /** Load a GPT-2-format merges file: the `#version` header (LINE 1 only —
+  /** Load a GPT-2-format merges file: the `#version: …` header (LINE 1 only —
     * [[saveMerges]] and the public format always put it there) and blanks
     * are skipped; each remaining line is one merge, rank = order. The
-    * header test is positional, not a prefix filter over every line: the
-    * format has no general comments, and a learned merge whose first
-    * symbol starts with '#' — or even with '#version', plausible in shader
-    * corpora dense in '#version330' tokens — is a legitimate DATA line
-    * that any blanket filter would silently drop, changing tokenization
-    * after a save/load round trip. */
+    * header test is positional AND matches the header's actual shape
+    * (`#version:` with the colon), not a bare `#version` prefix: a
+    * header-less file whose first DATA line's first symbol merely begins
+    * with '#version' — '#version330 3', the shader-corpus case — must keep
+    * its rank-0 merge. The only first symbol the colon test could still
+    * confuse is the literal '#version:', the header's own shape — the same
+    * residual ambiguity the public format carries. */
   def loadMerges(path: String): Seq[(String, String)] = {
     import scala.jdk.CollectionConverters._
     val all = java.nio.file.Files.readAllLines(java.nio.file.Paths.get(path),
       java.nio.charset.StandardCharsets.UTF_8).asScala.toSeq
-    val body = if (all.headOption.exists(_.trim.startsWith("#version"))) all.tail else all
+    val body = if (all.headOption.exists(_.trim.startsWith("#version:"))) all.tail else all
     body.map(_.trim)
       .filter(_.nonEmpty)
       .map { l =>

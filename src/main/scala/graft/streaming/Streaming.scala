@@ -602,11 +602,15 @@ object Streaming {
    * Delivery: the two appends are not one transaction, so a crash between
    * them can leave an admitted vector momentarily absent from the codes
    * table (search misses it until repair; admission correctness is
-   * unaffected — the drop logic reads only `indexTable`). The repair is the
-   * batch rebuild of the codes rows for `indexTable` ids missing from
-   * `pqCodesTable` — an anti-join + [[graft.operators.Similarity.pqIvfIndex]]
-   * over the index's stored vectors. Same at-least-once admission semantics
-   * as [[ingestAnn]] otherwise: a replayed batch keeps nothing and appends
+   * unaffected — the drop logic reads only `indexTable`). That repair runs
+   * AUTOMATICALLY at stream start: `indexTable` ids missing from
+   * `pqCodesTable` (one anti-join on the id column) re-encode from the
+   * index's stored vectors via [[graft.operators.Similarity.pqIvfIndex]]
+   * (same frozen centroids/codebooks ⇒ same deterministic cid and codes)
+   * and append — so a crash-then-restart heals the gap before the first
+   * micro-batch, no manual step. A mid-run crash still leaves the gap only
+   * until the next restart. Same at-least-once admission semantics as
+   * [[ingestAnn]] otherwise: a replayed batch keeps nothing and appends
    * nothing.
    */
   def ingestAnnPq(stream: DataFrame, indexTable: String, pqCodesTable: String,
@@ -614,7 +618,9 @@ object Streaming {
                   dim: Int, m: Int,
                   key: String, vec: String, minCosine: Double, nProbe: Int = 4,
                   admitBuckets: Int = 8,
-                  onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+                  onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery = {
+    repairPqCodes(stream.sparkSession, indexTable, pqCodesTable,
+      centroids, codebooks, dim, m, admitBuckets)
     stream.writeStream
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
         if (!batch.isEmpty) {
@@ -635,6 +641,31 @@ object Streaming {
         }
       }
       .start()
+  }
+
+  /** The [[ingestAnnPq]] crash-gap repair, runnable standalone: re-encode and
+    * append PQ codes for every `indexTable` id absent from `pqCodesTable`
+    * (the two-append non-atomicity window). Idempotent — when the tables
+    * agree the anti-join is empty and nothing writes; when `pqCodesTable`
+    * does not exist yet every index row is "missing" and this IS the initial
+    * codes build. Ships only the missing rows, never the corpus. */
+  def repairPqCodes(spark: org.apache.spark.sql.SparkSession, indexTable: String,
+                    pqCodesTable: String, centroids: DataFrame,
+                    codebooks: DataFrame, dim: Int, m: Int,
+                    admitBuckets: Int = 8): Unit = {
+    if (!spark.catalog.tableExists(indexTable)) return
+    val idx = spark.table(indexTable)
+    val missing =
+      if (spark.catalog.tableExists(pqCodesTable))
+        idx.join(spark.table(pqCodesTable).select("id"), Seq("id"), "left_anti")
+      else idx
+    if (!missing.isEmpty)
+      graft.sources.Stages.appendBucketed(
+        graft.operators.Similarity.pqIvfIndex(
+          missing.select(col("id"), col("v")), "id", "v", centroids, codebooks,
+          dim, m),
+        pqCodesTable, "cid", admitBuckets)
+  }
 
   /**
    * Watermarked tumbling-window corpus quality monitor: per (window, lang)

