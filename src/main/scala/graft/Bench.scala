@@ -80,6 +80,14 @@ object Bench {
     // form (ADC shortlist re-ranked exact) — the production PQ paths
     "ann_pq_ivf_topk",
     "ann_pq_ivf_refined_topk",
+    // round-12: trained-codebook IVF-PQ (index build paid by the FIRST run
+    // via buildTableOnce — warm runs time the probe, same convention as the
+    // sampled-codebook entry), the int8 dequantized-domain exact search
+    // (the 4× bandwidth trade), and perceptual dHash throughput (PNG render
+    // + decode + 9×8 resample per row)
+    "ann_pq_ivf_trained_topk",
+    "ann_topk_int8",
+    "mm_dhash_docs",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one
@@ -535,6 +543,11 @@ object Bench {
         Similarity.topKIvf(e, q, "vec_id", "embedding", 10, 16, 4)))
       val ivfKm = timed("ann_ivf_kmeans")(Recall.topK(exactTopK,
         Similarity.topKIvfKmeans(e, q, "vec_id", "embedding", 10, 16, 4, 3)))
+      // int8 quantization's recall cost vs full-precision exact cosine (the
+      // 4× bandwidth trade priced — r11 verdict #4)
+      val int8 = timed("ann_int8")(Recall.topK(exactTopK,
+        Similarity.topKInt8(Similarity.quantizeInt8(e, "vec_id", "embedding"),
+          q, "vec_id", "embedding", 10)))
       exactTopK.unpersist()
       // PQ recall vs the exact-L2 twin (ADC approximates L2, not cosine):
       // pq@10 isolates pure quantization loss (exhaustive ADC), ivfpq@10
@@ -599,6 +612,15 @@ object Bench {
         Similarity.pqTopKIvfRefined(cPqIdx,
           Similarity.ivfIndex(ce, "vec_id", "embedding", cCents),
           cCents, cRCbs, cq, "vec_id", "embedding", 10, 4, 100)))
+      // TRAINED codebooks (1 Lloyd round per block — the registered
+      // ann_pq_ivf_trained_topk's construction): the gain over the sampled
+      // k=64 codebooks is now a gated number (r11 verdict #3)
+      val cTCbs = Similarity.pqTrainedCodebooks(ce, "vec_id", "embedding",
+        cCents, 64, 8, 64, iters = 1)
+      val cIvfPqTr = timed("ann_ivfpq_trained_clus")(Recall.topK(cExactL2,
+        Similarity.pqTopKIvfIndexed(
+          Similarity.pqIvfIndex(ce, "vec_id", "embedding", cCents, cTCbs, 64, 8),
+          cCents, cTCbs, cq, "vec_id", "embedding", 10, 4)))
       cPqIdx.unpersist(); cExactL2.unpersist(); cExact.unpersist(); ce.unpersist()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val exactPairs = timed("exact_pairs")(JaccardJoin
@@ -621,7 +643,7 @@ object Bench {
         Dedup.minHashPairsRs(corpus, incoming, "doc_id", "text", ws, 0.9), "lid", "rid"))
       exactRs.unpersist()
       Api.clearCache()
-      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_pq_at10":$pq%.4f,"ann_ivfpq_at10":$ivfPq%.4f,"ann_ivfpq_refined_at10":$ivfPqRef%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"ann_pq_clustered_at10":$cPq%.4f,"ann_ivfpq_clustered_at10":$cIvfPq%.4f,"ann_ivfpq_refined_clustered_at10":$cIvfPqRef%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
+      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_int8_at10":$int8%.4f,"ann_pq_at10":$pq%.4f,"ann_ivfpq_at10":$ivfPq%.4f,"ann_ivfpq_refined_at10":$ivfPqRef%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"ann_pq_clustered_at10":$cPq%.4f,"ann_ivfpq_clustered_at10":$cIvfPq%.4f,"ann_ivfpq_trained_clustered_at10":$cIvfPqTr%.4f,"ann_ivfpq_refined_clustered_at10":$cIvfPqRef%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] recall sidecar failed: $t")

@@ -703,6 +703,45 @@ SELECT id, CAST(frame_idx AS BIGINT) AS frame_idx,
        AS BIGINT) AS n_zero_cross
 FROM f GROUP BY id, frame_idx"""
 
+  /** The closed-form dHash CTE chain shared by [[mmDHash]]/[[mmDHashPairs]]:
+    * mirrors Multimodal.dHash ∘ synthPng — gradient pixel(x,y) =
+    * ((id+x)%256, (id+y)%256, (id+x+y)%256) at w=4+id%13, h=3+id%11,
+    * nearest-neighbor 9×8 downsample (sx = x·w//9, sy = y·h//8), integer
+    * BT.601 luma ×1000, bit y·8+x iff gray(x+1,y) > gray(x,y). Bit 63
+    * contributes the signed value −2⁶³ directly (DuckDB sums BIGINT into
+    * HUGEINT, so the wrap Spark's long OR produces must be spelled out). */
+  private def dHashCtes(table: String, key: String): String =
+    s"""dims AS (SELECT $key AS id, 4 + $key % 13 AS w, 3 + $key % 11 AS h FROM $table),
+g AS (
+  SELECT id, x, y,
+    (299*((id + (x*w)//9) % 256) + 587*((id + (y*h)//8) % 256)
+      + 114*((id + (x*w)//9 + (y*h)//8) % 256)) AS g1,
+    (299*((id + ((x+1)*w)//9) % 256) + 587*((id + (y*h)//8) % 256)
+      + 114*((id + ((x+1)*w)//9 + (y*h)//8) % 256)) AS g2
+  FROM dims, range(0,8) tx(x), range(0,8) ty(y)),
+dh AS (
+  SELECT id, CAST(SUM(CASE WHEN g2 > g1 THEN
+      CASE WHEN y*8+x = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+    ELSE 0 END) AS BIGINT) AS dhash
+  FROM g GROUP BY id)"""
+
+  /** Mirrors Multimodal.dHash over the synth PNG fixture. */
+  def mmDHash(table: String, key: String): String =
+    s"""WITH ${dHashCtes(table, key)}
+SELECT id, dhash FROM dh"""
+
+  /** Mirrors Dedup.hammingPairs64 ∘ Multimodal.dHash: every image pair
+    * within Hamming `maxHamming` of each other's dHash, lid < rid. The
+    * oracle verifies all pairs directly (n² at oracle scale); the engine
+    * side goes through the 4-band pigeonhole join. */
+  def mmDHashPairs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${dHashCtes(table, key)}
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM dh a, dh b
+WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
+
   /** Expected WAV decode (16-bit mono 8 kHz PCM, 100 + id%50 samples,
     * sample i = (id·31 + i·17) % 20001 − 10000) — mirrors
     * decodeWav ∘ synthWav; the sample sum is exact integer arithmetic. */
@@ -818,13 +857,68 @@ SELECT query_id, neighbor_id, rank FROM (
   FROM short s JOIN $table e ON e.$key = s.neighbor_id)
 WHERE rank <= $kNN"""
 
-  /** The shared IVF-PQ CTE chain of [[annPqIvfTopK]]/[[annPqIvfRefinedTopK]]:
-    * cents → assign → residuals → residual codebooks → encode → absolute
-    * reconstruction → probes. */
+  /** Mirrors Similarity.pqTopKIvfIndexed over pqTrainedCodebooks — the
+    * IVF-PQ composition with `trainRounds` Lloyd rounds of per-block k-means
+    * over the corpus residuals between sampling and encoding. Each round is
+    * one (assign → decimal-mean → coalesce) CTE triple per the
+    * [[annTopKIvfKmeansN]] construction (same FLOAT-snap determinism
+    * argument, applied per block — the means' decimal-vs-double discrepancy
+    * is ~2⁻⁵² relative, far inside the float cast's 2⁻²⁴ grid, so both
+    * engines snap to identical codewords each round and equality composes
+    * by induction). */
+  def annPqIvfTrainedTopK(table: String, key: String, vec: String,
+                          queryPred: String, kNN: Int, nCentroids: Int,
+                          nProbe: Int, dim: Int, m: Int, k: Int,
+                          trainRounds: Int): String =
+    s"""WITH ${pqIvfCtes(table, key, vec, queryPred, nCentroids, nProbe, dim, m, k, trainRounds)}
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT p.query_id AS query_id, r.id AS neighbor_id,
+    row_number() OVER (PARTITION BY p.query_id
+      ORDER BY ${l2Expr("p.qv", "r.rv")}, r.id) AS rank
+  FROM probes p JOIN recon_abs r USING (cid)
+  WHERE r.id != p.query_id)
+WHERE rank <= $kNN"""
+
+  /** The shared IVF-PQ CTE chain of [[annPqIvfTopK]]/[[annPqIvfRefinedTopK]]/
+    * [[annPqIvfTrainedTopK]]: cents → assign → residuals → residual
+    * codebooks (md5 sample = cb0, then `trainRounds` per-block Lloyd rounds)
+    * → encode → absolute reconstruction → probes. */
   private def pqIvfCtes(table: String, key: String, vec: String,
                         queryPred: String, nCentroids: Int, nProbe: Int,
-                        dim: Int, m: Int, k: Int): String = {
+                        dim: Int, m: Int, k: Int,
+                        trainRounds: Int = 0): String = {
     val bd = dim / m
+    // per-block Lloyd rounds over the corpus residual slices (mirrors
+    // Similarity.pqTrainedCodebooks): blocks explode once, each round
+    // assigns by (L2², code) argmin against the previous codebooks and
+    // recomputes per-element means — decimal-exact sum, FLOAT snap, back to
+    // DOUBLE — with empty cells keeping their previous codeword
+    val trainCtes =
+      if (trainRounds == 0) ""
+      else s"""blocks AS (
+  SELECT r.id AS id, CAST(j AS INT) AS j, r.rv[j*$bd+1 : j*$bd+$bd] AS bv
+  FROM resid r, range(0, $m) t(j)),
+""" + (0 until trainRounds).map { r =>
+        s"""tassign$r AS (
+  SELECT j, code, bv FROM (
+    SELECT b.j AS j, c.code AS code, b.bv AS bv,
+      row_number() OVER (PARTITION BY b.id, b.j
+        ORDER BY ${l2Expr("b.bv", "c.cvec")}, c.code) AS rn
+    FROM blocks b JOIN cb$r c ON c.j = b.j)
+  WHERE rn = 1),
+tmeans$r AS (
+  SELECT j, code, list(mx ORDER BY e) AS mvec FROM (
+    SELECT j, code, ee AS e,
+      CAST(CAST(CAST(SUM(CAST(bv[ee] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*)
+        AS FLOAT) AS DOUBLE) AS mx
+    FROM tassign$r, generate_series(1, $bd) t(ee)
+    GROUP BY j, code, ee)
+  GROUP BY j, code),
+cb${r + 1} AS (
+  SELECT c.j AS j, c.code AS code, coalesce(m.mvec, c.cvec) AS cvec
+  FROM cb$r c LEFT JOIN tmeans$r m USING (j, code)),
+"""
+      }.mkString
     s"""cents AS (
   SELECT $key AS cid, $vec AS cvec FROM $table
   ORDER BY md5(CAST($key AS VARCHAR)), $key LIMIT $nCentroids),
@@ -846,9 +940,11 @@ samp AS (
   SELECT sv, CAST(rn - 1 AS INT) AS code FROM (
     SELECT rv AS sv, row_number() OVER (ORDER BY md5(CAST(id AS VARCHAR)), id) AS rn
     FROM resid) WHERE rn <= $k),
-cb AS (
+cb0 AS (
   SELECT CAST(j AS INT) AS j, code, sv[j*$bd+1 : j*$bd+$bd] AS cvec
   FROM samp, range(0, $m) t(j)),
+${trainCtes}cb AS (
+  SELECT j, code, cvec FROM cb$trainRounds),
 enc AS (
   SELECT id, j, code FROM (
     SELECT r.id AS id, c.j, c.code,
@@ -1002,6 +1098,28 @@ FROM (
   SELECT $key AS id, $vec AS v,
     list_max(list_transform($vec, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
   FROM $table)"""
+
+  /** Mirrors Similarity.topKInt8 ∘ quantizeInt8: full-precision queries
+    * ranked against the DEQUANTIZED int8 corpus (q_j·scale in DOUBLE — round
+    * is half-away-from-zero on both engines, so the whole path is exact). */
+  def annTopKInt8(table: String, key: String, vec: String,
+                  queryPred: String, k: Int): String =
+    s"""WITH deq AS (
+  SELECT id, list_transform(v, x -> CAST(CASE WHEN scale = 0 THEN 0
+      ELSE CAST(round(CAST(x AS DOUBLE) / scale) AS INTEGER) END AS DOUBLE) * scale) AS dv
+  FROM (
+    SELECT $key AS id, $vec AS v,
+      list_max(list_transform($vec, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+    FROM $table)),
+q AS (SELECT $key AS query_id, $vec AS qv FROM $table WHERE $queryPred),
+sims AS (
+  SELECT q.query_id, d.id AS neighbor_id, ${cosExpr("q.qv", "d.dv")} AS sim
+  FROM q, deq d WHERE d.id != q.query_id)
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+  FROM sims)
+WHERE rank <= $k"""
 
   /** Mirrors Similarity.topKIvf: deterministic md5-sampled centroids, nearest-
     * centroid inverted lists, nProbe-list probe with exact re-rank. */

@@ -907,8 +907,16 @@ object Dedup {
   private def simHashBanded(df: DataFrame, key: String, value: String,
                             tokenizer: Tokenizer, family: HashFamily): DataFrame = {
     val tokens = tokenizer.tokenize(Parallelize.ensureMinParallelism(df), key, value)
-    val sigs = simHash64(tokens, family)
-    val bandBits = family.bits / 4
+    banded64(simHash64(tokens, family), family.bits)
+  }
+
+  /** 4-band explosion of any (id, simhash) signature frame — the
+    * signature-agnostic core of [[simHashBanded]], shared with
+    * [[hammingPairs64]] so PERCEPTUAL hashes (dHash over decoded rasters)
+    * ride the same Hamming-band machinery as text SimHash. One row per
+    * (id, band) with that band's bits/4-wide window as `bandval`. */
+  private[graft] def banded64(sigs: DataFrame, bits: Int): DataFrame = {
+    val bandBits = bits / 4
     val bandMask = (1L << bandBits) - 1L
     sigs.select(col("id"), col("simhash"),
         explode(array((0 until 4).map(b => struct(
@@ -916,5 +924,33 @@ object Dedup {
           shiftright(col("simhash"), b * bandBits).bitwiseAND(lit(bandMask)).as("bandval"))): _*)).as("bd"))
       .select(col("id"), col("simhash"),
         col("bd.band").as("band"), col("bd.bandval").as("bandval"))
+  }
+
+  /**
+   * Hamming near-dup pairs over ANY precomputed 64-bit signature column —
+   * the [[simHashPairs]] candidate/verify machinery detached from
+   * tokenization, so signatures that are not token-built (the perceptual
+   * dHash of [[graft.operators.Multimodal.dHash]], an externally computed
+   * fingerprint…) get the same scale shape: 4-band pigeonhole equi-join
+   * (Hamming ≤ 3 ⇒ some 16-bit band identical — never all-pairs),
+   * first-matching-band exactly-once emission, one XOR + bit_count verify.
+   *
+   * Input: `sigs` with a unique `key` column and a long `sigCol`. Output:
+   * (lid, rid, hamming) with lid < rid.
+   */
+  def hammingPairs64(sigs: DataFrame, key: String, sigCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val withBand = banded64(
+      sigs.select(col(key).as("id"), col(sigCol).as("simhash")), 64)
+    val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    withBand.alias("a")
+      .join(withBand.alias("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+        col("a.id") < col("b.id") &&
+        !earlierSimBandMatches(xor, col("a.band"), 16))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"),
+        bit_count(xor).as("hamming"))
+      .where(col("hamming") <= maxHamming)
   }
 }

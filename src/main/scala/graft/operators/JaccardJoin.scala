@@ -263,9 +263,10 @@ object JaccardJoin {
       tokenizer: Tokenizer, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
       saltBuckets: Int = 8, hotTokenDf: Int = 10000,
-      maxSaltBuckets: Int = 64): DataFrame =
+      maxSaltBuckets: Int = 64, passes: Int = 1): DataFrame =
     selfJoinDedupedPrepared(prepareSelfDeduped(table, keyAttr, joinAttr, tokenizer),
-      threshold, lOutPrefix, rOutPrefix, saltBuckets, hotTokenDf, maxSaltBuckets)
+      threshold, lOutPrefix, rOutPrefix, saltBuckets, hotTokenDf, maxSaltBuckets,
+      passes)
 
   /**
    * The threshold-INDEPENDENT state of [[selfJoinDeduped]]'s pipeline:
@@ -326,12 +327,26 @@ object JaccardJoin {
   /** Threshold-dependent tail of [[selfJoinDeduped]] over a shared
     * [[SelfJoinPrep]]: prefix selection, banded/salted candidate generation,
     * verification, record expansion. Output is identical to
-    * [[selfJoinDeduped]] at the same threshold. */
+    * [[selfJoinDeduped]] at the same threshold.
+    *
+    * `passes = P > 1` is the BOUNDED-FOOTPRINT mode for the low-threshold
+    * candidate-explosion regime (t ≤ 0.5), where the candidate join's
+    * shuffle can exceed a node's scratch disk (measured: sf10 t=0.5 needs
+    * ~76 GB shuffle vs 79 GB scratch — a resource wall, not a plan defect):
+    * the PROBING prefix stream partitions by `pmod(xxhash64(id), P)` and the
+    * candidate+verify pipeline runs once per slice, each pass's verified
+    * value pairs materialized to a lineage-cut leaf before the next starts —
+    * so peak in-flight shuffle is ~1/P of the single-pass join, traded for
+    * P re-reads of the (persisted) indexed side. Output is INVARIANT in P:
+    * every candidate pair's probing value lands in exactly one slice, the
+    * per-pair prefix stats aggregate within that slice alone, and
+    * verification is per-pair — spec-pinned (JaccardJoinSpec). */
   def selfJoinDedupedPrepared(
       prep: SelfJoinPrep, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
       saltBuckets: Int = 8, hotTokenDf: Int = 10000,
-      maxSaltBuckets: Int = 64): DataFrame = {
+      maxSaltBuckets: Int = 64, passes: Int = 1): DataFrame = {
+    require(passes >= 1, "passes must be >= 1 (1 = single-pass)")
     // hotTokenDf is a VALUE-level df calibration point: a token at vdf =
     // hotTokenDf (fan-out hotTokenDf² = 1e8 at the defaults) is split
     // saltBuckets ways, and every token's salt width scales with its own
@@ -417,40 +432,59 @@ object JaccardJoin {
       .withColumn("lenkey", lenkey)
       .withColumn("salt", pmod(xxhash64(col("id")), nsalt))
       .alias("L")
-    val R = prbPfx(vtkdf)
-      .withColumn("band",
-        if (threshold >= 1d) col("len")
-        else explode(sequence(
-          bandOf(greatest(floor(col("len") * t), lit(1d))),
-          bandOf(ceil(col("len") / t)))))
-      .withColumn("lenkey", lenkey)
-      .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
-      .alias("R")
-    // The length filter is one-sided, exactly as the reference
-    // (`L.len >= R.len * t`, jaccard_join.py:158). No mirror condition: a pair
-    // with R.len < L.len*t is already rejected by the positional filter —
-    // R.len - R.pos + 1 <= R.len < (L.len+R.len)*t/(1+t) exactly in that
-    // region — and any hand-written mirror would be a DIFFERENT float
-    // expression that could diverge from the record-level pipeline and the
-    // DuckDB oracle at representational boundaries.
-    val candCond =
-      col("L.token") === col("R.token") &&
-      col("L.band") === col("R.band") &&
-      col("L.salt") === col("R.salt") &&
-      col("L.lenkey") <= col("R.lenkey") &&
-      col("L.len") >= col("R.len") * t &&
-      least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
-        ((col("L.len") + col("R.len")) * t / onePlusT)
-    val cand = L.join(R, candCond)
-      .groupBy(col("L.id").as("Lv"), col("R.id").as("Rv"))
-      .agg(max(col("L.pos")).as("LmaxPos"), max(col("R.pos")).as("RmaxPos"),
-        count(lit(1)).as("pfxOverlap"))
-      .alias("c")
-
-    val varr = prep.varr
-    val vm = verifySuffix(cand.toDF(), varr, varr,
-        "Lv", "Rv", "LmaxPos", "RmaxPos", threshold, prep.emitsDistinctTokens)
-      .select(col("Lv").as("lval"), col("Rv").as("rval"))
+    // one candidate+verify slice: `probeSlice` restricts the PROBING side to
+    // a pass's share of the value ids (None = everything, the single-pass
+    // plan unchanged). A value pair's R id decides its slice, so slices
+    // partition the pair space exactly.
+    def vmOfSlice(probeSlice: Option[Column]): DataFrame = {
+      val prb0 = prbPfx(vtkdf)
+      val R = probeSlice.fold(prb0)(prb0.where)
+        .withColumn("band",
+          if (threshold >= 1d) col("len")
+          else explode(sequence(
+            bandOf(greatest(floor(col("len") * t), lit(1d))),
+            bandOf(ceil(col("len") / t)))))
+        .withColumn("lenkey", lenkey)
+        .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
+        .alias("R")
+      // The length filter is one-sided, exactly as the reference
+      // (`L.len >= R.len * t`, jaccard_join.py:158). No mirror condition: a pair
+      // with R.len < L.len*t is already rejected by the positional filter —
+      // R.len - R.pos + 1 <= R.len < (L.len+R.len)*t/(1+t) exactly in that
+      // region — and any hand-written mirror would be a DIFFERENT float
+      // expression that could diverge from the record-level pipeline and the
+      // DuckDB oracle at representational boundaries.
+      val candCond =
+        col("L.token") === col("R.token") &&
+        col("L.band") === col("R.band") &&
+        col("L.salt") === col("R.salt") &&
+        col("L.lenkey") <= col("R.lenkey") &&
+        col("L.len") >= col("R.len") * t &&
+        least(col("L.len") - col("L.pos") + lit(1), col("R.len") - col("R.pos") + lit(1)) >=
+          ((col("L.len") + col("R.len")) * t / onePlusT)
+      val cand = L.join(R, candCond)
+        .groupBy(col("L.id").as("Lv"), col("R.id").as("Rv"))
+        .agg(max(col("L.pos")).as("LmaxPos"), max(col("R.pos")).as("RmaxPos"),
+          count(lit(1)).as("pfxOverlap"))
+        .alias("c")
+      val varr = prep.varr
+      verifySuffix(cand.toDF(), varr, varr,
+          "Lv", "Rv", "LmaxPos", "RmaxPos", threshold, prep.emitsDistinctTokens)
+        .select(col("Lv").as("lval"), col("Rv").as("rval"))
+    }
+    val vm =
+      if (passes == 1) vmOfSlice(None)
+      else (0 until passes).map { p =>
+        // eager lineage cut: the pass's verified pairs (small) materialize
+        // before the next pass plans, so the finished pass's candidate
+        // shuffle becomes collectible — the explicit GC hands it to
+        // ContextCleaner NOW instead of at the next periodic GC, which is
+        // what makes the ~1/P peak-scratch promise hold deterministically
+        val slice = Checkpoints.cut(vmOfSlice(Some(
+          pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+        System.gc()
+        slice
+      }.reduce(_ union _)
 
     expandSelf(prep.table, prep.keyAttr, prep.joinAttr, vals, vtkdf, vm,
       lOutPrefix, rOutPrefix)
@@ -545,11 +579,17 @@ object JaccardJoin {
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
       exactRecall: Boolean = false,
       saltBuckets: Int = 8, hotTokenDf: Long = 100000000L,
-      maxSaltBuckets: Int = 64): DataFrame = {
+      maxSaltBuckets: Int = 64, passes: Int = 1): DataFrame = {
     // hotTokenDf compares against df = l_df * r_df, which IS the token's
-    // candidate fan-out: the 1e8 default matches selfJoinDeduped's bound
+    // candidate fan-out: the 1e8 default matches selfJoinDeduped's bound.
+    // passes = P > 1 is the bounded-footprint mode (see
+    // selfJoinDedupedPrepared): the probing side partitions by
+    // pmod(xxhash64(id), P), candidate+verify runs per slice with an eager
+    // lineage cut between passes — ~1/P peak shuffle, P re-reads of the
+    // persisted indexing prefix, output invariant in P (spec-pinned).
     require(saltBuckets >= 1, "saltBuckets must be >= 1 (1 disables salting)")
     require(maxSaltBuckets >= saltBuckets, "maxSaltBuckets must be >= saltBuckets")
+    require(passes >= 1, "passes must be >= 1 (1 = single-pass)")
     val t = lit(threshold)
     val onePlusT = lit(1d + threshold)
 
@@ -621,33 +661,47 @@ object JaccardJoin {
     val rPfx = (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf))
       .withColumn("salt", pmod(xxhash64(col("id")), nsalt))
       .alias("Rpfx")
-    val sPfx = probingPrefix(prbTkdf)
-      .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
-      .alias("Spfx")
+    val idxArr = posArrays(idxTkdf)
+    val prbArr = posArrays(prbTkdf)
+    // one candidate+verify slice over a probing-side share (None = all)
+    def vmOfSlice(probeSlice: Option[Column]): DataFrame = {
+      val prb0 = probingPrefix(prbTkdf)
+      val sPfx = probeSlice.fold(prb0)(prb0.where)
+        .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
+        .alias("Spfx")
 
-    // J13: candidates, two-sided length filter (jaccard_join.py:364-384)
-    val candCond =
-      col("Rpfx.token") === col("Spfx.token") &&
-      col("Rpfx.salt") === col("Spfx.salt") &&
-      col("Rpfx.len") >= col("Spfx.len") * t &&
-      col("Spfx.len") >= col("Rpfx.len") * t &&
-      least(col("Rpfx.len") - col("Rpfx.pos") + lit(1), col("Spfx.len") - col("Spfx.pos") + lit(1)) >=
-        ((col("Rpfx.len") + col("Spfx.len")) * t / onePlusT)
+      // J13: candidates, two-sided length filter (jaccard_join.py:364-384)
+      val candCond =
+        col("Rpfx.token") === col("Spfx.token") &&
+        col("Rpfx.salt") === col("Spfx.salt") &&
+        col("Rpfx.len") >= col("Spfx.len") * t &&
+        col("Spfx.len") >= col("Rpfx.len") * t &&
+        least(col("Rpfx.len") - col("Rpfx.pos") + lit(1), col("Spfx.len") - col("Spfx.pos") + lit(1)) >=
+          ((col("Rpfx.len") + col("Spfx.len")) * t / onePlusT)
 
-    val cand = rPfx.join(sPfx, candCond)
-      .groupBy(col("Rpfx.id").as("Rid"), col("Spfx.id").as("Sid"))
-      .agg(
-        max(col("Rpfx.pos")).as("RmaxPos"),
-        max(col("Spfx.pos")).as("SmaxPos"),
-        count(lit(1)).as("pfxOverlap"))
-      .alias("c")
+      val cand = rPfx.join(sPfx, candCond)
+        .groupBy(col("Rpfx.id").as("Rid"), col("Spfx.id").as("Sid"))
+        .agg(
+          max(col("Rpfx.pos")).as("RmaxPos"),
+          max(col("Spfx.pos")).as("SmaxPos"),
+          count(lit(1)).as("pfxOverlap"))
+        .alias("c")
 
-    // J14: verification (jaccard_join.py:386-405), array form — see verifySuffix
-    verifySuffix(cand.toDF(), posArrays(idxTkdf), posArrays(prbTkdf),
+      // J14: verification (jaccard_join.py:386-405), array form — see verifySuffix
+      verifySuffix(cand.toDF(), idxArr, prbArr,
         "Rid", "Sid", "RmaxPos", "SmaxPos", threshold, tokenizer.emitsDistinctTokens)
-      .select(
-        col("Rid").as(idxPrefixName + lKey),
-        col("Sid").as(prbPrefixName + rKey))
+    }
+    val vm =
+      if (passes == 1) vmOfSlice(None)
+      else (0 until passes).map { p =>
+        val slice = Checkpoints.cut(vmOfSlice(Some(
+          pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+        System.gc() // release the finished pass's shuffle files now
+        slice
+      }.reduce(_ union _)
+    vm.select(
+      col("Rid").as(idxPrefixName + lKey),
+      col("Sid").as(prbPrefixName + rKey))
   }
 
   /** J15 (R×S): brute-force oracle (reference jaccard_join.py:407-420). */

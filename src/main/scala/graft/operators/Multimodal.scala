@@ -22,6 +22,9 @@ final case class FrameDecoded(id: Long, frame_idx: Long, width: Long, height: Lo
 /** A resized image re-encoded as PNG — real pixels, decodable downstream. */
 final case class ResizedImage(id: Long, width: Long, height: Long, payload: Array[Byte])
 
+/** A 64-bit perceptual difference hash (dHash) of a decoded raster. */
+final case class DHashed(id: Long, dhash: Long)
+
 /** Decoded PCM audio: container header fields + the exact sample sum. */
 final case class WavDecoded(id: Long, sample_rate: Long, channels: Long, bits: Long,
                             n_frames: Long, sample_sum: Long)
@@ -303,6 +306,55 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => None }
     }(Encoders.product[ResizedImage])
   }
+
+  /**
+   * 64-bit perceptual DIFFERENCE HASH (dHash) of each image payload — the
+   * standard cheap image near-dup signature: decode, downsample the raster
+   * to a 9×8 grayscale grid by nearest neighbor (the one bit-deterministic,
+   * SQL-recomputable kernel — the [[resizeImage]] rule), and set bit
+   * `y·8 + x` iff gray(x+1, y) > gray(x, y). Gray is the integer BT.601
+   * luma `299·r + 587·g + 114·b` (×1000, no division — exact in both
+   * engines). Visually similar images differ in few bits, so near-dup pairs
+   * come from Hamming banding over this hash
+   * ([[graft.operators.Dedup.hammingPairs64]]) — wiring the multimodal
+   * decode path into the same dedup lifecycle as the text families.
+   * Undecodable payloads are dropped (countable via [[decodeImage]]).
+   *
+   * Deterministic pixel math end to end, so on the synth gradient fixture
+   * the hash is oracle-recomputable in closed form from the id alone
+   * (`mm_dhash_docs` hash-verifies it, the mm_decode witness style).
+   */
+  def dHash(df: DataFrame, key: String,
+            payloadCol: String = "payload"): Dataset[DHashed] =
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      try {
+        val src = ImageIO.read(new ByteArrayInputStream(bytes))
+        if (src == null) None
+        else {
+          val w = src.getWidth
+          val h = src.getHeight
+          var hash = 0L
+          var y = 0
+          while (y < 8) {
+            val sy = y * h / 8
+            var gPrev = 0L
+            var x = 0
+            while (x < 9) {
+              val p = src.getRGB(x * w / 9, sy)
+              val g = 299L * ((p >> 16) & 255) + 587L * ((p >> 8) & 255) +
+                114L * (p & 255)
+              if (x > 0 && g > gPrev) hash |= 1L << (y * 8 + (x - 1))
+              gPrev = g
+              x += 1
+            }
+            y += 1
+          }
+          Some(DHashed(id, hash))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }(Encoders.product[DHashed])
 
   /**
    * REAL audio decode via `javax.sound.sampled`: parse the WAV container

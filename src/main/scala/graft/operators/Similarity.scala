@@ -914,6 +914,34 @@ object Similarity {
         abs(xd(x) - qElem(x).cast("double") * col("scale")))).as("max_abs_err"))
   }
 
+  /**
+   * Exact top-k cosine neighbors over the INT8-QUANTIZED corpus — the
+   * consumer of [[quantizeInt8]] that realizes its 4× bandwidth win: the
+   * corpus side scans (scale, qvec) — ~dim bytes + 8 per row once stored as
+   * bytes, vs dim·4 for the float vectors — dequantizes per row in flight
+   * (`q_j · scale`, double), and ranks by cosine against the FULL-PRECISION
+   * query vectors through the bounded [[rankTopKAsc]] aggregate. Scoring in
+   * the dequantized domain keeps the whole path deterministic and
+   * SQL-expressible (round is half-away-from-zero on both engines), so the
+   * ranking is oracle-hash-verified end to end; the recall cost of
+   * quantization is priced against [[topKExact]] in the bench sidecar.
+   *
+   * `quantized` is [[quantizeInt8]] output — (id, scale, qvec) — typically
+   * read back from a stored table; pass `quantizeInt8(corpus, …)` for the
+   * in-plan form. Output: (query_id, neighbor_id, rank), rank 1..k by
+   * dequantized cosine desc, ties by id.
+   */
+  def topKInt8(quantized: DataFrame, queries: DataFrame, key: String,
+               vec: String, k: Int): DataFrame = {
+    val deq = quantized.select(col("id").as("neighbor_id"),
+      transform(col("qvec"), q => q.cast("double") * col("scale")).as("dv"))
+    val q = broadcast(queries.select(col(key).as("query_id"), col(vec).as("qv")))
+    val scored = q.join(deq, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        negate(cosine(col("qv"), col("dv"))).as("dist"))
+    rankTopKAsc(scored, k)
+  }
+
   /** Exact embedding near-duplicate pairs: all-pairs cosine ≥ the threshold;
     * (lid, rid, sim) with lid < rid. O(n²) BY DESIGN — the oracle/baseline for
     * [[nearDuplicates]]; use the LSH variant at scale.

@@ -77,6 +77,27 @@ class JaccardJoinSpec extends SparkSpec {
     assert(unorderedPairSet(rsPlain).nonEmpty)
   }
 
+  test("bounded-footprint passes are output-invariant (self + R×S), multiplicity included") {
+    // passes=P partitions the PROBING side by pmod(xxhash64(id), P): every
+    // candidate pair's probe id lands in exactly one slice, so the union of
+    // the per-pass verified pairs is the single-pass result exactly — the
+    // low-threshold regime (t=0.3) is the one the mode exists for
+    val df = randomTable(33, 40).toDF("id", "val")
+    val single = JaccardJoin.selfJoinDeduped(df, "id", "val", ws, 0.3)
+    val multi = JaccardJoin.selfJoinDeduped(df, "id", "val", ws, 0.3, passes = 3)
+    assert(multi.count() === single.count(), "pass slices overlapped or dropped pairs")
+    assert(unorderedPairSet(multi) === unorderedPairSet(single))
+    assert(unorderedPairSet(single).nonEmpty)
+
+    val right = randomTable(34, 30).toDF("id", "val")
+    val rsSingle = JaccardJoin.rsJoin(df, "id", "val", right, "id", "val", ws, 0.3)
+    val rsMulti = JaccardJoin.rsJoin(df, "id", "val", right, "id", "val", ws, 0.3,
+      passes = 4)
+    assert(rsMulti.count() === rsSingle.count())
+    assert(unorderedPairSet(rsMulti) === unorderedPairSet(rsSingle))
+    assert(unorderedPairSet(rsSingle).nonEmpty)
+  }
+
   for (t <- Seq(0.3, 0.5); q <- Seq(2, 3)) {
     test(s"differential self-join qgrams($q) t=$t") {
       val df = randomTable(91, 30).toDF("id", "val")

@@ -76,6 +76,46 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dHash: matches the closed-form gradient reference; corrupt payloads drop") {
+    // plain-Scala reference of decode -> 9x8 nearest-neighbor gray -> dHash
+    def refDHash(id: Long): Long = {
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      def gray(x: Int, y: Int): Long = {
+        val (r, g, b) = grad(id, x * w / 9, y * h / 8)
+        299L * r + 587L * g + 114L * b
+      }
+      (for (y <- 0 until 8; x <- 0 until 8 if gray(x + 1, y) > gray(x, y))
+        yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+    }
+    val out = Multimodal.dHash(Multimodal.synthPng(ids, "id").toDF(), "id")
+      .collect().map(d => d.id -> d.dhash).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L))
+      assert(out(id) === refDHash(id), s"dhash for id=$id")
+    // corrupt bytes: dropped, not failed
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(Multimodal.dHash(junk, "id").count() === 0)
+  }
+
+  test("dHash near-dup: banded pairs == brute-force hamming pairs (pigeonhole recall)") {
+    // distinct-looking ids still collapse to few gradient classes — exactly
+    // the near-dup signal; the 4-band join must find every pair at <= 3 that
+    // an all-pairs scan finds, no more, no fewer (multiplicity included)
+    val many = (0L until 80L).toDF("id")
+    val hashes = Multimodal.dHash(Multimodal.synthPng(many, "id").toDF(), "id")
+      .collect().map(d => d.id -> d.dhash).toMap
+    val expect = (for {
+      l <- hashes.keys; r <- hashes.keys if l < r
+      hd = java.lang.Long.bitCount(hashes(l) ^ hashes(r)) if hd <= 3
+    } yield (l, r, hd.toLong)).toSet
+    val got = Dedup.hammingPairs64(
+        Multimodal.dHash(Multimodal.synthPng(many, "id").toDF(), "id").toDF(),
+        "id", "dhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(got.length === got.toSet.size, "duplicate pair emissions")
+    assert(got.toSet === expect)
+  }
+
   test("synthGif -> decodeFrames: frame count and exact solid colors") {
     val out = Multimodal.decodeFrames(Multimodal.synthGif(ids, "id").toDF(), "id")
       .collect().groupBy(_.id)
