@@ -644,6 +644,35 @@ SELECT id, CAST(k AS BIGINT) AS chunk_idx,
 FROM (SELECT id, ss, unnest(generate_series(0, nwin - 1)) AS k FROM wins)"""
   }
 
+  /** Mirrors Bpe.chunkBpeBytes with ZERO merges: every token is one byte and
+    * the GPT-2 pattern partitions the text, so window k is exactly the
+    * document's UTF-8 byte slice [k·stride, k·stride+maxTokens) — sliced on
+    * the HEX encoding (2 chars per byte; DuckDB 1.0 has no blob substring),
+    * which also sidesteps mid-code-point cuts: the payload is bytes-as-hex
+    * on both engines. Only the learned merge application stays rows-only
+    * (and would anyway: the pattern's `\\s+(?!\\S)` lookahead is not
+    * RE2-expressible, so DuckDB cannot replay the pre-tokenizer itself —
+    * the zero-merges form is oracle-able precisely because the slice
+    * boundaries don't depend on pre-token boundaries). */
+  def bpeByteChunk0(table: String, key: String, text: String,
+                    maxTokens: Int, overlap: Int): String = {
+    val stride = maxTokens - overlap
+    s"""WITH b AS (
+  SELECT $key AS id, lower(hex(encode($text))) AS hx,
+         octet_length(encode($text)) AS n
+  FROM $table WHERE $text IS NOT NULL),
+wins AS (
+  SELECT id, hx, n,
+    CASE WHEN n <= $maxTokens THEN 1
+         ELSE 1 + CAST(ceil((n - $maxTokens) / CAST($stride AS DOUBLE)) AS BIGINT)
+    END AS nwin
+  FROM b WHERE n >= 1)
+SELECT id, CAST(k AS BIGINT) AS chunk_idx,
+  CAST(length(substring(hx, k*$stride*2+1, ${2 * maxTokens})) // 2 AS BIGINT) AS n_tokens,
+  substring(hx, k*$stride*2+1, ${2 * maxTokens}) AS chunk_hex
+FROM (SELECT id, hx, unnest(generate_series(0, nwin - 1)) AS k FROM wins)"""
+  }
+
   /** The synthetic-PNG gradient pixel as SQL printf channels: the EXPECTED
     * output of Multimodal.decodeImage over Multimodal.synthPng, recomputed
     * in closed form from the id — the Spark side must round-trip real PNG

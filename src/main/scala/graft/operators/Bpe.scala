@@ -16,6 +16,11 @@ final case class BpeDocCount(id: Long, n_tokens: Long)
 /** One decoded BPE context window. */
 final case class BpeChunk(id: Long, chunk_idx: Long, n_tokens: Long, chunk_text: String)
 
+/** One byte-level context window: token count + the window's raw bytes as
+  * lowercase hex (byte windows can split a UTF-8 code point — see
+  * [[Bpe.chunkBpeBytes]]). */
+final case class BpeByteChunk(id: Long, chunk_idx: Long, n_tokens: Long, chunk_hex: String)
+
 /**
  * Byte-pair-encoding subword tokenizer (Sennrich et al. 2016, "Neural Machine
  * Translation of Rare Words with Subword Units" — the merges format GPT-2
@@ -384,6 +389,61 @@ object Bpe {
         BpeDocCount(r.getLong(0), n)
       }
     }(Encoders.product[BpeDocCount]).toDF()
+  }
+
+  /** Inverse of [[byteToChar]]: stand-in character → raw byte. */
+  private[graft] val charToByte: Map[Char, Byte] =
+    byteToChar.zipWithIndex.map { case (c, b) => c -> b.toByte }.toMap
+
+  /**
+   * BYTE-level context-window chunking — [[chunkBpe]]'s twin over the GPT-2
+   * byte alphabet, so `maxTokens` prices windows in real model-family
+   * tokens: per document, the [[tokensBytes]] token sequence slides in
+   * (maxTokens − overlap)-strided windows, and each window's tokens decode
+   * back to their RAW BYTES, emitted as lowercase hex. Bytes, not text,
+   * deliberately: a byte window can split a UTF-8 code point, so a decoded
+   * string would need a lossy replacement-char policy — the hex payload is
+   * exact and the consumer picks its own decode leniency. Zero-shuffle
+   * mapPartitions, per-partition rank map (the [[chunkBpe]] shape).
+   *
+   * With ZERO merges every token is one byte and the pre-tokenization
+   * pattern partitions the text, so window k is exactly the document's
+   * UTF-8 byte slice [k·stride, k·stride+maxTokens) — SQL-expressible
+   * (hex-string slicing), which is what hash-checks the whole byte-chunk
+   * machinery (`bpe_byte_chunk0_docs`); the learned-merge form stays
+   * rows-only like its word-mode sibling.
+   *
+   * Output: (id, chunk_idx, n_tokens, chunk_hex).
+   */
+  def chunkBpeBytes(df: DataFrame, key: String, text: String,
+                    merges: Seq[(String, String)], maxTokens: Int,
+                    overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val stride = maxTokens - overlap
+    val m = merges.toArray
+    df.select(col(key).cast("long"), col(text)).mapPartitions { it =>
+      val ranks = m.iterator.zipWithIndex.toMap
+      it.flatMap { r =>
+        val t = if (r.isNullAt(1)) null else r.getString(1)
+        val toks = preTokenize(t).iterator
+          .flatMap(p => encodeSyms(byteSymbols(p), ranks)).toVector
+        val n = toks.length
+        if (n == 0) Seq.empty[BpeByteChunk]
+        else {
+          val nWin = if (n <= maxTokens) 1
+                     else 1 + math.ceil((n - maxTokens).toDouble / stride).toInt
+          (0 until nWin).map { w =>
+            val win = toks.slice(w * stride, w * stride + maxTokens)
+            val sb = new java.lang.StringBuilder(win.map(_.length).sum * 2)
+            win.foreach(_.foreach(c =>
+              sb.append(f"${charToByte(c) & 0xff}%02x")))
+            BpeByteChunk(r.getLong(0), w.toLong, win.length.toLong, sb.toString)
+          }
+        }
+      }
+    }(Encoders.product[BpeByteChunk]).toDF()
   }
 
   def chunkBpe(df: DataFrame, key: String, text: String,

@@ -428,24 +428,37 @@ object JaccardJoin {
       else least(lit(maxSaltBuckets.toLong),
         ceil(lit(saltBuckets.toDouble)
           * pow(col("vdf").cast("double") / lit(hotTokenDf.toDouble), 2d)))
-    val L = idxPfx(vtkdf).withColumn("band", bandOf(col("len")))
+    val L0 = idxPfx(vtkdf).withColumn("band", bandOf(col("len")))
       .withColumn("lenkey", lenkey)
       .withColumn("salt", pmod(xxhash64(col("id")), nsalt))
-      .alias("L")
     // one candidate+verify slice: `probeSlice` restricts the PROBING side to
     // a pass's share of the value ids (None = everything, the single-pass
     // plan unchanged). A value pair's R id decides its slice, so slices
     // partition the pair space exactly.
+    //
+    // Multi-pass slices pin the candidate join's parallelism with an
+    // explicit NUMBERED repartition on the join's equi keys (the FuzzyJoin
+    // rule): the sliced probe prefix is small in BYTES but huge in join
+    // FAN-OUT, and AQE coalesces by input bytes — measured at sf10 it folded
+    // each pass's join+partial-agg onto 34 tasks with a 36 GB sort spill PER
+    // PASS, which is exactly the scratch the mode exists to avoid. A
+    // user-numbered repartition forbids the coalesce, and hashing on exactly
+    // the join keys is reused by the join (no second exchange).
+    val nPart = prep.table.sparkSession.sessionState.conf.numShufflePartitions
+    def pinned(d: DataFrame): DataFrame =
+      if (passes == 1) d
+      else d.repartition(nPart, col("token"), col("band"), col("salt"))
+    val L = pinned(L0).alias("L")
     def vmOfSlice(probeSlice: Option[Column]): DataFrame = {
       val prb0 = prbPfx(vtkdf)
-      val R = probeSlice.fold(prb0)(prb0.where)
+      val R = pinned(probeSlice.fold(prb0)(prb0.where)
         .withColumn("band",
           if (threshold >= 1d) col("len")
           else explode(sequence(
             bandOf(greatest(floor(col("len") * t), lit(1d))),
             bandOf(ceil(col("len") / t)))))
         .withColumn("lenkey", lenkey)
-        .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
+        .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L)))))
         .alias("R")
       // The length filter is one-sided, exactly as the reference
       // (`L.len >= R.len * t`, jaccard_join.py:158). No mirror condition: a pair
@@ -658,16 +671,22 @@ object JaccardJoin {
           ceil(lit(saltBuckets.toDouble)
             * col("df").cast("double") / lit(hotTokenDf.toDouble))))
         .otherwise(lit(1L))
-    val rPfx = (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf))
-      .withColumn("salt", pmod(xxhash64(col("id")), nsalt))
+    // multi-pass slices pin join parallelism on the equi keys — the AQE
+    // explode-blind-coalesce defeat, see selfJoinDedupedPrepared
+    val nPart = lTable.sparkSession.sessionState.conf.numShufflePartitions
+    def pinned(d: DataFrame): DataFrame =
+      if (passes == 1) d else d.repartition(nPart, col("token"), col("salt"))
+    val rPfx = pinned(
+        (if (exactRecall) probingPrefix(idxTkdf) else indexingPrefix(idxTkdf))
+          .withColumn("salt", pmod(xxhash64(col("id")), nsalt)))
       .alias("Rpfx")
     val idxArr = posArrays(idxTkdf)
     val prbArr = posArrays(prbTkdf)
     // one candidate+verify slice over a probing-side share (None = all)
     def vmOfSlice(probeSlice: Option[Column]): DataFrame = {
       val prb0 = probingPrefix(prbTkdf)
-      val sPfx = probeSlice.fold(prb0)(prb0.where)
-        .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L))))
+      val sPfx = pinned(probeSlice.fold(prb0)(prb0.where)
+          .withColumn("salt", explode(sequence(lit(0L), nsalt - lit(1L)))))
         .alias("Spfx")
 
       // J13: candidates, two-sided length filter (jaccard_join.py:364-384)

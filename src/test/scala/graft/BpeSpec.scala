@@ -166,6 +166,33 @@ class BpeSpec extends SparkSpec {
     assert(rows.map(_.getString(3)).toSeq === Seq("abcd", "de fg", "gh"))
   }
 
+  test("chunkBpeBytes: zero merges == UTF-8 byte slices, code-point split exact, null drops") {
+    // 'é' is 0xC3 0xA9 — maxTokens 4 / overlap 0 slices MID code point at
+    // byte 4; the hex payload must carry the split bytes exactly
+    val docs = Seq((1L, "abcéd"), (2L, null.asInstanceOf[String])).toDF("id", "text")
+    val rows = Bpe.chunkBpeBytes(docs, "id", "text", Seq.empty, 4, 0)
+      .orderBy("id", "chunk_idx").collect()
+    assert(rows.length === 2) // null doc emits nothing
+    assert(rows.map(_.getLong(1)).toSeq === Seq(0L, 1L))
+    assert(rows.map(_.getLong(2)).toSeq === Seq(4L, 2L))
+    assert(rows.map(_.getString(3)).toSeq === Seq("616263c3", "a964"))
+  }
+
+  test("chunkBpeBytes with learned merges: windows cover the byte stream exactly once at overlap 0") {
+    val docs = Seq((1L, "the theme of the theory is the thing")).toDF("id", "text")
+    val merges = Bpe.learnBytes(docs, "text", numMerges = 8, minPairCount = 1L)
+    assert(merges.nonEmpty)
+    val rows = Bpe.chunkBpeBytes(docs, "id", "text", merges, 5, 0)
+      .orderBy("chunk_idx").collect()
+    // concatenated window bytes == the document's UTF-8 bytes (pre-tokens
+    // partition the text; merges only regroup bytes into tokens)
+    val allHex = rows.map(_.getString(3)).mkString
+    val expectHex = "the theme of the theory is the thing"
+      .getBytes("UTF-8").map(b => f"${b & 0xff}%02x").mkString
+    assert(allHex === expectHex)
+    assert(rows.init.forall(_.getLong(2) === 5L))
+  }
+
   test("chunkBpe window tokens re-encode consistently (coverage, no redundant tail)") {
     val merges = Bpe.learn(corpus, "text", numMerges = 6)
     val docs = Seq((1L, ("newest lowest widest low " * 6).trim)).toDF("id", "text")

@@ -670,6 +670,44 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("repairPqCodes: a crash gap between the two appends heals at stream start") {
+    import graft.sources.Stages
+    def vecOf(c: Int): Array[Float] = {
+      val r = new scala.util.Random(2000 + c)
+      Array.fill(16)(r.nextGaussian().toFloat)
+    }
+    val corpus = (0 until 20).map(i => i.toLong -> vecOf(i)).toDF("vec_id", "embedding")
+    val cents = Similarity.sampleCentroids(corpus, "vec_id", "embedding", 4)
+    val cbs = Similarity.pqResidualCodebooks(corpus, "vec_id", "embedding", cents, 16, 4, 6)
+    try {
+      Stages.writeBucketed(
+        Similarity.ivfIndex(corpus, "vec_id", "embedding", cents), "graft_rp_ivf", "cid", 4)
+      // simulate the crash window: the index admitted ids 0..19 but the codes
+      // append only covered ids < 12 before the "crash"
+      Stages.writeBucketed(
+        Similarity.pqIvfIndex(corpus.where(col("vec_id") < 12), "vec_id", "embedding",
+          cents, cbs, 16, 4),
+        "graft_rp_codes", "cid", 4)
+      Streaming.repairPqCodes(spark, "graft_rp_ivf", "graft_rp_codes", cents, cbs, 16, 4, admitBuckets = 4)
+      val repaired = spark.table("graft_rp_codes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      val full = Similarity.pqIvfIndex(corpus, "vec_id", "embedding", cents, cbs, 16, 4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet
+      assert(repaired === full)
+      // idempotent: a second repair appends nothing
+      Streaming.repairPqCodes(spark, "graft_rp_ivf", "graft_rp_codes", cents, cbs, 16, 4, admitBuckets = 4)
+      assert(spark.table("graft_rp_codes").count() === full.size)
+      // and with NO codes table at all, repair IS the initial build
+      spark.sql("DROP TABLE IF EXISTS graft_rp_codes")
+      Streaming.repairPqCodes(spark, "graft_rp_ivf", "graft_rp_codes", cents, cbs, 16, 4, admitBuckets = 4)
+      assert(spark.table("graft_rp_codes")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getSeq[Int](2))).toSet === full)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_rp_ivf")
+      spark.sql("DROP TABLE IF EXISTS graft_rp_codes")
+    }
+  }
+
   test("ingestDedupSimHash: Hamming-side admission loop across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Stages
