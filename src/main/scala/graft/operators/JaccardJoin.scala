@@ -487,17 +487,27 @@ object JaccardJoin {
     }
     val vm =
       if (passes == 1) vmOfSlice(None)
-      else (0 until passes).map { p =>
-        // eager lineage cut: the pass's verified pairs (small) materialize
-        // before the next pass plans, so the finished pass's candidate
-        // shuffle becomes collectible — the explicit GC hands it to
-        // ContextCleaner NOW instead of at the next periodic GC, which is
-        // what makes the ~1/P peak-scratch promise hold deterministically
-        val slice = Checkpoints.cut(vmOfSlice(Some(
-          pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
-        System.gc()
-        slice
-      }.reduce(_ union _)
+      else {
+        // materialize the shared persisted frames BEFORE the first shuffle
+        // snapshot, so their build shuffles are never in a pass's removal
+        // set (the janitor's cross-pass-reuse precondition)
+        val sc = prep.table.sparkSession.sparkContext
+        vals.count(); vtkdf.count(); prep.varr.count()
+        (0 until passes).map { p =>
+          // eager lineage cut, then DETERMINISTIC reclamation of exactly the
+          // shuffles this pass created (GraftShuffleJanitor): the pass's only
+          // consumer — its own checkpoint — has completed, so the ~22 GB/pass
+          // candidate shuffle frees BEFORE the next pass writes. GC-hint
+          // cleanup was measured too lazy at sf10 (5-7 GB retained per pass
+          // → scratch death the mode exists to prevent).
+          val before = org.apache.spark.GraftShuffleJanitor.shuffleIds(sc)
+          val slice = Checkpoints.cut(vmOfSlice(Some(
+            pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+          org.apache.spark.GraftShuffleJanitor.remove(sc,
+            org.apache.spark.GraftShuffleJanitor.shuffleIds(sc) -- before)
+          slice
+        }.reduce(_ union _)
+      }
 
     expandSelf(prep.table, prep.keyAttr, prep.joinAttr, vals, vtkdf, vm,
       lOutPrefix, rOutPrefix)
@@ -712,12 +722,21 @@ object JaccardJoin {
     }
     val vm =
       if (passes == 1) vmOfSlice(None)
-      else (0 until passes).map { p =>
-        val slice = Checkpoints.cut(vmOfSlice(Some(
-          pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
-        System.gc() // release the finished pass's shuffle files now
-        slice
-      }.reduce(_ union _)
+      else {
+        // see selfJoinDedupedPrepared: materialize shared persisted frames
+        // before the first snapshot, then reclaim each pass's shuffles
+        // deterministically once its checkpoint lands
+        val sc = lTable.sparkSession.sparkContext
+        dfreq.count(); lTkdf.count(); rTkdf.count()
+        (0 until passes).map { p =>
+          val before = org.apache.spark.GraftShuffleJanitor.shuffleIds(sc)
+          val slice = Checkpoints.cut(vmOfSlice(Some(
+            pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+          org.apache.spark.GraftShuffleJanitor.remove(sc,
+            org.apache.spark.GraftShuffleJanitor.shuffleIds(sc) -- before)
+          slice
+        }.reduce(_ union _)
+      }
     vm.select(
       col("Rid").as(idxPrefixName + lKey),
       col("Sid").as(prbPrefixName + rKey))
