@@ -5,7 +5,8 @@ import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, RowOrdering, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
@@ -128,6 +129,19 @@ case class DistTopK(dist: Expression, id: Expression, k: Int,
     }
     buf
   }
+
+  /** Fail at ANALYSIS for key types with no total order (MapType, …): the
+    * interpreted ordering is otherwise first requested lazily inside a task,
+    * surfacing as an opaque executor-side error instead of a plan-time one. */
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (dist.dataType != DoubleType)
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a DOUBLE dist, got ${dist.dataType.catalogString}")
+    else if (!RowOrdering.isOrderable(idType))
+      TypeCheckResult.TypeCheckFailure(
+        s"$prettyName ranks (dist, id) under a total order; id type " +
+          s"${idType.catalogString} is not orderable")
+    else TypeCheckResult.TypeCheckSuccess
 
   override def dataType: DataType = ArrayType(
     StructType(Seq(StructField("dist", DoubleType, nullable = false),

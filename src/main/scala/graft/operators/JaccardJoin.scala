@@ -495,16 +495,19 @@ object JaccardJoin {
         vals.count(); vtkdf.count(); prep.varr.count()
         (0 until passes).map { p =>
           // eager lineage cut, then DETERMINISTIC reclamation of exactly the
-          // shuffles this pass created (GraftShuffleJanitor): the pass's only
-          // consumer — its own checkpoint — has completed, so the ~22 GB/pass
-          // candidate shuffle frees BEFORE the next pass writes. GC-hint
-          // cleanup was measured too lazy at sf10 (5-7 GB retained per pass
-          // → scratch death the mode exists to prevent).
-          val before = org.apache.spark.GraftShuffleJanitor.shuffleIds(sc)
-          val slice = Checkpoints.cut(vmOfSlice(Some(
-            pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
-          org.apache.spark.GraftShuffleJanitor.remove(sc,
-            org.apache.spark.GraftShuffleJanitor.shuffleIds(sc) -- before)
+          // shuffles this pass's own stages wrote (GraftShuffleJanitor
+          // job-group scoping — a concurrent job's shuffles are untouchable
+          // by construction): the pass's only consumer — its own checkpoint —
+          // has completed, so the ~22 GB/pass candidate shuffle frees BEFORE
+          // the next pass writes. GC-hint cleanup was measured too lazy at
+          // sf10 (5-7 GB retained per pass → scratch death the mode exists
+          // to prevent).
+          val (slice, passShuffles) =
+            org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-self-pass-$p") {
+              Checkpoints.cut(vmOfSlice(Some(
+                pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+            }
+          org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
           slice
         }.reduce(_ union _)
       }
@@ -729,11 +732,12 @@ object JaccardJoin {
         val sc = lTable.sparkSession.sparkContext
         dfreq.count(); lTkdf.count(); rTkdf.count()
         (0 until passes).map { p =>
-          val before = org.apache.spark.GraftShuffleJanitor.shuffleIds(sc)
-          val slice = Checkpoints.cut(vmOfSlice(Some(
-            pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
-          org.apache.spark.GraftShuffleJanitor.remove(sc,
-            org.apache.spark.GraftShuffleJanitor.shuffleIds(sc) -- before)
+          val (slice, passShuffles) =
+            org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-rs-pass-$p") {
+              Checkpoints.cut(vmOfSlice(Some(
+                pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+            }
+          org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
           slice
         }.reduce(_ union _)
       }

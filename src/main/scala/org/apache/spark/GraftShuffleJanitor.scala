@@ -1,5 +1,11 @@
 package org.apache.spark
 
+import java.util.concurrent.ConcurrentHashMap
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageSubmitted}
+
 /**
  * Deterministic shuffle-file reclamation for multi-pass operators
  * ([[graft.operators.JaccardJoin]]'s bounded-footprint `passes` mode).
@@ -12,24 +18,35 @@ package org.apache.spark
  * pass's ~22 GB candidate shuffle lingered (~5-7 GB retained growth per
  * pass) and the join died on scratch disk that the mode exists to bound.
  *
- * This janitor makes the reclamation explicit: snapshot the registered
- * shuffle ids before a pass, and after the pass's results are materialized
- * to a lineage-cut leaf, remove exactly the shuffles the pass created —
- * blocking, so the disk is free BEFORE the next pass plans. Safety argument
- * is the same as the GC path's: a pass's shuffles have exactly one consumer
- * (the pass's own eager checkpoint), which has completed, and the
- * checkpoint leaf never re-reads them. Re-executions in later passes create
- * FRESH shuffle ids (each action instantiates new exchanges), so removed
- * ids can never be requested again; the one cross-pass reuse — persisted
- * frames — must be materialized BEFORE the first snapshot (the callers do),
- * so their build shuffles are never in a removed set. Even a worst-case
- * cache-evicted recompute that touches a removed shuffle degrades to
- * Spark's standard FetchFailed → parent-stage resubmission, not wrong
- * results.
+ * This janitor makes the reclamation explicit AND scoped: [[runScoped]] runs
+ * a pass's planning+action under a dedicated job group and records, through a
+ * SparkListener, the shuffle ids its OWN submitted stages wrote. Removing
+ * exactly that set — blocking, once the pass's results are materialized to a
+ * lineage-cut leaf — frees the disk BEFORE the next pass plans, and touches
+ * nothing a CONCURRENT job on the shared session registered in the same
+ * window (the round-12 form diffed the tracker's global id set around the
+ * pass, which would have force-removed a concurrent streaming micro-batch's
+ * in-flight shuffle — FetchFailed churn at best). Stage-submitted events
+ * also exclude SKIPPED stages by construction, so a shuffle REUSED from the
+ * callers' persisted frames can never enter a removal set.
  *
- * Lives in `org.apache.spark` because MapOutputTrackerMaster and the
- * shuffle-driver components are `private[spark]` — the same adapter
- * technique as [[org.apache.spark.sql.GraftExpressionBridge]].
+ * Safety argument for the removed set itself: a pass's shuffles have exactly
+ * one consumer — the pass's own eager checkpoint, which has completed and
+ * whose leaf never re-reads them; later passes' re-executions instantiate
+ * fresh exchanges (new shuffle ids), so a removed id is never requested
+ * again. The availability caveat is the checkpoint's, not the janitor's: the
+ * default lineage cut is `localCheckpoint`, whose truncated lineage cannot
+ * recompute — on a real cluster, losing an executor holding a pass's
+ * checkpoint blocks after its shuffles are removed FAILS THE JOB (there is
+ * no FetchFailed fallback through a truncated lineage). Single-JVM local
+ * mode has no partial executor loss, so the trade is free there; on a
+ * multi-executor cluster set `spark.graft.checkpoint.reliable=true` (see
+ * [[graft.operators.Checkpoints]]) whenever `passes > 1`, making each pass
+ * leaf durable before its shuffles are reclaimed.
+ *
+ * Lives in `org.apache.spark` because MapOutputTrackerMaster, the
+ * shuffle-driver components, and `listenerBus` are `private[spark]` — the
+ * same adapter technique as [[org.apache.spark.sql.GraftExpressionBridge]].
  */
 object GraftShuffleJanitor {
 
@@ -39,13 +56,56 @@ object GraftShuffleJanitor {
     case _ => Set.empty // executor-side tracker: not a driver, nothing to do
   }
 
-  /** Blocking removal of the given shuffles' map outputs and files. */
+  /**
+   * Run `body` (a pass's plan construction + materializing action) under the
+   * dedicated job group `tag`, returning its result together with the ids of
+   * every shuffle the pass's own submitted stages wrote.
+   *
+   * Scoping mechanics: stage-submitted events carry the submitting job's
+   * local properties, so filtering on the job-group id attributes each stage
+   * to the pass that ran it even when AQE materializes stages from its
+   * thread pool (`SQLExecution.withThreadLocalCaptured` propagates the
+   * properties). The listener bus is drained (`waitUntilEmpty`) before the
+   * set is read, so an event still in flight when the action returns cannot
+   * leak a pass shuffle out of its own removal set. Any enclosing job
+   * group/description is restored on exit.
+   */
+  def runScoped[T](sc: SparkContext, tag: String)(body: => T): (T, Set[Int]) = {
+    val ids = ConcurrentHashMap.newKeySet[Int]()
+    val listener = new SparkListener {
+      override def onStageSubmitted(ev: SparkListenerStageSubmitted): Unit = {
+        val group = Option(ev.properties)
+          .map(_.getProperty(SparkContext.SPARK_JOB_GROUP_ID)).orNull
+        if (group == tag) ev.stageInfo.shuffleDepId.foreach(ids.add)
+      }
+    }
+    val prevGroup = sc.getLocalProperty(SparkContext.SPARK_JOB_GROUP_ID)
+    val prevDesc = sc.getLocalProperty(SparkContext.SPARK_JOB_DESCRIPTION)
+    val prevCancel = sc.getLocalProperty(SparkContext.SPARK_JOB_INTERRUPT_ON_CANCEL)
+    sc.addSparkListener(listener)
+    try {
+      sc.setJobGroup(tag, s"graft bounded-footprint pass [$tag]",
+        interruptOnCancel = false)
+      val result = body
+      // listener events are posted asynchronously; drain before snapshotting
+      sc.listenerBus.waitUntilEmpty(60000L)
+      (result, ids.asScala.toSet)
+    } finally {
+      sc.removeSparkListener(listener)
+      sc.setLocalProperty(SparkContext.SPARK_JOB_GROUP_ID, prevGroup)
+      sc.setLocalProperty(SparkContext.SPARK_JOB_DESCRIPTION, prevDesc)
+      sc.setLocalProperty(SparkContext.SPARK_JOB_INTERRUPT_ON_CANCEL, prevCancel)
+    }
+  }
+
+  /** Blocking removal of the given shuffles' map outputs and files. Ids not
+    * (or no longer) registered are skipped — removal is idempotent. */
   def remove(sc: SparkContext, ids: Set[Int]): Unit = {
     val tracker = sc.env.mapOutputTracker match {
       case m: MapOutputTrackerMaster => m
       case _ => return
     }
-    ids.foreach { id =>
+    (ids intersect tracker.shuffleStatuses.keySet.toSet).foreach { id =>
       // order matters: unregister the map outputs first so no new reads
       // resolve to the files, then drop the files through the block manager
       tracker.unregisterShuffle(id)
