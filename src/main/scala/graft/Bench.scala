@@ -322,7 +322,8 @@ object Bench {
     if (attempts.size > 1)
       System.err.println(f"[bench] best of ${attempts.size} attempts: " +
         f"${best.verdict.takeWhile(_ != ' ')} total ${best.total}%.1f s")
-    val qs = best.results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val qs = best.results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
     // calibration field: this window's slowdown vs the pinned reference
     // epoch, and the emitted attempt's walls normalized by it. The ratio
     // uses the MEAN of the pre/post probes (the window the timed section
@@ -332,6 +333,10 @@ object Bench {
     val profile = new java.io.File(sfDir).getName
     val calRef = sys.env.get("SPARK_GRAFT_CALIB_REF_SEC").map(_.toDouble)
       .orElse(calibrationRefSec.get(profile))
+    val ratioOpt =
+      if (calibrate && best.calPre >= 0)
+        calRef.filter(_ > 0).map(((best.calPre + best.calPost) / 2) / _)
+      else None
     val calJson =
       if (!calibrate || best.calPre < 0) ""
       else {
@@ -367,7 +372,31 @@ object Bench {
     val attemptsJson = attempts.map(a =>
       f"""{"verdict":"${a.verdict.takeWhile(_ != ' ')}","total":${a.total}%.1f,"pre_mem":${a.pre.mem}%.2f,"post_mem":${a.post.mem}%.2f,"waited_sec":${a.waitedSec}}""")
       .mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${best.total},"unit":"sec","queries":$qs$calJson$recallJson${hostField(best.pre, best.post, best.waitedSec, best.verdict, attempts.indexOf(best), attemptsJson)},"sf":"$sfDir"}""")
+    val totalStr = f"${best.total}%.3f"
+    val hostJson = hostField(best.pre, best.post, best.waitedSec, best.verdict,
+      attempts.indexOf(best), attemptsJson)
+    // ONE self-consistent artifact FILE: every block — the CHOSEN attempt's
+    // raw and calibrated per-query walls, totals, calibration, recall, host
+    // window, per-attempt summaries — in a single JSON document that can be
+    // audited without stdout archaeology. The stdout line (what the driver
+    // captures) is a COMPACT summary instead of the full document: the
+    // r11/r12 official artifacts both recorded `parsed: null` because the
+    // full line outgrew the driver's 2000-char tail capture, making
+    // per-query regressions unauditable from the artifact alone.
+    val fullDoc = s"""{"metric":"total","value":$totalStr,"unit":"sec","headline_count":${best.results.size},"queries":$qs$calJson$recallJson$hostJson,"sf":"$sfDir","generated_unix_ms":${System.currentTimeMillis()}}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        fullDoc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      System.err.println(s"[bench] full artifact written to $outPath")
+    } catch {
+      case t: Throwable =>
+        System.err.println(s"[bench] WARNING: could not write $outPath: $t")
+    }
+    val calSummary = ratioOpt.map(r =>
+      f""","calibration":{"ratio":$r%.3f,"calibrated_total":${best.total / r}%.2f}""")
+      .getOrElse("")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$calSummary,"verdict":"${best.verdict.takeWhile(_ != ' ')}","artifact":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 
