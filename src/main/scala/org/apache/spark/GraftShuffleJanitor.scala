@@ -105,12 +105,17 @@ object GraftShuffleJanitor {
       case m: MapOutputTrackerMaster => m
       case _ => return
     }
-    (ids intersect tracker.shuffleStatuses.keySet.toSet).foreach { id =>
+    val present = ids intersect tracker.shuffleStatuses.keySet.toSet
+    present.foreach { id =>
       // order matters: unregister the map outputs first so no new reads
       // resolve to the files, then drop the files through the block manager
       tracker.unregisterShuffle(id)
       sc.env.shuffleManager.unregisterShuffle(id)
       sc.env.blockManager.master.removeShuffle(id, blocking = true)
     }
+    // one trace line per pass: a scoping bug (listener missing the pass's
+    // stages) would otherwise only show up as silent disk growth an hour in
+    System.err.println(s"[janitor] removed ${present.size} shuffles" +
+      (if (ids.size != present.size) s" (${ids.size - present.size} already gone)" else ""))
   }
 }
