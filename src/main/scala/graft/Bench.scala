@@ -88,6 +88,10 @@ object Bench {
     "ann_pq_ivf_trained_topk",
     "ann_topk_int8",
     "mm_dhash_docs",
+    // round-13: the production PQ composition — trained codebooks +
+    // IVFADC+R exact re-rank against the durable indexes (build paid by the
+    // FIRST run via buildTableOnce; warm runs time the probe + refine)
+    "ann_pq_ivf_trained_refined_topk",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one
@@ -646,10 +650,19 @@ object Bench {
       // k=64 codebooks is now a gated number (r11 verdict #3)
       val cTCbs = Similarity.pqTrainedCodebooks(ce, "vec_id", "embedding",
         cCents, 64, 8, 64, iters = 1)
+      val cTIdx = Similarity.pqIvfIndex(ce, "vec_id", "embedding", cCents, cTCbs, 64, 8)
+        .persist()
       val cIvfPqTr = timed("ann_ivfpq_trained_clus")(Recall.topK(cExactL2,
-        Similarity.pqTopKIvfIndexed(
-          Similarity.pqIvfIndex(ce, "vec_id", "embedding", cCents, cTCbs, 64, 8),
+        Similarity.pqTopKIvfIndexed(cTIdx,
           cCents, cTCbs, cq, "vec_id", "embedding", 10, 4)))
+      // the production composition's quality number (r12 verdict #3):
+      // refined re-rank should dominate codebook choice — expect ≈ the
+      // sampled-codebook refined 0.92, and a material gap IS a finding
+      val cIvfPqTrRef = timed("ann_ivfpq_tr_ref_clus")(Recall.topK(cExactL2,
+        Similarity.pqTopKIvfRefined(cTIdx,
+          Similarity.ivfIndex(ce, "vec_id", "embedding", cCents),
+          cCents, cTCbs, cq, "vec_id", "embedding", 10, 4, 100)))
+      cTIdx.unpersist()
       cPqIdx.unpersist(); cExactL2.unpersist(); cExact.unpersist(); ce.unpersist()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val exactPairs = timed("exact_pairs")(JaccardJoin
@@ -672,7 +685,7 @@ object Bench {
         Dedup.minHashPairsRs(corpus, incoming, "doc_id", "text", ws, 0.9), "lid", "rid"))
       exactRs.unpersist()
       Api.clearCache()
-      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_int8_at10":$int8%.4f,"ann_pq_at10":$pq%.4f,"ann_ivfpq_at10":$ivfPq%.4f,"ann_ivfpq_refined_at10":$ivfPqRef%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"ann_pq_clustered_at10":$cPq%.4f,"ann_ivfpq_clustered_at10":$cIvfPq%.4f,"ann_ivfpq_trained_clustered_at10":$cIvfPqTr%.4f,"ann_ivfpq_refined_clustered_at10":$cIvfPqRef%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
+      f""","recall":{"ann_lsh_at10":$lsh%.4f,"ann_ivf_at10":$ivf%.4f,"ann_ivf_kmeans_at10":$ivfKm%.4f,"ann_int8_at10":$int8%.4f,"ann_pq_at10":$pq%.4f,"ann_ivfpq_at10":$ivfPq%.4f,"ann_ivfpq_refined_at10":$ivfPqRef%.4f,"ann_ivf_clustered_at10":$cIvf%.4f,"ann_ivf_kmeans_clustered_at10":$cIvfKm%.4f,"ann_pq_clustered_at10":$cPq%.4f,"ann_ivfpq_clustered_at10":$cIvfPq%.4f,"ann_ivfpq_trained_clustered_at10":$cIvfPqTr%.4f,"ann_ivfpq_trained_refined_clustered_at10":$cIvfPqTrRef%.4f,"ann_ivfpq_refined_clustered_at10":$cIvfPqRef%.4f,"minhash_pairs":$mh%.4f,"simhash_pairs":$sh%.4f,"minhash_rs_pairs":$mhRs%.4f}"""
     } catch {
       case t: Throwable =>
         System.err.println(s"[bench] recall sidecar failed: $t")

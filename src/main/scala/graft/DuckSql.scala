@@ -865,12 +865,16 @@ WHERE rank <= $kNN"""
 
   /** Mirrors Similarity.pqTopKIvfRefined (Jégou §V, IVFADC+R): the
     * [[annPqIvfTopK]] ADC ranking truncated at `refine` becomes a shortlist,
-    * which re-ranks by EXACT squared-L2 against the full-precision vectors. */
+    * which re-ranks by EXACT squared-L2 against the full-precision vectors.
+    * `trainRounds > 0` runs that many per-block Lloyd rounds between codebook
+    * sampling and encoding (the [[annPqIvfTrainedTopK]] construction) — the
+    * production composition, trained codebooks + exact re-rank, oracled as
+    * one chain. */
   def annPqIvfRefinedTopK(table: String, key: String, vec: String,
                           queryPred: String, kNN: Int, nCentroids: Int,
                           nProbe: Int, dim: Int, m: Int, k: Int,
-                          refine: Int): String =
-    s"""WITH ${pqIvfCtes(table, key, vec, queryPred, nCentroids, nProbe, dim, m, k)},
+                          refine: Int, trainRounds: Int = 0): String =
+    s"""WITH ${pqIvfCtes(table, key, vec, queryPred, nCentroids, nProbe, dim, m, k, trainRounds)},
 short AS (
   SELECT query_id, qv, neighbor_id FROM (
     SELECT p.query_id AS query_id, p.qv AS qv, r.id AS neighbor_id,
