@@ -605,6 +605,21 @@ FROM $table"""
   coalesce(CAST(length(regexp_replace($text, '$wsClass', '', 'g')) AS BIGINT), 0) AS n_tokens
 FROM $table"""
 
+  /** Mirrors Packing.packBins ∘ Bpe.tokenCounts with ZERO merges: the
+    * [[packBins]] sequential-window prefix-sum form over [[bpeTokenCounts0]]
+    * counts — the deterministic twin that hash-checks the BPE-budget packing
+    * composition (the learned-merges `bpe_pack_docs` stays rows-only for the
+    * same reason its count does). */
+  def bpePackBins0(table: String, key: String, text: String, budget: Long): String =
+    s"""WITH t AS (${bpeTokenCounts0(table, key, text)}),
+c AS (SELECT id, n_tokens,
+  sum(n_tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+FROM t)
+SELECT id, n_tokens,
+  CAST((cum - n_tokens) // $budget AS BIGINT) AS bin_id,
+  CAST((cum - n_tokens) % $budget AS BIGINT) AS bin_offset
+FROM c"""
+
   /** Mirrors Bpe.tokenCountsBytes with ZERO merges — the GPT-2
     * pre-tokenization pattern PARTITIONS the text and every UTF-8 byte is
     * one symbol, so the byte-level model-token count per document is exactly
