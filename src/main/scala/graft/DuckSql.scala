@@ -796,6 +796,44 @@ WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
           FROM range(0,150) t(i) WHERE i < ns) AS BIGINT) AS sample_sum
 FROM (SELECT $key AS id, 100 + $key % 50 AS ns FROM $table)"""
 
+  /** The closed-form WAV-fingerprint CTE chain shared by
+    * [[mmWavHash]]/[[mmWavHashPairs]]: mirrors Multimodal.wavHash ∘ synthWav
+    * — ns = 100 + id%50 samples, sample i = (id·31 + i·17) % 20001 − 10000,
+    * 65 energy segments with nearest-neighbor boundaries
+    * [j·ns//65, (j+1)·ns//65), bit j iff energy(j+1) > energy(j). Same
+    * bit-63 signed-wrap spelling as [[dHashCtes]]. */
+  private def wavHashCtes(table: String, key: String): String =
+    s"""w AS (SELECT $key AS id, 100 + $key % 50 AS ns FROM $table),
+seg AS (
+  SELECT id, j,
+    SUM(CASE WHEN i >= (j*ns)//65 AND i < ((j+1)*ns)//65
+        THEN ((id*31 + i*17) % 20001 - 10000) * ((id*31 + i*17) % 20001 - 10000)
+        ELSE 0 END) AS en
+  FROM w, range(0,65) tj(j), range(0,150) ti(i) WHERE i < ns
+  GROUP BY id, j),
+wh AS (
+  SELECT a.id AS id, CAST(SUM(CASE WHEN b.en > a.en THEN
+      CASE WHEN a.j = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << CAST(a.j AS INT)) END
+    ELSE 0 END) AS BIGINT) AS whash
+  FROM seg a JOIN seg b ON b.id = a.id AND b.j = a.j + 1
+  GROUP BY a.id)"""
+
+  /** Mirrors Multimodal.wavHash over the synth WAV fixture. */
+  def mmWavHash(table: String, key: String): String =
+    s"""WITH ${wavHashCtes(table, key)}
+SELECT id, whash FROM wh"""
+
+  /** Mirrors Dedup.hammingPairs64 ∘ Multimodal.wavHash: every audio pair
+    * within Hamming `maxHamming`, lid < rid — all-pairs at oracle scale vs
+    * the engine's 4-band pigeonhole join (the [[mmDHashPairs]] convention). */
+  def mmWavHashPairs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${wavHashCtes(table, key)}
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.whash, b.whash)) AS BIGINT) AS hamming
+FROM wh a, wh b
+WHERE a.id < b.id AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
+
   /** Double-precision sequential-fold cosine between two embedding columns
     * (matches Spark's zip_with + aggregate fold). */
   private def cosExpr(a: String, b: String): String =

