@@ -834,6 +834,18 @@ SELECT a.id AS lid, b.id AS rid,
 FROM wh a, wh b
 WHERE a.id < b.id AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
 
+  /** Mirrors Dedup.hammingPairsRs64 (and its indexed twin — the lossless
+    * bucket encoding makes them equal) over wavHash signatures: all
+    * cross-side pairs within Hamming `maxHamming`, corpus = id%10 != 0,
+    * incoming = id%10 = 0 (the text families' 90/10 rs convention). */
+  def mmWavHashPairsRs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${wavHashCtes(table, key)}
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.whash, b.whash)) AS BIGINT) AS hamming
+FROM wh a, wh b
+WHERE a.id % 10 != 0 AND b.id % 10 = 0
+  AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
+
   /** Double-precision sequential-fold cosine between two embedding columns
     * (matches Spark's zip_with + aggregate fold). */
   private def cosExpr(a: String, b: String): String =

@@ -953,4 +953,58 @@ object Dedup {
         bit_count(xor).as("hamming"))
       .where(col("hamming") <= maxHamming)
   }
+
+  /**
+   * Incremental (R×S) Hamming near-dup over ANY precomputed 64-bit
+   * signatures — [[simHashPairsRs]] detached from tokenization, so an
+   * INCOMING batch of images/audio ([[graft.operators.Multimodal.dHash]],
+   * [[graft.operators.Multimodal.wavHash]]) checks against an existing
+   * corpus with the same daily-ingest shape as the text families: candidates
+   * only on the (band, bandval) equi-join between the two sides (no
+   * self-join on either), first-matching-band exactly-once emission, one
+   * XOR + bit_count verify. Output (lid, rid, hamming), lid from `corpus`.
+   */
+  def hammingPairsRs64(corpus: DataFrame, incoming: DataFrame, key: String,
+                       sigCol: String, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val xor = col("a.simhash").bitwiseXOR(col("b.simhash"))
+    banded64(corpus.select(col(key).as("id"), col(sigCol).as("simhash")), 64).alias("a")
+      .join(banded64(incoming.select(col(key).as("id"), col(sigCol).as("simhash")), 64).alias("b"),
+        col("a.band") === col("b.band") && col("a.bandval") === col("b.bandval") &&
+          !earlierSimBandMatches(xor, col("a.band"), 16))
+      .select(col("a.id").as("lid"), col("b.id").as("rid"),
+        bit_count(xor).as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
+
+  /**
+   * Materializable Hamming INDEX over ANY precomputed 64-bit signatures —
+   * [[simHashIndex]]'s layout (id, simhash, band, bandval, bucket) without
+   * the tokenize+fold step, so perceptual-hash corpora get the same durable
+   * daily-ingest index as text: persist with
+   * `Stages.writeBucketed(index, table, "bucket", n)`, append admitted
+   * batches with `appendBucketed`, and the bucket is the LOSSLESS
+   * `(band << 16) | bandval` encoding — a bucket equality IS a
+   * (band, bandval) equality, so indexed joins are EQUAL to the direct
+   * operator's. 4 rows of 3 longs per item, no payload stored.
+   */
+  def hammingIndex64(sigs: DataFrame, key: String, sigCol: String): DataFrame =
+    banded64(sigs.select(col(key).as("id"), col(sigCol).as("simhash")), 64)
+      .withColumn("bucket",
+        shiftleft(col("band").cast("long"), 16).bitwiseOR(col("bandval")))
+
+  /**
+   * [[hammingPairsRs64]] against a prebuilt corpus [[hammingIndex64]]: the
+   * incoming signatures are indexed on the fly and joined bucket-to-bucket;
+   * on a `bucket`-bucketed table the corpus side joins with no exchange
+   * (the [[simHashPairsRsIndexed]] argument, verbatim — the join layouts
+   * are identical). Output (lid, rid, hamming), lid from the index.
+   */
+  def hammingPairsRs64Indexed(corpusIndex: DataFrame, incoming: DataFrame,
+                              key: String, sigCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    simIndexFramePairs(corpusIndex, hammingIndex64(incoming, key, sigCol),
+      maxHamming, 16, selfDedup = false)
+  }
 }

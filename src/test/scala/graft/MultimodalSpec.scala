@@ -157,6 +157,29 @@ class MultimodalSpec extends SparkSpec {
     assert(got.toSet === expect)
   }
 
+  test("wav R×S near-dup: banded cross pairs == brute force; indexed == direct") {
+    val docs = (0L until 80L).toDF("id")
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.wavHash(Multimodal.synthWav(d, "id").toDF(), "id").toDF()
+    val corpus = docs.where($"id" % 10 =!= 0)
+    val incoming = docs.where($"id" % 10 === 0)
+    val cHash = sig(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iHash = sig(incoming).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      l <- cHash.keys; r <- iHash.keys
+      hd = java.lang.Long.bitCount(cHash(l) ^ iHash(r)) if hd <= 3
+    } yield (l, r, hd.toLong)).toSet
+    val direct = Dedup.hammingPairsRs64(sig(corpus), sig(incoming), "id", "whash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(direct.length === direct.toSet.size, "duplicate pair emissions")
+    assert(direct.toSet === expect)
+    val indexed = Dedup.hammingPairsRs64Indexed(
+        Dedup.hammingIndex64(sig(corpus), "id", "whash"),
+        sig(incoming), "id", "whash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(indexed.sorted.toSeq === direct.sorted.toSeq, "indexed != direct")
+  }
+
   test("synthGif -> decodeFrames: frame count and exact solid colors") {
     val out = Multimodal.decodeFrames(Multimodal.synthGif(ids, "id").toDF(), "id")
       .collect().groupBy(_.id)
