@@ -786,6 +786,18 @@ SELECT a.id AS lid, b.id AS rid,
 FROM dh a, dh b
 WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
 
+  /** Mirrors Dedup.hammingPairsRs64 (and its indexed twin) over dHash
+    * signatures: all cross-side pairs within Hamming `maxHamming`, corpus =
+    * id%10 != 0, incoming = id%10 = 0 (the [[mmWavHashPairsRs]] convention
+    * on the image family). */
+  def mmDHashPairsRs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${dHashCtes(table, key)}
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM dh a, dh b
+WHERE a.id % 10 != 0 AND b.id % 10 = 0
+  AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
+
   /** Expected WAV decode (16-bit mono 8 kHz PCM, 100 + id%50 samples,
     * sample i = (id·31 + i·17) % 20001 − 10000) — mirrors
     * decodeWav ∘ synthWav; the sample sum is exact integer arithmetic. */
