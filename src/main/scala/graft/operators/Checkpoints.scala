@@ -40,4 +40,34 @@ private[graft] object Checkpoints {
       df.checkpoint(eager)
     } else df.localCheckpoint(eager)
   }
+
+  /**
+   * Cut `df`'s lineage to a COMPRESSED PARQUET leaf under the warehouse dir —
+   * the bounded-scratch strategy for results that must ACCUMULATE across a
+   * multi-pass operator ([[JaccardJoin]]'s `passes` mode). [[cut]]'s
+   * localCheckpoint retains each pass's rows as deserialized executor blocks
+   * for the life of the union — measured at sf10 t=0.5: ~3.6 GB of rdd
+   * blocks PER PASS (the output itself), a monotone floor that ate the
+   * scratch the passes knob had just freed. A columnar-compressed file leaf
+   * retains the same rows at a fraction of the bytes, off the block manager
+   * entirely, and (on a cluster, with the warehouse on durable storage)
+   * survives executor loss — the availability gap [[cut]]'s local mode has.
+   * The price is one write+read per pass of OUTPUT-sized data — the small
+   * end of the pipeline by construction.
+   *
+   * The directory is tracked ([[PersistTracker.trackScratchDir]]) and
+   * reclaimed by [[graft.Api.clearCache]], the same lifecycle as the
+   * operators' persisted frames. Read-back passes the schema explicitly so
+   * an all-empty slice (zero part files) stays a valid empty frame.
+   */
+  def cutToParquet(df: DataFrame, tag: String): DataFrame = {
+    require(tag.matches("[A-Za-z0-9_\\-]+"), s"bad scratch tag '$tag'")
+    val spark = df.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), s"graft_scratch/$tag")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(dir.toString)
+    PersistTracker.trackScratchDir(fs, dir)
+    spark.read.schema(df.schema).parquet(dir.toString)
+  }
 }

@@ -341,6 +341,32 @@ object JaccardJoin {
     * every candidate pair's probing value lands in exactly one slice, the
     * per-pair prefix stats aggregate within that slice alone, and
     * verification is per-pair — spec-pinned (JaccardJoinSpec). */
+  /** Pass-slice materialization for the bounded-footprint mode, selected by
+    * `spark.graft.passes.spill`:
+    *   - `parquet` (default): [[Checkpoints.cutToParquet]] — slices
+    *     accumulate as compressed columnar files, not executor blocks.
+    *     Measured at sf10 t=0.5, localCheckpoint retained ~3.6 GB of rdd
+    *     blocks per pass (the output itself — a monotone floor that consumed
+    *     the scratch the passes knob freed); the parquet leaf holds the same
+    *     rows in ~1/4 the bytes and, on a durable warehouse, survives
+    *     executor loss.
+    *   - `local`: [[Checkpoints.cut]] — no filesystem traffic; right when
+    *     slices are small or the warehouse is slow.
+    * The nanoTime suffix keeps repeated invocations in one session from
+    * overwriting a predecessor's still-referenced slice files. */
+  private def cutSlice(df: DataFrame, tag: String): DataFrame = {
+    val mode =
+      try df.sparkSession.conf.get("spark.graft.passes.spill", "parquet")
+      catch { case scala.util.control.NonFatal(_) => "parquet" }
+    mode match {
+      case "parquet" =>
+        Checkpoints.cutToParquet(df, s"${tag}_${java.lang.Long.toHexString(System.nanoTime())}")
+      case "local" => Checkpoints.cut(df)
+      case other => sys.error(
+        s"spark.graft.passes.spill must be 'parquet' or 'local', got '$other'")
+    }
+  }
+
   def selfJoinDedupedPrepared(
       prep: SelfJoinPrep, threshold: Double,
       lOutPrefix: String = "l_", rOutPrefix: String = "r_",
@@ -504,8 +530,9 @@ object JaccardJoin {
           // to prevent).
           val (slice, passShuffles) =
             org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-self-pass-$p") {
-              Checkpoints.cut(vmOfSlice(Some(
-                pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+              cutSlice(vmOfSlice(Some(
+                pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))),
+                s"jacself_p$p")
             }
           org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
           slice
@@ -734,8 +761,9 @@ object JaccardJoin {
         (0 until passes).map { p =>
           val (slice, passShuffles) =
             org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-rs-pass-$p") {
-              Checkpoints.cut(vmOfSlice(Some(
-                pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))))
+              cutSlice(vmOfSlice(Some(
+                pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))),
+                s"jacrs_p$p")
             }
           org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
           slice

@@ -39,12 +39,28 @@ private[graft] object PersistTracker {
       }
     }
 
-  /** Unpersist every tracked intermediate; returns how many were released.
-    * Safe against already-unpersisted / stopped-session entries. */
+  /** Operator-internal SCRATCH DIRECTORIES (multi-pass slice spills —
+    * [[Checkpoints.cutToParquet]]): like the persisted frames, their results
+    * are returned lazily, so the operator cannot delete them itself; tracking
+    * lets [[unpersistAll]] reclaim the files with the caches. Stored as
+    * (filesystem, path) so deletion needs no live session. */
+  private val scratchDirs =
+    mutable.ArrayBuffer.empty[(org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path)]
+
+  def trackScratchDir(fs: org.apache.hadoop.fs.FileSystem,
+                      path: org.apache.hadoop.fs.Path): Unit = synchronized {
+    scratchDirs += ((fs, path))
+  }
+
+  /** Unpersist every tracked intermediate and delete every tracked scratch
+    * directory; returns how many caches were released. Safe against
+    * already-unpersisted / stopped-session entries. */
   def unpersistAll(blocking: Boolean = false): Int = synchronized {
     val n = tracked.size
     tracked.foreach(df => scala.util.Try(df.unpersist(blocking)))
     tracked.clear()
+    scratchDirs.foreach { case (fs, p) => scala.util.Try(fs.delete(p, true)) }
+    scratchDirs.clear()
     n
   }
 

@@ -96,6 +96,15 @@ class JaccardJoinSpec extends SparkSpec {
     assert(rsMulti.count() === rsSingle.count())
     assert(unorderedPairSet(rsMulti) === unorderedPairSet(rsSingle))
     assert(unorderedPairSet(rsSingle).nonEmpty)
+
+    // both slice-spill strategies produce the identical result (the default
+    // parquet leaf is what the assertions above exercised; 'local' is the
+    // zero-filesystem localCheckpoint mode)
+    spark.conf.set("spark.graft.passes.spill", "local")
+    try {
+      val multiLocal = JaccardJoin.selfJoinDeduped(df, "id", "val", ws, 0.3, passes = 3)
+      assert(unorderedPairSet(multiLocal) === unorderedPairSet(single))
+    } finally spark.conf.unset("spark.graft.passes.spill")
   }
 
   for (t <- Seq(0.3, 0.5); q <- Seq(2, 3)) {
