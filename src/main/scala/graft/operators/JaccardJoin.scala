@@ -518,8 +518,11 @@ object JaccardJoin {
         // snapshot, so their build shuffles are never in a pass's removal
         // set (the janitor's cross-pass-reuse precondition)
         val sc = prep.table.sparkSession.sparkContext
-        vals.count(); vtkdf.count(); prep.varr.count()
-        (0 until passes).map { p =>
+        val (_, prepShuffles) =
+          org.apache.spark.GraftShuffleJanitor.runScoped(sc, "graft-jac-self-prep") {
+            vals.count(); vtkdf.count(); prep.varr.count()
+          }
+        val slices = (0 until passes).map { p =>
           // eager lineage cut, then DETERMINISTIC reclamation of exactly the
           // shuffles this pass's own stages wrote (GraftShuffleJanitor
           // job-group scoping — a concurrent job's shuffles are untouchable
@@ -537,6 +540,12 @@ object JaccardJoin {
           org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
           slice
         }.reduce(_ union _)
+        // every consumer from here on reads the PERSISTED frames, not their
+        // build shuffles (~25 GB retained for the whole run at sf10) —
+        // release the files, keeping the registrations so a cache-evicted
+        // recompute resubmits the parent stages instead of crashing
+        org.apache.spark.GraftShuffleJanitor.releaseFiles(sc, prepShuffles)
+        slices
       }
 
     expandSelf(prep.table, prep.keyAttr, prep.joinAttr, vals, vtkdf, vm,
@@ -757,8 +766,11 @@ object JaccardJoin {
         // before the first snapshot, then reclaim each pass's shuffles
         // deterministically once its checkpoint lands
         val sc = lTable.sparkSession.sparkContext
-        dfreq.count(); lTkdf.count(); rTkdf.count()
-        (0 until passes).map { p =>
+        val (_, prepShuffles) =
+          org.apache.spark.GraftShuffleJanitor.runScoped(sc, "graft-jac-rs-prep") {
+            dfreq.count(); lTkdf.count(); rTkdf.count()
+          }
+        val slices = (0 until passes).map { p =>
           val (slice, passShuffles) =
             org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-rs-pass-$p") {
               cutSlice(vmOfSlice(Some(
@@ -768,6 +780,10 @@ object JaccardJoin {
           org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
           slice
         }.reduce(_ union _)
+        // see selfJoinDedupedPrepared: the prep frames' build shuffles are
+        // consumed — release their files, keep the registrations
+        org.apache.spark.GraftShuffleJanitor.releaseFiles(sc, prepShuffles)
+        slices
       }
     vm.select(
       col("Rid").as(idxPrefixName + lKey),

@@ -98,6 +98,31 @@ object GraftShuffleJanitor {
     }
   }
 
+  /** Drop the FILES of still-referenced shuffles while KEEPING their
+    * registration — for consumed build shuffles of PERSISTED frames, whose
+    * data lives on as cached blocks (the bounded-footprint joins' prep
+    * shuffles: ~25 GB retained for the whole sf10 run while every pass and
+    * the expansion read only the cached frames). Unlike [[remove]], the
+    * tracker entry survives (`unregisterAllMapAndMergeOutput` clears the map
+    * outputs only), so a cache-evicted recompute that reaches the shuffle
+    * finds it registered-but-empty and the scheduler resubmits the parent
+    * map stage, regenerating the files — the standard missing-output path,
+    * not a crash. The trade is scratch now for a possible re-build later —
+    * exactly the passes mode's charter. */
+  def releaseFiles(sc: SparkContext, ids: Set[Int]): Unit = {
+    val tracker = sc.env.mapOutputTracker match {
+      case m: MapOutputTrackerMaster => m
+      case _ => return
+    }
+    val present = ids intersect tracker.shuffleStatuses.keySet.toSet
+    present.foreach { id =>
+      tracker.unregisterAllMapAndMergeOutput(id)
+      sc.env.shuffleManager.unregisterShuffle(id)
+      sc.env.blockManager.master.removeShuffle(id, blocking = true)
+    }
+    System.err.println(s"[janitor] released files of ${present.size} retained shuffles")
+  }
+
   /** Blocking removal of the given shuffles' map outputs and files. Ids not
     * (or no longer) registered are skipped — removal is idempotent. */
   def remove(sc: SparkContext, ids: Set[Int]): Unit = {
