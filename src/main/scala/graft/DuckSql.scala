@@ -786,6 +786,28 @@ SELECT a.id AS lid, b.id AS rid,
 FROM dh a, dh b
 WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
 
+  /** Mirrors Dedup.incrementalKeepIdsHamming64Indexed over wavHash
+    * signatures (corpus = id%10 != 0, incoming = id%10 = 0): drop incoming
+    * within Hamming `maxHamming` of a corpus item, then collapse the
+    * survivors' within-batch Hamming clusters to min-id representatives —
+    * the [[clusterIds]] recursive-CC collapse over the survivor pairs. */
+  def mmWavKeep(table: String, key: String, maxHamming: Int): String = {
+    val pairs =
+      s"""SELECT a.id AS l, b.id AS r FROM wh a, wh b
+WHERE a.id % 10 = 0 AND b.id % 10 = 0 AND a.id < b.id
+  AND a.id NOT IN (SELECT rid FROM drops)
+  AND b.id NOT IN (SELECT rid FROM drops)
+  AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
+    s"""WITH ${wavHashCtes(table, key)},
+drops AS (
+  SELECT DISTINCT b.id AS rid FROM wh a, wh b
+  WHERE a.id % 10 != 0 AND b.id % 10 = 0
+    AND bit_count(xor(a.whash, b.whash)) <= $maxHamming)
+SELECT s.id AS id FROM wh s
+WHERE s.id % 10 = 0 AND s.id NOT IN (SELECT rid FROM drops)
+  AND s.id NOT IN (SELECT id FROM (${clusterIds(pairs)}) WHERE cluster_id != id)"""
+  }
+
   /** Mirrors Dedup.hammingPairsRs64 (and its indexed twin) over dHash
     * signatures: all cross-side pairs within Hamming `maxHamming`, corpus =
     * id%10 != 0, incoming = id%10 = 0 (the [[mmWavHashPairsRs]] convention

@@ -1007,4 +1007,52 @@ object Dedup {
     simIndexFramePairs(corpusIndex, hammingIndex64(incoming, key, sigCol),
       maxHamming, 16, selfDedup = false)
   }
+
+  /**
+   * Incremental keep-set over ANY precomputed 64-bit signatures against a
+   * DURABLE [[hammingIndex64]] table — the generic-signature production
+   * daily-ingest operator, giving image/audio fingerprints
+   * ([[graft.operators.Multimodal.dHash]], [[graft.operators.Multimodal.wavHash]])
+   * the exact admission lifecycle the text families have: (1) drop every
+   * incoming item within Hamming `maxHamming` of an indexed one, (2) collapse
+   * the survivors' within-batch clusters to min-id representatives
+   * ([[clusterKeepIds]]), (3) with `admitTo`, append the kept items' index
+   * rows ([[graft.sources.Stages.appendBucketed]]) so the next batch sees
+   * today's admissions with no rebuild. The keep-set is lineage-cut BEFORE
+   * the table its plan reads is mutated (the read-after-append trap —
+   * rationale at [[incrementalKeepIdsIndexed]]).
+   *
+   * `incoming` needs a unique `key` column and a long `sigCol`. Returns the
+   * surviving incoming keys (one column, named `key`).
+   */
+  def incrementalKeepIdsHamming64Indexed(corpusIndex: DataFrame, incoming: DataFrame,
+                                         key: String, sigCol: String,
+                                         maxHamming: Int = 3,
+                                         admitTo: Option[String] = None,
+                                         admitBuckets: Int = 8,
+                                         autoCompactAt: Int = 16): DataFrame = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    val batchIdx = hammingIndex64(incoming, key, sigCol).persistTracked
+    // stage 1: cross-side — a corpus near-dup drops the incoming copy
+    val vsCorpus = simIndexFramePairs(corpusIndex, batchIdx, maxHamming,
+      16, selfDedup = false)
+    val dropIds = vsCorpus.select(col("rid")).distinct().persistTracked
+    val survivors = incoming.join(dropIds, incoming(key) === col("rid"), "left_anti")
+      .persistTracked
+    // stage 2: within-batch — over the surviving subset of the batch index
+    val survIdx = batchIdx.join(dropIds, batchIdx("id") === dropIds("rid"), "left_anti")
+    val selfPairs = simIndexFramePairs(survIdx, survIdx, maxHamming, 16,
+      selfDedup = true)
+    val kept = clusterKeepIds(survivors, key, selfPairs, "lid", "rid")
+    admitTo match {
+      case None => kept
+      case Some(table) =>
+        val stable = Checkpoints.cut(kept)
+        val admittedIdx = batchIdx.join(stable.select(col(key).as("keep_id")),
+          batchIdx("id") === col("keep_id"), "left_semi")
+        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket",
+          admitBuckets, autoCompactAt)
+        stable
+    }
+  }
 }

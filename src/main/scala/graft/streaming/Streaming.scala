@@ -557,6 +557,30 @@ object Streaming {
       }
       .start()
 
+  /** The GENERIC-SIGNATURE mirror of [[ingestDedup]]: continuous admission
+    * of precomputed 64-bit fingerprints (perceptual dHash, audio wavHash, an
+    * external signature…) against a durable
+    * [[graft.operators.Dedup.hammingIndex64]] table via
+    * [[graft.operators.Dedup.incrementalKeepIdsHamming64Indexed]] — the
+    * streaming end of the multimodal dedup lifecycle. The stream carries
+    * (key, sigCol) rows: compute signatures upstream with the flatMap
+    * operators (they compose with streaming Datasets). Same
+    * state-in-the-table design and at-least-once admission semantics as the
+    * text families. */
+  def ingestHamming64(stream: DataFrame, indexTable: String, key: String,
+                      sigCol: String, maxHamming: Int = 3, admitBuckets: Int = 8,
+                      onBatch: (DataFrame, Long) => Unit = (_, _) => ()): StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        if (!batch.isEmpty) {
+          val kept = graft.operators.Dedup.incrementalKeepIdsHamming64Indexed(
+            batch.sparkSession.table(indexTable), batch, key, sigCol,
+            maxHamming, admitTo = Some(indexTable), admitBuckets = admitBuckets)
+          onBatch(kept, batchId)
+        }
+      }
+      .start()
+
   /** The ANN mirror of [[ingestDedup]]: continuous EMBEDDING admission
     * against a durable [[graft.operators.Similarity.ivfIndex]] table via
     * [[graft.operators.Similarity.ingestKeepIdsIndexed]] — each micro-batch

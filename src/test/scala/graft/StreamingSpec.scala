@@ -708,6 +708,51 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  // 64-bit signature fixtures for the generic-Hamming admission loop:
+  // splitmix-mixed longs are pairwise far apart (P[hamming<=3] per pair
+  // ~ 4e4/2^64), so relatedness is ENGINEERED via explicit bit flips —
+  // near-misses inside the <=3 radius, not just exact copies
+  private def sigMix(i: Long): Long = {
+    var z = i + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+  private def sigCorpus0 = (0L until 30L).map(i => (i, sigMix(i))).toDF("id", "whash")
+  private def sigDayBatch(d: Int): Seq[(Long, Long)] = Seq(
+    (1000L * d + 0) -> (sigMix(d) ^ 1L),          // hamming 1 from corpus sig d -> dropped
+    (1000L * d + 1) -> sigMix(100L + (d - 1)),    // == day d-1 admission (fresh on day 1)
+    (1000L * d + 2) -> sigMix(200L + d),          // family {2,3} at hamming 3 -> keep min id
+    (1000L * d + 3) -> (sigMix(200L + d) ^ ((1L << 7) | (1L << 23) | (1L << 42))),
+    (1000L * d + 4) -> sigMix(100L + d))          // fresh -> admitted
+  private def sigExpectedKeep(d: Int): Set[Long] =
+    Set(1000L * d + 2, 1000L * d + 4) ++ (if (d == 1) Set(1001L) else Set.empty[Long])
+
+  test("ingestHamming64: generic-signature admission loop across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Stages
+    try {
+      Stages.writeBucketed(
+        Dedup.hammingIndex64(sigCorpus0, "id", "whash"),
+        "graft_si_h64", "bucket", 8)
+      val keeps = scala.collection.mutable.Map[Long, Set[Long]]()
+      val in = MemoryStream[(Long, Long)]
+      val q = Streaming.ingestHamming64(in.toDF().toDF("id", "whash"), "graft_si_h64",
+        "id", "whash", 3,
+        onBatch = (kept, bid) => keeps(bid) = kept.collect().map(_.getLong(0)).toSet)
+      try {
+        for (d <- 1 to 3) { in.addData(sigDayBatch(d): _*); q.processAllAvailable() }
+      } finally q.stop()
+      assert(keeps.keySet === Set(0L, 1L, 2L), "one keep-set per micro-batch day")
+      for (d <- 1 to 3)
+        assert(keeps(d - 1L) === sigExpectedKeep(d), s"day $d keep-set")
+      val ids = spark.table("graft_si_h64").select("id").distinct()
+        .collect().map(_.getLong(0)).toSet
+      val expected = (0L until 30L).toSet ++ (1 to 3).flatMap(sigExpectedKeep)
+      assert(ids === expected, "index after 3 micro-batches = corpus + admissions")
+    } finally spark.sql("DROP TABLE IF EXISTS graft_si_h64")
+  }
+
   test("ingestDedupSimHash: Hamming-side admission loop across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Stages
