@@ -405,6 +405,39 @@ object Streaming {
       .as[CorpusSimMatch]
   }
 
+  /**
+   * Streaming GENERIC-SIGNATURE near-dup against a durable
+   * [[graft.operators.Dedup.hammingIndex64]] table — the multimodal
+   * counterpart of [[simHashAgainstIndex]]: arriving precomputed 64-bit
+   * fingerprints (perceptual dHash / audio wavHash rows, computed upstream
+   * with the flatMap operators) band statelessly into the SAME lossless
+   * bucket encoding and join the bucketed index exchange-free on the corpus
+   * side. Match-reporting only (emit pairs, mutate nothing) — the admission
+   * half is [[ingestHamming64]]. Semantics equal the batch
+   * [[graft.operators.Dedup.hammingPairsRs64Indexed]] row-for-row
+   * (StreamingSpec pins stream == batch, hamming values included).
+   *
+   * Output: [[CorpusSimMatch]] rows, `corpus_id` from the index.
+   */
+  def hamming64AgainstIndex(stream: DataFrame, corpusIndex: DataFrame, key: String,
+                            sigCol: String, maxHamming: Int = 3): Dataset[CorpusSimMatch] = {
+    require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
+    import stream.sparkSession.implicits._
+    val streamSide = graft.operators.Dedup.banded64(
+        stream.select(col(key).cast("string").as("id"), col(sigCol).as("simhash")), 64)
+      .withColumn("bucket",
+        shiftleft(col("band").cast("long"), 16).bitwiseOR(col("bandval")))
+    val xor = col("s.simhash").bitwiseXOR(col("c.simhash"))
+    streamSide.alias("s")
+      .join(corpusIndex.alias("c"),
+        col("s.bucket") === col("c.bucket") &&
+          !graft.operators.Dedup.earlierSimBandMatches(xor, col("s.band"), 16))
+      .select(col("s.id").as("id"), col("c.id").cast("string").as("corpus_id"),
+        bit_count(xor).cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+      .as[CorpusSimMatch]
+  }
+
   /** Emitted ANN ingest match: an arriving embedding within `minCosine` of a
     * vector already in the stored IVF index. */
   final case class EmbCorpusMatch(id: String, corpus_id: String, sim: Double)

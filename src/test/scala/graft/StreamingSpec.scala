@@ -529,6 +529,41 @@ class StreamingSpec extends SparkSpec {
     assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
   }
 
+  test("hamming64AgainstIndex: stream vs durable generic-sig index == batch hammingPairsRs64Indexed") {
+    // the generic-signature mirror of the simHashAgainstIndex pin, over
+    // precomputed 64-bit fingerprints with ENGINEERED Hamming relations
+    implicit val sqlCtx = spark.sqlContext
+    val corpusSigs = (0L until 25L).map(i => (i, sigMix(i)))
+    val incoming = (0 until 12).map { i =>
+      if (i % 3 == 0) (3000L + i) -> sigMix(i % 25L)                      // hamming 0
+      else if (i % 3 == 1) (3000L + i) -> (sigMix(i % 25L) ^ (1L << (i % 64)) ^ (1L << ((i + 31) % 64))) // hamming 2
+      else (3000L + i) -> sigMix(500L + i)                                // unrelated
+    }
+    val index = Dedup.hammingIndex64(corpusSigs.toDF("id", "whash"), "id", "whash")
+      .persist()
+    val in = MemoryStream[(Long, Long)]
+    val stream = in.toDF().toDF("id", "whash")
+    runToTable(
+      Streaming.hamming64AgainstIndex(stream, index, "id", "whash", 3), "h64_vs_index") {
+      incoming.grouped(5).foreach(chunk => in.addData(chunk: _*))
+    }
+    val streamPairs = spark.table("h64_vs_index")
+      .as[(String, String, Int)].collect()
+      .map { case (sid, cid, h) => ((cid.toLong, sid.toLong), h) }.toMap
+    val batchPairs = Dedup.hammingPairsRs64Indexed(
+        index, incoming.toDF("id", "whash"), "id", "whash", 3)
+      .select("lid", "rid", "hamming").as[(Long, Long, Int)].collect()
+      .map { case (l, r, h) => ((l, r), h) }.toMap
+    index.unpersist()
+    assert(streamPairs.nonEmpty, "incoming must contain engineered corpus near-dups")
+    assert(streamPairs === batchPairs)
+    assert(streamPairs.exists(_._2 == 0), "identical cross-side copies must appear")
+    assert(streamPairs.exists(_._2 == 2), "hamming-2 near-misses must appear")
+    val dupes = spark.table("h64_vs_index").groupBy("id", "corpus_id").count()
+      .where($"count" > 1).collect()
+    assert(dupes.isEmpty, s"duplicate emissions: ${dupes.take(3).mkString}")
+  }
+
   // shared fixture for the ingest-loop tests — the StagesSpec multi-day
   // design: every probe is an IDENTICAL copy (jaccard 1.0 / hamming 0), so
   // expected keep-sets do not depend on LSH recall luck, and day d's
