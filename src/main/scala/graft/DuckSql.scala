@@ -808,6 +808,25 @@ WHERE s.id % 10 = 0 AND s.id NOT IN (SELECT rid FROM drops)
   AND s.id NOT IN (SELECT id FROM (${clusterIds(pairs)}) WHERE cluster_id != id)"""
   }
 
+  /** Mirrors Dedup.incrementalKeepIdsHamming64Indexed over dHash signatures
+    * — the [[mmWavKeep]] construction on the image family. */
+  def mmDHashKeep(table: String, key: String, maxHamming: Int): String = {
+    val pairs =
+      s"""SELECT a.id AS l, b.id AS r FROM dh a, dh b
+WHERE a.id % 10 = 0 AND b.id % 10 = 0 AND a.id < b.id
+  AND a.id NOT IN (SELECT rid FROM drops)
+  AND b.id NOT IN (SELECT rid FROM drops)
+  AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
+    s"""WITH ${dHashCtes(table, key)},
+drops AS (
+  SELECT DISTINCT b.id AS rid FROM dh a, dh b
+  WHERE a.id % 10 != 0 AND b.id % 10 = 0
+    AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming)
+SELECT s.id AS id FROM dh s
+WHERE s.id % 10 = 0 AND s.id NOT IN (SELECT rid FROM drops)
+  AND s.id NOT IN (SELECT id FROM (${clusterIds(pairs)}) WHERE cluster_id != id)"""
+  }
+
   /** Mirrors Dedup.hammingPairsRs64 (and its indexed twin) over dHash
     * signatures: all cross-side pairs within Hamming `maxHamming`, corpus =
     * id%10 != 0, incoming = id%10 = 0 (the [[mmWavHashPairsRs]] convention
