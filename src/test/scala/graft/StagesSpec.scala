@@ -116,6 +116,43 @@ class StagesSpec extends SparkSpec {
     }
   }
 
+  test("bucketed generic-sig (hammingIndex64) join is exchange-free on the corpus side") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val corpus = (0L until 60L).map(i => (i, mix(i))).toDF("id", "whash")
+    val incoming = (100L until 110L).map(i => (i, mix(i - 100L))).toDF("id", "whash")
+    Stages.writeBucketed(
+      Dedup.hammingIndex64(corpus, "id", "whash"), "graft_h64_idx", "bucket", 8)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      val pairs = Dedup.hammingPairsRs64Indexed(spark.table("graft_h64_idx"),
+        incoming, "id", "whash", 3)
+      val exec = pairs.queryExecution.executedPlan
+      val smjSides = exec.collect { case j: SortMergeJoinExec => Seq(j.left, j.right) }.flatten
+      val corpusSides = smjSides.filter(_.toString.contains("graft_h64_idx"))
+      assert(corpusSides.nonEmpty, s"expected a sort-merge join over the index:\n$exec")
+      def shuffles(p: SparkPlan) = p.collect { case e: ShuffleExchangeExec => e }
+      assert(corpusSides.forall(s => shuffles(s).isEmpty),
+        s"corpus side of the indexed generic-sig join must not shuffle:\n$exec")
+      assert(pairs.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.sql("DROP TABLE IF EXISTS graft_h64_idx")
+    }
+  }
+
   test("bucketed simhash index joins the incoming batch with no corpus-side exchange") {
     import graft.operators.{Dedup, WhitespaceTokenizer}
     import org.apache.spark.sql.execution.SparkPlan
