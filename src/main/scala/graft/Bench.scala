@@ -389,18 +389,25 @@ object Bench {
     // per-query regressions unauditable from the artifact alone.
     val fullDoc = s"""{"metric":"total","value":$totalStr,"unit":"sec","headline_count":${best.results.size},"queries":$qs$calJson$recallJson$hostJson,"sf":"$sfDir","generated_unix_ms":${System.currentTimeMillis()}}"""
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        fullDoc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      System.err.println(s"[bench] full artifact written to $outPath")
-    } catch {
-      case t: Throwable =>
-        System.err.println(s"[bench] WARNING: could not write $outPath: $t")
-    }
+    // a failed write must be VISIBLE in the stdout line (the only thing the
+    // driver captures) — recall/host detail lives only in the file, so a
+    // stdout line advertising a path that was never written would silently
+    // lose the round's sidecar data
+    val artifactField =
+      try {
+        java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+          fullDoc.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        System.err.println(s"[bench] full artifact written to $outPath")
+        outPath
+      } catch {
+        case scala.util.control.NonFatal(t) =>
+          System.err.println(s"[bench] WARNING: could not write $outPath: $t")
+          s"WRITE_FAILED:$outPath"
+      }
     val calSummary = ratioOpt.map(r =>
       f""","calibration":{"ratio":$r%.3f,"calibrated_total":${best.total / r}%.2f}""")
       .getOrElse("")
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$calSummary,"verdict":"${best.verdict.takeWhile(_ != ' ')}","artifact":"$outPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs$calSummary,"verdict":"${best.verdict.takeWhile(_ != ' ')}","artifact":"$artifactField","sf":"$sfDir"}""")
     spark.stop()
   }
 

@@ -791,53 +791,56 @@ WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
     * within Hamming `maxHamming` of a corpus item, then collapse the
     * survivors' within-batch Hamming clusters to min-id representatives —
     * the [[clusterIds]] recursive-CC collapse over the survivor pairs. */
-  def mmWavKeep(table: String, key: String, maxHamming: Int): String = {
+  def mmWavKeep(table: String, key: String, maxHamming: Int): String =
+    hammingKeepSql(wavHashCtes(table, key), "wh", "whash", maxHamming)
+
+  /** Shared generator of the generic-Hamming KEEP oracles (mirrors
+    * Dedup.incrementalKeepIdsHamming64Indexed; corpus = id%10 != 0,
+    * incoming = id%10 = 0): drop in-radius incoming, then the
+    * [[clusterIds]] recursive-CC collapse over the survivor pairs — ONE
+    * body so the keep-set convention can never drift between the signature
+    * families' oracles. `cte`/`sig` name the signature CTE and column of
+    * the supplied `ctes` chain. */
+  private def hammingKeepSql(ctes: String, cte: String, sig: String,
+                             maxHamming: Int): String = {
     val pairs =
-      s"""SELECT a.id AS l, b.id AS r FROM wh a, wh b
+      s"""SELECT a.id AS l, b.id AS r FROM $cte a, $cte b
 WHERE a.id % 10 = 0 AND b.id % 10 = 0 AND a.id < b.id
   AND a.id NOT IN (SELECT rid FROM drops)
   AND b.id NOT IN (SELECT rid FROM drops)
-  AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
-    s"""WITH ${wavHashCtes(table, key)},
+  AND bit_count(xor(a.$sig, b.$sig)) <= $maxHamming"""
+    s"""WITH $ctes,
 drops AS (
-  SELECT DISTINCT b.id AS rid FROM wh a, wh b
+  SELECT DISTINCT b.id AS rid FROM $cte a, $cte b
   WHERE a.id % 10 != 0 AND b.id % 10 = 0
-    AND bit_count(xor(a.whash, b.whash)) <= $maxHamming)
-SELECT s.id AS id FROM wh s
+    AND bit_count(xor(a.$sig, b.$sig)) <= $maxHamming)
+SELECT s.id AS id FROM $cte s
 WHERE s.id % 10 = 0 AND s.id NOT IN (SELECT rid FROM drops)
   AND s.id NOT IN (SELECT id FROM (${clusterIds(pairs)}) WHERE cluster_id != id)"""
   }
+
+  /** Shared generator of the generic-Hamming R×S oracles (mirrors
+    * Dedup.hammingPairsRs64 and its indexed twin — the lossless bucket
+    * encoding makes them equal): all cross-side pairs within `maxHamming`,
+    * corpus = id%10 != 0, incoming = id%10 = 0. */
+  private def hammingPairsRsSql(ctes: String, cte: String, sig: String,
+                                maxHamming: Int): String =
+    s"""WITH $ctes
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.$sig, b.$sig)) AS BIGINT) AS hamming
+FROM $cte a, $cte b
+WHERE a.id % 10 != 0 AND b.id % 10 = 0
+  AND bit_count(xor(a.$sig, b.$sig)) <= $maxHamming"""
 
   /** Mirrors Dedup.incrementalKeepIdsHamming64Indexed over dHash signatures
     * — the [[mmWavKeep]] construction on the image family. */
-  def mmDHashKeep(table: String, key: String, maxHamming: Int): String = {
-    val pairs =
-      s"""SELECT a.id AS l, b.id AS r FROM dh a, dh b
-WHERE a.id % 10 = 0 AND b.id % 10 = 0 AND a.id < b.id
-  AND a.id NOT IN (SELECT rid FROM drops)
-  AND b.id NOT IN (SELECT rid FROM drops)
-  AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
-    s"""WITH ${dHashCtes(table, key)},
-drops AS (
-  SELECT DISTINCT b.id AS rid FROM dh a, dh b
-  WHERE a.id % 10 != 0 AND b.id % 10 = 0
-    AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming)
-SELECT s.id AS id FROM dh s
-WHERE s.id % 10 = 0 AND s.id NOT IN (SELECT rid FROM drops)
-  AND s.id NOT IN (SELECT id FROM (${clusterIds(pairs)}) WHERE cluster_id != id)"""
-  }
+  def mmDHashKeep(table: String, key: String, maxHamming: Int): String =
+    hammingKeepSql(dHashCtes(table, key), "dh", "dhash", maxHamming)
 
   /** Mirrors Dedup.hammingPairsRs64 (and its indexed twin) over dHash
-    * signatures: all cross-side pairs within Hamming `maxHamming`, corpus =
-    * id%10 != 0, incoming = id%10 = 0 (the [[mmWavHashPairsRs]] convention
-    * on the image family). */
+    * signatures — [[hammingPairsRsSql]] on the image family. */
   def mmDHashPairsRs(table: String, key: String, maxHamming: Int): String =
-    s"""WITH ${dHashCtes(table, key)}
-SELECT a.id AS lid, b.id AS rid,
-  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
-FROM dh a, dh b
-WHERE a.id % 10 != 0 AND b.id % 10 = 0
-  AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
+    hammingPairsRsSql(dHashCtes(table, key), "dh", "dhash", maxHamming)
 
   /** Expected WAV decode (16-bit mono 8 kHz PCM, 100 + id%50 samples,
     * sample i = (id·31 + i·17) % 20001 − 10000) — mirrors
@@ -892,12 +895,7 @@ WHERE a.id < b.id AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
     * cross-side pairs within Hamming `maxHamming`, corpus = id%10 != 0,
     * incoming = id%10 = 0 (the text families' 90/10 rs convention). */
   def mmWavHashPairsRs(table: String, key: String, maxHamming: Int): String =
-    s"""WITH ${wavHashCtes(table, key)}
-SELECT a.id AS lid, b.id AS rid,
-  CAST(bit_count(xor(a.whash, b.whash)) AS BIGINT) AS hamming
-FROM wh a, wh b
-WHERE a.id % 10 != 0 AND b.id % 10 = 0
-  AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
+    hammingPairsRsSql(wavHashCtes(table, key), "wh", "whash", maxHamming)
 
   /** Double-precision sequential-fold cosine between two embedding columns
     * (matches Spark's zip_with + aggregate fold). */

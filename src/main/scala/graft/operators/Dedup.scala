@@ -871,9 +871,27 @@ object Dedup {
                                        admitBuckets: Int = 8,
                                        autoCompactAt: Int = 16): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
-    val bandBits = family.bits / 4
-    val batchIdx = simHashIndex(incoming, key, value, tokenizer, family)
-      .persistTracked
+    keepAgainstHammingIndex(corpusIndex,
+      simHashIndex(incoming, key, value, tokenizer, family),
+      incoming, key, maxHamming, family.bits / 4, admitTo, admitBuckets,
+      autoCompactAt)
+  }
+
+  /** The shared admission skeleton of the index-layout keep-set operators
+    * ([[incrementalKeepIdsSimHashIndexed]], the generic
+    * [[incrementalKeepIdsHamming64Indexed]]): (1) cross-side drop against
+    * the corpus index, (2) within-batch cluster collapse over the surviving
+    * subset of the batch index, (3) optional admit-append with the
+    * read-after-append lineage cut (the keep-set is materialized BEFORE the
+    * table its plan reads is mutated — rationale at
+    * [[incrementalKeepIdsIndexed]]). One body so a lifecycle fix can never
+    * silently diverge between the families. */
+  private def keepAgainstHammingIndex(corpusIndex: DataFrame, batchIdx0: DataFrame,
+                                      incoming: DataFrame, key: String,
+                                      maxHamming: Int, bandBits: Int,
+                                      admitTo: Option[String], admitBuckets: Int,
+                                      autoCompactAt: Int): DataFrame = {
+    val batchIdx = batchIdx0.persistTracked
     // stage 1: cross-side — a corpus near-dup drops the incoming copy
     val vsCorpus = simIndexFramePairs(corpusIndex, batchIdx, maxHamming,
       bandBits, selfDedup = false)
@@ -888,9 +906,6 @@ object Dedup {
     admitTo match {
       case None => kept
       case Some(table) =>
-        // same read-after-append trap as the MinHash mirror: cut the
-        // lineage to a materialized leaf BEFORE mutating the table the
-        // keep-set's plan reads (rationale at incrementalKeepIdsIndexed)
         val stable = Checkpoints.cut(kept)
         val admittedIdx = batchIdx.join(stable.select(col(key).as("keep_id")),
           batchIdx("id") === col("keep_id"), "left_semi")
@@ -1032,27 +1047,7 @@ object Dedup {
                                          admitBuckets: Int = 8,
                                          autoCompactAt: Int = 16): DataFrame = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
-    val batchIdx = hammingIndex64(incoming, key, sigCol).persistTracked
-    // stage 1: cross-side — a corpus near-dup drops the incoming copy
-    val vsCorpus = simIndexFramePairs(corpusIndex, batchIdx, maxHamming,
-      16, selfDedup = false)
-    val dropIds = vsCorpus.select(col("rid")).distinct().persistTracked
-    val survivors = incoming.join(dropIds, incoming(key) === col("rid"), "left_anti")
-      .persistTracked
-    // stage 2: within-batch — over the surviving subset of the batch index
-    val survIdx = batchIdx.join(dropIds, batchIdx("id") === dropIds("rid"), "left_anti")
-    val selfPairs = simIndexFramePairs(survIdx, survIdx, maxHamming, 16,
-      selfDedup = true)
-    val kept = clusterKeepIds(survivors, key, selfPairs, "lid", "rid")
-    admitTo match {
-      case None => kept
-      case Some(table) =>
-        val stable = Checkpoints.cut(kept)
-        val admittedIdx = batchIdx.join(stable.select(col(key).as("keep_id")),
-          batchIdx("id") === col("keep_id"), "left_semi")
-        graft.sources.Stages.appendBucketed(admittedIdx, table, "bucket",
-          admitBuckets, autoCompactAt)
-        stable
-    }
+    keepAgainstHammingIndex(corpusIndex, hammingIndex64(incoming, key, sigCol),
+      incoming, key, maxHamming, 16, admitTo, admitBuckets, autoCompactAt)
   }
 }

@@ -518,8 +518,12 @@ object JaccardJoin {
         // snapshot, so their build shuffles are never in a pass's removal
         // set (the janitor's cross-pass-reuse precondition)
         val sc = prep.table.sparkSession.sparkContext
+        // per-invocation unique job-group tags: two concurrent multi-pass
+        // joins on one session must never attribute each other's stages
+        // (a constant per-pass tag would merge their listener sets)
+        val runTag = java.lang.Long.toHexString(System.nanoTime())
         val (_, prepShuffles) =
-          org.apache.spark.GraftShuffleJanitor.runScoped(sc, "graft-jac-self-prep") {
+          org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-self-$runTag-prep") {
             vals.count(); vtkdf.count(); prep.varr.count()
           }
         val slices = (0 until passes).map { p =>
@@ -532,12 +536,17 @@ object JaccardJoin {
           // sf10 (5-7 GB retained per pass → scratch death the mode exists
           // to prevent).
           val (slice, passShuffles) =
-            org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-self-pass-$p") {
+            org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-self-$runTag-pass-$p") {
               cutSlice(vmOfSlice(Some(
                 pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))),
                 s"jacself_p$p")
             }
-          org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
+          // subtract the prep shuffles: a prep map stage RESUBMITTED during
+          // this pass (FetchFailed after executor loss) runs under the
+          // pass's job group and would otherwise land in the removal set —
+          // fully unregistering a shuffle the persisted frames still recompute
+          // through (releaseFiles below keeps those registered by design)
+          org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles -- prepShuffles)
           slice
         }.reduce(_ union _)
         // every consumer from here on reads the PERSISTED frames, not their
@@ -766,18 +775,21 @@ object JaccardJoin {
         // before the first snapshot, then reclaim each pass's shuffles
         // deterministically once its checkpoint lands
         val sc = lTable.sparkSession.sparkContext
+        // see selfJoinDedupedPrepared: unique tags per invocation, and prep
+        // shuffles subtracted from every pass's removal set
+        val runTag = java.lang.Long.toHexString(System.nanoTime())
         val (_, prepShuffles) =
-          org.apache.spark.GraftShuffleJanitor.runScoped(sc, "graft-jac-rs-prep") {
+          org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-rs-$runTag-prep") {
             dfreq.count(); lTkdf.count(); rTkdf.count()
           }
         val slices = (0 until passes).map { p =>
           val (slice, passShuffles) =
-            org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-rs-pass-$p") {
+            org.apache.spark.GraftShuffleJanitor.runScoped(sc, s"graft-jac-rs-$runTag-pass-$p") {
               cutSlice(vmOfSlice(Some(
                 pmod(xxhash64(col("id")), lit(passes.toLong)) === lit(p.toLong))),
                 s"jacrs_p$p")
             }
-          org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles)
+          org.apache.spark.GraftShuffleJanitor.remove(sc, passShuffles -- prepShuffles)
           slice
         }.reduce(_ union _)
         // see selfJoinDedupedPrepared: the prep frames' build shuffles are

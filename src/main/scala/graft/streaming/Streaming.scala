@@ -423,10 +423,11 @@ object Streaming {
                             sigCol: String, maxHamming: Int = 3): Dataset[CorpusSimMatch] = {
     require(maxHamming < 4, "4-band blocking only guarantees recall for hamming <= 3")
     import stream.sparkSession.implicits._
-    val streamSide = graft.operators.Dedup.banded64(
-        stream.select(col(key).cast("string").as("id"), col(sigCol).as("simhash")), 64)
-      .withColumn("bucket",
-        shiftleft(col("band").cast("long"), 16).bitwiseOR(col("bandval")))
+    // the SAME index constructor as the stored side — the lossless bucket
+    // encoding is the invariant that makes indexed == direct, so it must
+    // exist in exactly one place
+    val streamSide = graft.operators.Dedup.hammingIndex64(
+      stream.select(col(key).cast("string").as("sid"), col(sigCol)), "sid", sigCol)
     val xor = col("s.simhash").bitwiseXOR(col("c.simhash"))
     streamSide.alias("s")
       .join(corpusIndex.alias("c"),

@@ -87,8 +87,17 @@ object GraftShuffleJanitor {
       sc.setJobGroup(tag, s"graft bounded-footprint pass [$tag]",
         interruptOnCancel = false)
       val result = body
-      // listener events are posted asynchronously; drain before snapshotting
-      sc.listenerBus.waitUntilEmpty(60000L)
+      // listener events are posted asynchronously; drain before snapshotting.
+      // A bus that cannot drain (backlogged event-log listener on slow
+      // storage) must DEGRADE to a leak — returning only the ids seen so
+      // far under-removes — never to failing a join whose data already
+      // materialized successfully.
+      try sc.listenerBus.waitUntilEmpty(60000L)
+      catch {
+        case _: java.util.concurrent.TimeoutException =>
+          System.err.println(s"[janitor] listener bus did not drain in 60s for" +
+            s" [$tag] — reclaiming only the ${ids.size} stage(s) seen so far")
+      }
       (result, ids.asScala.toSet)
     } finally {
       sc.removeSparkListener(listener)

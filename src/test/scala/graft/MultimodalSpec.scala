@@ -132,11 +132,37 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(d => d.id -> d.whash).toMap
     for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L))
       assert(out(id) === refWavHash(id), s"whash for id=$id")
-    // gain invariance: doubling every sample quadruples every segment energy,
-    // preserving each adjacent comparison — the property the signature exists
-    // for (verified on the reference, which is pinned equal to the engine)
     val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
     assert(Multimodal.wavHash(junk, "id").count() === 0)
+  }
+
+  test("wavHash: gain invariance — scaling every sample preserves the hash") {
+    // doubling every sample quadruples every segment energy EXACTLY (integer
+    // math), preserving each adjacent comparison — the property the
+    // signature exists for, asserted on real WAV payloads
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val pcm = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (s, i) =>
+        pcm(2 * i) = (s & 255).toByte; pcm(2 * i + 1) = ((s >> 8) & 255).toByte
+      }
+      val fmt = new AudioFormat(8000f, 16, 1, true, false)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+          new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+        AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rnd = new scala.util.Random(7)
+    val base = Array.fill(130)((rnd.nextInt(16001) - 8000).toShort)
+    val doubled = base.map(s => (s * 2).toShort) // |s| <= 8000, so 2x fits 16-bit
+    val other = Array.fill(130)((rnd.nextInt(16001) - 8000).toShort)
+    val out = Multimodal.wavHash(
+        Seq((1L, wav(base)), (2L, wav(doubled)), (3L, wav(other)))
+          .toDF("id", "payload"), "id")
+      .collect().map(d => d.id -> d.whash).toMap
+    assert(out(1L) === out(2L), "2x gain must preserve the energy-envelope hash")
+    assert(out(1L) !== out(3L), "an unrelated signal must hash differently")
   }
 
   test("wav near-dup: banded pairs == brute-force hamming pairs (pigeonhole recall)") {
