@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver tail-parses Bench's compact stdout JSON as the LAST line; sbt's
+// trailing "[success] Total time: ..." banner has kept BENCH_r*.json at
+// parsed:null for three rounds. Suppress it so the emitted JSON ends stdout.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess // consumed by commands, not tasks
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

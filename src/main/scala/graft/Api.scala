@@ -115,6 +115,16 @@ object Api {
     * cannot unpersist before the caller materializes; long-lived sessions
     * making repeated library calls should invoke this after consuming each
     * result — it only touches graft-internal caches, unlike
-    * `spark.catalog.clearCache()`. Returns the number of caches released. */
+    * `spark.catalog.clearCache()`. Returns the number of caches released.
+    *
+    * INVALIDATION, not just un-caching, for passes-mode results: a
+    * multi-pass join run with `spark.graft.passes.spill=parquet` (the
+    * default) reads its slices from scratch parquet dirs
+    * ([[graft.operators.Checkpoints.cutToParquet]]) that this call DELETES.
+    * Unlike an unpersisted cache, a deleted file leaf cannot recompute —
+    * re-collecting such a result after clearCache() throws
+    * FileNotFoundException (or, if `spark.sql.files.ignoreMissingFiles` is
+    * enabled session-wide, silently returns empty slices). Consume
+    * passes-mode results fully before calling this. */
   def clearCache(): Int = PersistTracker.unpersistAll()
 }

@@ -142,6 +142,10 @@ object Bench {
   )
 
   def main(args: Array[String]): Unit = {
+    // All JSON below is built with f"..%.3f" interpolation, which follows the
+    // JVM default locale: a comma-decimal locale would emit invalid JSON in
+    // both the stdout line and BENCH_FULL.json. Pin ROOT before any format.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // default = core count (right for the small-SF bench data); override when
@@ -554,6 +558,45 @@ object Bench {
         .as("embedding"))
   }
 
+  /** Content tag of a fixture file/dir: every file's (path, size, mtime)
+    * folded through MD5. Cheap (no data read) and changes whenever the
+    * driver regenerates the parquet — the invalidation key for persisted
+    * recall baselines. */
+  private def fixtureTag(path: String): String = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.sortBy(_.getName).flatMap(walk)
+      else Seq(f)
+    val sig = walk(new java.io.File(path))
+      .map(f => s"${f.getPath}:${f.length}:${f.lastModified}").mkString("|")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(sig.getBytes("UTF-8")).take(6).map(b => f"$b%02x").mkString
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.foreach(deleteRec)
+    f.delete(): Unit
+  }
+
+  /** The recall sidecar's EXACT baselines are deterministic per (fixture,
+    * params) but cost brute-force joins to rebuild — ~88 s per bench attempt
+    * at sf0.1, dwarfing the 65 s headline total (r13 verdict #4). Persist
+    * each baseline once under the warehouse, keyed by the fixture's content
+    * tag, and re-read it until the driver regenerates the fixture. Stale
+    * tags of the same baseline are deleted on rebuild. */
+  private def cachedBaseline(spark: SparkSession, fixturePath: String, name: String)
+                            (build: => org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    val base = new java.io.File(wh, "graft_recall_baselines")
+    val dir = new java.io.File(base, s"$name-${fixtureTag(fixturePath)}")
+    if (!dir.exists()) {
+      Option(base.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(s"$name-")).foreach(deleteRec)
+      build.write.mode("overwrite").parquet(dir.getPath)
+    }
+    spark.read.parquet(dir.getPath)
+  }
+
   /** Approximate-path recall vs the exact twins, emitted as a `"recall"` key
     * INSIDE the single JSON line (a second line would break the driver's
     * parse). Skipped when the profile's tables are missing (stress corpus
@@ -672,9 +715,10 @@ object Bench {
       cTIdx.unpersist()
       cPqIdx.unpersist(); cExactL2.unpersist(); cExact.unpersist(); ce.unpersist()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-      val exactPairs = timed("exact_pairs")(JaccardJoin
-        .selfJoinDeduped(docs, "doc_id", "text", ws, 0.9)
-        .select("l_doc_id", "r_doc_id").persist())
+      val exactPairs = timed("exact_pairs")(cachedBaseline(spark,
+        s"$sfDir/documents.parquet", "exact_pairs")(
+        JaccardJoin.selfJoinDeduped(docs, "doc_id", "text", ws, 0.9)
+          .select("l_doc_id", "r_doc_id")).persist())
       val mh = timed("minhash_pairs")(Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
         Dedup.minHashPairs(docs, "doc_id", "text", ws, 0.9), "lid", "rid"))
       val sh = timed("simhash_pairs")(Recall.pairs(exactPairs, "l_doc_id", "r_doc_id",
@@ -685,9 +729,11 @@ object Bench {
       // recall edge), cheap at corpus×batch scale
       val corpus = docs.where(col("doc_id") % 10 =!= 0)
       val incoming = docs.where(col("doc_id") % 10 === 0)
-      val exactRs = timed("exact_rs_pairs")(JaccardJoin
-        .bruteForceRs(corpus, "doc_id", "text", incoming, "doc_id", "text", ws, 0.9)
-        .persist())
+      val exactRs = timed("exact_rs_pairs")(cachedBaseline(spark,
+        s"$sfDir/documents.parquet", "exact_rs_pairs")(
+        JaccardJoin.bruteForceRs(corpus, "doc_id", "text", incoming, "doc_id", "text",
+            ws, 0.9)
+          .select("l_doc_id", "r_doc_id")).persist())
       val mhRs = timed("minhash_rs_pairs")(Recall.pairs(exactRs, "l_doc_id", "r_doc_id",
         Dedup.minHashPairsRs(corpus, incoming, "doc_id", "text", ws, 0.9), "lid", "rid"))
       exactRs.unpersist()

@@ -897,6 +897,91 @@ WHERE a.id < b.id AND bit_count(xor(a.whash, b.whash)) <= $maxHamming"""
   def mmWavHashPairsRs(table: String, key: String, maxHamming: Int): String =
     hammingPairsRsSql(wavHashCtes(table, key), "wh", "whash", maxHamming)
 
+  /** The synth-Y4M geometry subquery shared by every video oracle: the
+    * DECADE of the id picks width/height/frame-count (so same-decade ids are
+    * controlled near-duplicates — Multimodal.synthY4m's fixture design);
+    * luma stays closed-form in the full id. */
+  private def y4mDims(table: String, key: String): String =
+    s"""vdims AS (SELECT $key AS id, 4 + ($key // 10) % 13 AS w,
+  3 + ($key // 10) % 11 AS h, 1 + ($key // 10) % 4 AS nf FROM $table)"""
+
+  /** Expected Y4M decode — mirrors decodeY4m ∘ synthY4m in closed form:
+    * header fields from the decade geometry, luma(x,y,f) =
+    * (id + 3x + 7y + 11f) % 256 folded into the first/last-pixel witnesses
+    * and the whole-stream luma sum. */
+  def mmY4m(table: String, key: String): String =
+    s"""WITH ${y4mDims(table, key)}
+SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(25 AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den,
+  CAST(nf AS BIGINT) AS n_frames,
+  CAST(id % 256 AS BIGINT) AS px00,
+  CAST((id + 3*(w-1) + 7*(h-1) + 11*(nf-1)) % 256 AS BIGINT) AS pxl,
+  CAST((SELECT SUM((id + 3*x + 7*y + 11*f) % 256)
+          FROM range(0,16) rx(x), range(0,13) ry(y), range(0,4) rf(f)
+         WHERE x < w AND y < h AND f < nf) AS BIGINT) AS y_sum
+FROM vdims"""
+
+  /** Mirrors Multimodal.y4mFrameHashes ∘ synthY4m: per-frame luma dHash —
+    * 9×8 nearest-neighbor grid (sx = x·w//9, sy = y·h//8), luma used
+    * directly as gray (mono plane), bit y·8+x iff luma(x+1,y) > luma(x,y).
+    * Same bit-63 signed-wrap spelling as [[dHashCtes]]. */
+  def mmY4mFrameHash(table: String, key: String): String =
+    s"""WITH ${y4mDims(table, key)},
+fg AS (
+  SELECT id, f, x, y,
+    (id + 3*((x*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l1,
+    (id + 3*(((x+1)*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l2
+  FROM vdims, range(0,4) tf(f), range(0,8) tx(x), range(0,8) ty(y)
+  WHERE f < nf)
+SELECT id, CAST(f AS BIGINT) AS frame_idx,
+  CAST(SUM(CASE WHEN l2 > l1 THEN
+      CASE WHEN y*8+x = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+    ELSE 0 END) AS BIGINT) AS fhash
+FROM fg GROUP BY id, f"""
+
+  /** The closed-form video-signature CTE chain shared by the y4m hash/pairs/
+    * keep oracles: the MIDDLE frame's (nf//2) luma dHash — mirrors
+    * Multimodal.y4mHash ∘ synthY4m. */
+  private def y4mHashCtes(table: String, key: String): String =
+    s"""${y4mDims(table, key)},
+vg AS (
+  SELECT id, x, y,
+    (id + 3*((x*w)//9) + 7*((y*h)//8) + 11*(nf//2)) % 256 AS l1,
+    (id + 3*(((x+1)*w)//9) + 7*((y*h)//8) + 11*(nf//2)) % 256 AS l2
+  FROM vdims, range(0,8) tx(x), range(0,8) ty(y)),
+vh AS (
+  SELECT id, CAST(SUM(CASE WHEN l2 > l1 THEN
+      CASE WHEN y*8+x = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+    ELSE 0 END) AS BIGINT) AS vhash
+  FROM vg GROUP BY id)"""
+
+  /** Mirrors Multimodal.y4mHash over the synth Y4M fixture. */
+  def mmY4mHash(table: String, key: String): String =
+    s"""WITH ${y4mHashCtes(table, key)}
+SELECT id, vhash FROM vh"""
+
+  /** Mirrors Dedup.hammingPairs64 ∘ Multimodal.y4mHash: every video pair
+    * within Hamming `maxHamming`, lid < rid — all-pairs at oracle scale vs
+    * the engine's 4-band pigeonhole join (the [[mmDHashPairs]] convention). */
+  def mmY4mHashPairs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${y4mHashCtes(table, key)}
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming
+FROM vh a, vh b
+WHERE a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming"""
+
+  /** Mirrors Dedup.hammingPairsRs64 (and its indexed twin) over video
+    * signatures — [[hammingPairsRsSql]] on the video family. */
+  def mmY4mHashPairsRs(table: String, key: String, maxHamming: Int): String =
+    hammingPairsRsSql(y4mHashCtes(table, key), "vh", "vhash", maxHamming)
+
+  /** Mirrors Dedup.incrementalKeepIdsHamming64Indexed over video signatures
+    * — the [[mmWavKeep]] construction on the video family. */
+  def mmY4mKeep(table: String, key: String, maxHamming: Int): String =
+    hammingKeepSql(y4mHashCtes(table, key), "vh", "vhash", maxHamming)
+
   /** Double-precision sequential-fold cosine between two embedding columns
     * (matches Spark's zip_with + aggregate fold). */
   private def cosExpr(a: String, b: String): String =

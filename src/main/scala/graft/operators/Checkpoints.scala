@@ -56,9 +56,12 @@ private[graft] object Checkpoints {
    * end of the pipeline by construction.
    *
    * The directory is tracked ([[PersistTracker.trackScratchDir]]) and
-   * reclaimed by [[graft.Api.clearCache]], the same lifecycle as the
-   * operators' persisted frames. Read-back passes the schema explicitly so
-   * an all-empty slice (zero part files) stays a valid empty frame.
+   * DELETED by [[graft.Api.clearCache]]. Note the lifecycle is STRONGER than
+   * the persisted frames': an unpersisted cache recomputes on next use, but a
+   * deleted parquet leaf cannot — results built on these slices become
+   * invalid (FileNotFoundException) after clearCache(), not merely cold.
+   * Read-back passes the schema explicitly so an all-empty slice (zero part
+   * files) stays a valid empty frame.
    */
   def cutToParquet(df: DataFrame, tag: String): DataFrame = {
     require(tag.matches("[A-Za-z0-9_\\-]+"), s"bad scratch tag '$tag'")

@@ -38,16 +38,32 @@ final case class WavFrameFeatures(id: Long, frame_idx: Long, n_samples: Long,
 /** A 64-bit audio fingerprint: sign-of-delta over the PCM energy envelope. */
 final case class WavHashed(id: Long, whash: Long)
 
+/** Decoded Y4M video: container header fields (dimensions, frame rate),
+  * frame count from walking the actual byte stream, plus pixel witnesses —
+  * first/last luma samples and the whole-stream luma sum. */
+final case class Y4mDecoded(id: Long, width: Long, height: Long,
+                            fps_num: Long, fps_den: Long, n_frames: Long,
+                            px00: Long, pxl: Long, y_sum: Long)
+
+/** One video frame's 64-bit perceptual hash: the dHash recipe over the
+  * frame's luma plane. */
+final case class Y4mFrameHashed(id: Long, frame_idx: Long, fhash: Long)
+
+/** A video-level 64-bit signature: the middle frame's luma dHash. */
+final case class Y4mHashed(id: Long, vhash: Long)
+
 /** A synthesized media payload (real encoded bytes). */
 final case class MediaPayload(id: Long, payload: Array[Byte])
 
 /**
- * Multimodal columns: image/audio payloads as opaque `binary` columns with
- * REAL codec passes over them — PNG/GIF decode, pixel-level resize, animation
- * frame extraction, and WAV PCM decode — using only the JDK's built-in codecs
- * (`javax.imageio`, `javax.sound.sampled`), no external dependencies, fully
- * headless. Video remains out of reach in this environment (the JDK ships no
- * video codec); everything else here runs real bytes end to end.
+ * Multimodal columns: image/audio/video payloads as opaque `binary` columns
+ * with REAL codec passes over them — PNG/GIF decode, pixel-level resize,
+ * animation frame extraction, WAV PCM decode, and Y4M (YUV4MPEG2) video
+ * decode — using only the JDK's built-in codecs (`javax.imageio`,
+ * `javax.sound.sampled`) plus a from-spec YUV4MPEG2 parser (the container is
+ * a plain-text header + raw uncompressed planar frames, so no codec library
+ * is needed); no external dependencies, fully headless. Compressed video
+ * (H.264 etc.) would slot into the same `mapPartitions` shape via JNI/FFI.
  *
  * Correctness story: the synth* generators render deterministic media whose
  * pixel/sample values are closed-form functions of the row id, so a DuckDB
@@ -436,6 +452,17 @@ object Multimodal {
       try {
         val ain = AudioSystem.getAudioInputStream(new ByteArrayInputStream(bytes))
         try {
+          // The recipe below reads 16-bit little-endian mono PCM. A WAV that
+          // decodes but in another shape (8/24-bit, big-endian, multichannel)
+          // would produce a well-formed yet recipe-inconsistent hash — and
+          // gain invariance breaks — so treat it like an unparseable payload
+          // and emit nothing rather than a silently wrong signature.
+          val fmt = ain.getFormat
+          if (fmt.getSampleSizeInBits != 16 || fmt.isBigEndian ||
+              fmt.getChannels != 1 ||
+              fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+            throw new javax.sound.sampled.UnsupportedAudioFileException(
+              s"wavHash needs 16-bit LE mono PCM, got $fmt")
           val pcm = ain.readAllBytes()
           val ns = pcm.length / 2
           val energies = new Array[Long](65)
@@ -488,4 +515,219 @@ object Multimodal {
         }
       }
     }(Encoders.product[WavDecoded])
+
+  // ---------------------------------------------------------------------
+  // Video: YUV4MPEG2 (Y4M) — plain-text header + raw uncompressed frames
+  // ---------------------------------------------------------------------
+
+  /** Render an id-derived video as a real YUV4MPEG2 stream (`Cmono` — the
+    * spec's luma-only colorspace, so every byte is a pixel witness). The
+    * DECADE of the id picks the geometry — width = 4 + (id/10)%13, height =
+    * 3 + (id/10)%11, frames = 1 + (id/10)%4 — while the luma is closed-form
+    * in the FULL id: luma(x,y,f) = (id + 3x + 7y + 11f) % 256. Videos in the
+    * same id-decade therefore share geometry and differ only by a constant
+    * luma shift of 1..9, which flips only the dHash comparisons whose
+    * operands straddle the 255→0 wrap — real near-duplicates with nonzero
+    * Hamming distance, the fixture the video dedup lifecycle needs (the
+    * synth PNG/WAV fixtures have no such controlled neighborhood). */
+  def synthY4m(df: DataFrame, key: String): Dataset[MediaPayload] =
+    df.select(col(key).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (4 + (id / 10) % 13).toInt
+        val h = (3 + (id / 10) % 11).toInt
+        val nf = (1 + (id / 10) % 4).toInt
+        val bos = new ByteArrayOutputStream()
+        bos.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n"
+          .getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+        var f = 0
+        while (f < nf) {
+          bos.write("FRAME\n".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              bos.write(((id + 3 * x + 7 * y + 11 * f) % 256).toInt)
+              x += 1
+            }
+            y += 1
+          }
+          f += 1
+        }
+        MediaPayload(id, bos.toByteArray)
+      }
+    }(Encoders.product[MediaPayload])
+
+  /** Parsed Y4M stream: geometry + frame rate from the header, the luma
+    * plane size per frame, and the offset of the first FRAME marker.
+    * Colorspaces beyond mono carry chroma planes after each luma plane —
+    * skipped for luma work, but sized so the frame walk stays aligned. */
+  private final case class Y4mStream(w: Int, h: Int, fpsN: Int, fpsD: Int,
+                                     lumaBytes: Int, chromaBytes: Int,
+                                     firstFrame: Int)
+
+  private def parseY4mHeader(b: Array[Byte]): Y4mStream = {
+    val nl = b.indexOf('\n'.toByte)
+    require(nl > 0, "no header line")
+    val header = new String(b, 0, nl, java.nio.charset.StandardCharsets.US_ASCII)
+    val tokens = header.split(' ')
+    require(tokens(0) == "YUV4MPEG2", s"bad magic '${tokens(0)}'")
+    var w = -1; var h = -1; var fpsN = -1; var fpsD = -1
+    var cs = "420" // the spec's default colorspace when no C param is present
+    tokens.iterator.drop(1).foreach { t =>
+      if (t.nonEmpty) t.charAt(0) match {
+        case 'W' => w = t.substring(1).toInt
+        case 'H' => h = t.substring(1).toInt
+        case 'F' =>
+          val Array(n, d) = t.substring(1).split(":", 2); fpsN = n.toInt; fpsD = d.toInt
+        case 'C' => cs = t.substring(1)
+        case _ => () // I/A/X params don't affect the frame walk
+      }
+    }
+    require(w > 0 && h > 0, s"bad geometry ${w}x$h")
+    val chroma =
+      if (cs == "mono") 0
+      else if (cs.startsWith("420")) 2 * ((w / 2) * (h / 2))
+      else if (cs.startsWith("422")) 2 * ((w / 2) * h)
+      else if (cs.startsWith("444")) 2 * (w * h)
+      else throw new IllegalArgumentException(s"unsupported colorspace C$cs")
+    Y4mStream(w, h, fpsN, fpsD, w * h, chroma, nl + 1)
+  }
+
+  /** Walk the FRAME markers, calling `onFrame(frameIdx, lumaOffset)` for each
+    * frame's luma plane; returns the frame count. Each FRAME line may carry
+    * its own parameters — consumed to the newline, per spec. */
+  private def walkY4mFrames(b: Array[Byte], s: Y4mStream)
+                           (onFrame: (Int, Int) => Unit): Int = {
+    var pos = s.firstFrame
+    var f = 0
+    while (pos < b.length) {
+      var nl = pos
+      while (nl < b.length && b(nl) != '\n'.toByte) nl += 1
+      val marker = new String(b, pos, math.min(5, nl - pos),
+        java.nio.charset.StandardCharsets.US_ASCII)
+      require(marker == "FRAME" && nl < b.length, s"bad frame marker at $pos")
+      val luma = nl + 1
+      require(luma + s.lumaBytes + s.chromaBytes <= b.length, "truncated frame")
+      onFrame(f, luma)
+      pos = luma + s.lumaBytes + s.chromaBytes
+      f += 1
+    }
+    f
+  }
+
+  /**
+   * REAL video decode over a binary payload column: parse the YUV4MPEG2
+   * plain-text header (geometry, frame rate, colorspace), walk the FRAME
+   * markers through the raw planar payload, and emit header fields + pixel
+   * witnesses (first luma sample of the first frame, last luma sample of the
+   * last frame, whole-stream luma sum) that only an actual frame walk can
+   * produce — the video analogue of [[decodeImage]]'s raster checksum.
+   * Unparseable payloads yield an all-zero row (filter on width = 0), the
+   * [[decodeWav]] convention. Zero shuffle: one narrow pass, payload bytes
+   * never leave the executors.
+   */
+  def decodeY4m(df: DataFrame, key: String,
+                payloadCol: String = "payload"): Dataset[Y4mDecoded] =
+    df.select(col(key).cast("long"), col(payloadCol)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        try {
+          val s = parseY4mHeader(b)
+          var sum = 0L
+          var px00 = 0L
+          var pxl = 0L
+          val n = walkY4mFrames(b, s) { (f, off) =>
+            if (f == 0) px00 = b(off) & 255L
+            pxl = b(off + s.lumaBytes - 1) & 255L
+            var i = off
+            val end = off + s.lumaBytes
+            while (i < end) { sum += b(i) & 255; i += 1 }
+          }
+          Y4mDecoded(id, s.w.toLong, s.h.toLong, s.fpsN.toLong, s.fpsD.toLong,
+            n.toLong, px00, pxl, sum)
+        } catch {
+          case scala.util.control.NonFatal(_) =>
+            Y4mDecoded(id, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }(Encoders.product[Y4mDecoded])
+
+  /** The [[dHash]] recipe over one luma plane: 9×8 nearest-neighbor grid
+    * (sx = x·w/9, sy = y·h/8 — the [[resizeImage]] kernel), bit y·8+x iff
+    * luma(x+1, y) > luma(x, y). Luma bytes ARE the gray values (no BT.601
+    * weighting needed), so the hash is exact integer math end to end. */
+  private def lumaDHash(b: Array[Byte], off: Int, w: Int, h: Int): Long = {
+    var hash = 0L
+    var y = 0
+    while (y < 8) {
+      val sy = y * h / 8
+      var prev = 0
+      var x = 0
+      while (x < 9) {
+        val l = b(off + sy * w + x * w / 9) & 255
+        if (x > 0 && l > prev) hash |= 1L << (y * 8 + (x - 1))
+        prev = l
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /**
+   * Per-frame 64-bit perceptual hash of a Y4M payload — one row per frame,
+   * the flat (id, frame_idx) shape a frame-sampling join or temporal-segment
+   * near-dup consumes ([[decodeFrames]]' convention, with the hash AS the
+   * pixel witness). Deterministic integer math end to end, so on the
+   * [[synthY4m]] fixture every frame hash is oracle-recomputable in closed
+   * form from the id alone. Unparseable payloads emit nothing.
+   */
+  def y4mFrameHashes(df: DataFrame, key: String,
+                     payloadCol: String = "payload"): Dataset[Y4mFrameHashed] =
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      try {
+        val s = parseY4mHeader(b)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Y4mFrameHashed]
+        walkY4mFrames(b, s) { (f, off) =>
+          out += Y4mFrameHashed(id, f.toLong, lumaDHash(b, off, s.w, s.h))
+        }
+        out
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }(Encoders.product[Y4mFrameHashed])
+
+  /**
+   * Video-level 64-bit signature: the MIDDLE frame's luma dHash (frame
+   * nf/2, integer division — one representative frame beats averaging,
+   * which blurs scene content into hash instability). Feeds the generic
+   * 64-bit Hamming dedup lifecycle ([[graft.operators.Dedup.hammingPairs64]]
+   * / R×S / durable index / keep-set / streaming admission) exactly as
+   * [[dHash]] does for images and [[wavHash]] for audio — completing the
+   * image/audio/video symmetry. Unparseable payloads emit nothing.
+   */
+  def y4mHash(df: DataFrame, key: String,
+              payloadCol: String = "payload"): Dataset[Y4mHashed] =
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      try {
+        val s = parseY4mHeader(b)
+        var mid = 0L
+        var n = 0
+        // two-pass-free: count frames while remembering each offset is not
+        // needed — nf is tiny, but stay O(1) memory by walking twice only if
+        // the middle frame is behind us; one walk recording offsets is fine
+        // (a Y4M stream has one offset per frame, not per pixel)
+        val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
+        walkY4mFrames(b, s) { (_, off) => offs += off; n += 1 }
+        if (n == 0) None
+        else {
+          mid = lumaDHash(b, offs(n / 2), s.w, s.h)
+          Some(Y4mHashed(id, mid))
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }(Encoders.product[Y4mHashed])
 }

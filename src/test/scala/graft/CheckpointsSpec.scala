@@ -53,6 +53,33 @@ class CheckpointsSpec extends SparkSpec {
     }
   }
 
+  test("releaseFiles: evicting a prep frame after release still recomputes correctly") {
+    // the janitor's recovery story for the passes mode's PREP shuffles:
+    // releaseFiles drops the files but KEEPS the registration, so a
+    // cache-evicted consumer that reaches the shuffle finds it
+    // registered-but-empty and the scheduler resubmits the parent map stage
+    // (r14 advice: the fallback path had no direct test)
+    import org.apache.spark.sql.functions._
+    val sc = spark.sparkContext
+    val (prep, ids) = org.apache.spark.GraftShuffleJanitor.runScoped(
+      sc, "janitor-evict-test") {
+      val f = spark.range(0, 10000).toDF("id")
+        .groupBy((col("id") % 100).as("k")).agg(sum("id").as("s"))
+        .persist()
+      f.count() // materialize cache + the build shuffle
+      f
+    }
+    assert(ids.nonEmpty, "the scoped groupBy registered no shuffle")
+    val expected = prep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    org.apache.spark.GraftShuffleJanitor.releaseFiles(sc, ids)
+    // cached consumption never touches the released files
+    assert(prep.count() === 100)
+    // evict: the next action must rebuild through the released shuffle
+    prep.unpersist(blocking = true)
+    val recomputed = prep.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(recomputed === expected, "post-eviction recompute diverged")
+  }
+
   test("reliable mode without a checkpoint dir fails fast with guidance") {
     // fresh context state: cannot unset a checkpoint dir on a live context,
     // so only assert the guard when none is set yet — otherwise assert the

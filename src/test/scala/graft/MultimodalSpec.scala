@@ -269,4 +269,141 @@ class MultimodalSpec extends SparkSpec {
     val wav = Multimodal.decodeWav(junk, "id").collect()
     assert(wav.length === 2 && wav.forall(w => w.sample_rate === 0L && w.n_frames === 0L))
   }
+
+  // ------------------------------------------------------------------
+  // Video (Y4M)
+  // ------------------------------------------------------------------
+
+  // closed-form reference of the synthetic video: decade-derived geometry,
+  // full-id luma
+  private def vdims(id: Long): (Int, Int, Int) =
+    ((4 + (id / 10) % 13).toInt, (3 + (id / 10) % 11).toInt, (1 + (id / 10) % 4).toInt)
+  private def vluma(id: Long, x: Int, y: Int, f: Int): Int =
+    ((id + 3 * x + 7 * y + 11 * f) % 256).toInt
+  private def refFrameHash(id: Long, f: Int): Long = {
+    val (w, h, _) = vdims(id)
+    (for (y <- 0 until 8; x <- 0 until 8
+          if vluma(id, (x + 1) * w / 9, y * h / 8, f) > vluma(id, x * w / 9, y * h / 8, f))
+      yield 1L << (y * 8 + x)).foldLeft(0L)(_ | _)
+  }
+
+  test("synthY4m -> decodeY4m: real YUV4MPEG2 round trip matches the closed form") {
+    val out = Multimodal.decodeY4m(Multimodal.synthY4m(ids, "id").toDF(), "id")
+      .collect().map(d => d.id -> d).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)) {
+      val (w, h, nf) = vdims(id)
+      val d = out(id)
+      assert(d.width === w && d.height === h, s"geometry for id=$id")
+      assert(d.fps_num === 25L && d.fps_den === 1L)
+      assert(d.n_frames === nf.toLong)
+      assert(d.px00 === vluma(id, 0, 0, 0).toLong)
+      assert(d.pxl === vluma(id, w - 1, h - 1, nf - 1).toLong)
+      val esum = (for (f <- 0 until nf; y <- 0 until h; x <- 0 until w)
+        yield vluma(id, x, y, f).toLong).sum
+      assert(d.y_sum === esum, s"luma checksum for id=$id")
+    }
+  }
+
+  test("y4mFrameHashes + y4mHash: closed form per frame; middle-frame signature; corrupt drops") {
+    val frames = Multimodal.y4mFrameHashes(Multimodal.synthY4m(ids, "id").toDF(), "id")
+      .collect().groupBy(_.id)
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)) {
+      val (_, _, nf) = vdims(id)
+      val fh = frames(id).sortBy(_.frame_idx)
+      assert(fh.length === nf)
+      fh.zipWithIndex.foreach { case (f, i) =>
+        assert(f.frame_idx === i.toLong && f.fhash === refFrameHash(id, i),
+          s"frame hash for id=$id f=$i")
+      }
+    }
+    val vh = Multimodal.y4mHash(Multimodal.synthY4m(ids, "id").toDF(), "id")
+      .collect().map(d => d.id -> d.vhash).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)) {
+      val (_, _, nf) = vdims(id)
+      assert(vh(id) === refFrameHash(id, nf / 2), s"video hash for id=$id")
+    }
+    val junk = Seq((9L, Array[Byte](1, 2, 3))).toDF("id", "payload")
+    assert(Multimodal.y4mHash(junk, "id").count() === 0)
+    assert(Multimodal.y4mFrameHashes(junk, "id").count() === 0)
+    val dec = Multimodal.decodeY4m(junk, "id").collect()
+    assert(dec.length === 1 && dec.head.width === 0L && dec.head.n_frames === 0L)
+  }
+
+  test("y4m near-dup: banded pairs == brute force; same-decade fixture has real pairs") {
+    // 0..300 spans 30 decades: the first 1..3-bit same-decade pairs appear
+    // around id 170 (wrap-flip count depends on where the 255→0 boundary
+    // lands on the sampled grid — verified against the closed form)
+    val many = (0L until 300L).toDF("id")
+    val hashes = Multimodal.y4mHash(Multimodal.synthY4m(many, "id").toDF(), "id")
+      .collect().map(d => d.id -> d.vhash).toMap
+    val expect = (for {
+      l <- hashes.keys; r <- hashes.keys if l < r
+      hd = java.lang.Long.bitCount(hashes(l) ^ hashes(r)) if hd <= 3
+    } yield (l, r, hd.toLong)).toSet
+    // the decade fixture must yield a non-degenerate neardup set: at least
+    // one pair at Hamming 0 < d <= 3 (small luma shift, few wrap flips) and
+    // at least one same-decade pair EXCLUDED (enough wrap flips) — otherwise
+    // the threshold isn't exercised in both directions
+    assert(expect.nonEmpty, "fixture produced no near-dup pairs at all")
+    assert(expect.exists(_._3 > 0L), "no pair with 0 < hamming <= 3")
+    val sameDecadeOut = (for {
+      l <- hashes.keys; r <- hashes.keys
+      if l < r && l / 10 === r / 10
+      hd = java.lang.Long.bitCount(hashes(l) ^ hashes(r)) if hd > 3
+    } yield (l, r)).toSet
+    assert(sameDecadeOut.nonEmpty, "every same-decade pair fell inside the radius")
+    val got = Dedup.hammingPairs64(
+        Multimodal.y4mHash(Multimodal.synthY4m(many, "id").toDF(), "id").toDF(),
+        "id", "vhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(got.length === got.toSet.size, "duplicate pair emissions")
+    assert(got.toSet === expect)
+  }
+
+  test("y4m R×S near-dup: banded cross pairs == brute force; indexed == direct") {
+    val docs = (0L until 80L).toDF("id")
+    def sig(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.y4mHash(Multimodal.synthY4m(d, "id").toDF(), "id").toDF()
+    val corpus = docs.where($"id" % 10 =!= 0)
+    val incoming = docs.where($"id" % 10 === 0)
+    val cHash = sig(corpus).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val iHash = sig(incoming).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (for {
+      l <- cHash.keys; r <- iHash.keys
+      hd = java.lang.Long.bitCount(cHash(l) ^ iHash(r)) if hd <= 3
+    } yield (l, r, hd.toLong)).toSet
+    val direct = Dedup.hammingPairsRs64(sig(corpus), sig(incoming), "id", "vhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(direct.length === direct.toSet.size, "duplicate pair emissions")
+    assert(direct.toSet === expect)
+    val indexed = Dedup.hammingPairsRs64Indexed(
+        Dedup.hammingIndex64(sig(corpus), "id", "vhash"),
+        sig(incoming), "id", "vhash", 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(indexed.sorted.toSeq === direct.sorted.toSeq, "indexed != direct")
+  }
+
+  test("decodeY4m: non-mono colorspaces walk chroma planes correctly") {
+    // hand-built C420 stream (the spec default when no C param is present):
+    // 4x4 luma plane = bytes 0..15 per frame, then 2x2 U + 2x2 V planes of
+    // 0xEE — the luma sum must EXCLUDE chroma, and the frame walk must stay
+    // aligned across 2 frames
+    def frame(lumaBase: Int): Array[Byte] =
+      "FRAME\n".getBytes("US-ASCII") ++
+        (0 until 16).map(i => (lumaBase + i).toByte).toArray ++
+        Array.fill[Byte](8)(0xEE.toByte)
+    val bytes = "YUV4MPEG2 W4 H4 F30:1 Ip A1:1\n".getBytes("US-ASCII") ++
+      frame(0) ++ frame(100)
+    val d = Multimodal.decodeY4m(Seq((5L, bytes)).toDF("id", "payload"), "id")
+      .collect().head
+    assert(d.width === 4L && d.height === 4L && d.n_frames === 2L)
+    assert(d.fps_num === 30L && d.fps_den === 1L)
+    assert(d.px00 === 0L && d.pxl === 115L)
+    assert(d.y_sum === (0 until 16).sum + (100 until 116).sum)
+    // truncated chroma = malformed stream, not a short read: zero row
+    val cut = bytes.dropRight(3)
+    val bad = Multimodal.decodeY4m(Seq((6L, cut)).toDF("id", "payload"), "id")
+      .collect().head
+    assert(bad.width === 0L && bad.n_frames === 0L)
+  }
 }

@@ -66,4 +66,21 @@ for k, v in sorted(results.items()):
     if not v.startswith("OK"):
         fails += 1
 print(f"\n{len(results) - fails}/{len(results)} green")
+
+# Canonical machine-derived surface counts (r13 verdict: the 139-vs-140
+# close-out drift must be structurally impossible — README/BENCH_NOTES quote
+# THESE numbers, never a running tally). The dump dirs are the registry:
+# Verify writes one dir per SparkEntry.queries entry and logs any failure.
+dumped = sorted(d for d in os.listdir(out_dir)
+                if os.path.isdir(os.path.join(out_dir, d)))
+rows_only = sorted(set(dumped) - set(oracle))
+orphan_oracles = sorted(set(oracle) - set(dumped))
+print(f"[surface] registered={len(dumped)} oracle_checked={len(oracle)} "
+      f"rows_only={len(rows_only)}")
+if rows_only:
+    print(f"[surface] rows-only (no oracle entry): {', '.join(rows_only)}")
+if orphan_oracles:
+    print(f"[surface] ORPHAN oracle entries with no dump dir: "
+          f"{', '.join(orphan_oracles)}")
+    fails += 1
 sys.exit(1 if fails else 0)
