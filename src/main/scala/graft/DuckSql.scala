@@ -982,6 +982,30 @@ WHERE a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming"""
   def mmY4mKeep(table: String, key: String, maxHamming: Int): String =
     hammingKeepSql(y4mHashCtes(table, key), "vh", "vhash", maxHamming)
 
+  /** Mirrors Dedup.hammingPairs64 over PER-FRAME video hashes keyed by the
+    * composite segment id (id·10 + frame_idx): every segment pair within
+    * Hamming `maxHamming`, lseg < rseg — temporal near-dup, same-video
+    * pairs included by design (the frame-hash CTE is [[mmY4mFrameHash]]'s). */
+  def mmY4mSegPairs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${y4mDims(table, key)},
+fg AS (
+  SELECT id, f, x, y,
+    (id + 3*((x*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l1,
+    (id + 3*(((x+1)*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l2
+  FROM vdims, range(0,4) tf(f), range(0,8) tx(x), range(0,8) ty(y)
+  WHERE f < nf),
+fh AS (
+  SELECT id*10 + f AS seg_id,
+    CAST(SUM(CASE WHEN l2 > l1 THEN
+        CASE WHEN y*8+x = 63 THEN -9223372036854775808
+             ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+      ELSE 0 END) AS BIGINT) AS fhash
+  FROM fg GROUP BY id, f)
+SELECT a.seg_id AS lid, b.seg_id AS rid,
+  CAST(bit_count(xor(a.fhash, b.fhash)) AS BIGINT) AS hamming
+FROM fh a, fh b
+WHERE a.seg_id < b.seg_id AND bit_count(xor(a.fhash, b.fhash)) <= $maxHamming"""
+
   /** Double-precision sequential-fold cosine between two embedding columns
     * (matches Spark's zip_with + aggregate fold). */
   private def cosExpr(a: String, b: String): String =
