@@ -181,6 +181,7 @@ object Bench {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Api.quietBoundedWindowLogs()
 
     // Full-plan action, NOT .count(): under count, Catalyst prunes every
     // unreferenced projection, so a projection-only query (text_stats_docs —

@@ -20,6 +20,7 @@ object PqTune {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Api.quietBoundedWindowLogs()
 
     def sweep(label: String, e: org.apache.spark.sql.DataFrame): Unit = {
       val q = e.where(col("vec_id") < 100)

@@ -45,6 +45,7 @@ object Profile {
     val spark = extraConf.foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Api.quietBoundedWindowLogs()
 
     val fn = SparkEntry.queries.getOrElse(name, sys.error(s"unknown query: $name"))
     // defensive parse: malformed / non-positive values fall back to 1 run

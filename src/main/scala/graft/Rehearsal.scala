@@ -35,6 +35,7 @@ object Rehearsal {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Api.quietBoundedWindowLogs()
     import graft.operators.{Dedup, WhitespaceTokenizer}
     import graft.sources.Stages
 

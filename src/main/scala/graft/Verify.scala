@@ -27,6 +27,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Api.quietBoundedWindowLogs()
     new java.io.File(outDir).mkdirs()
     // optional comma-separated filter for fast iteration on one query; the
     // dump lands in the same outDir, so a subsequent check.py --skip-verify

@@ -64,8 +64,7 @@ object Retrieval {
         poolSize, k1, b, lnIdf = false)
       .where(col("id") =!= queryVecId)
       .select(col("id"), row_number()
-        .over(Window.partitionBy(lit(0))
-          .orderBy(col("score").desc, col("id")))
+        .over(Window.orderBy(col("score").desc, col("id")))
         .cast("long").as("bm25_rank"))
     // dense pool: broadcast single-query exact top-k (self-excluding)
     val ann = Similarity.topKExact(embeddings,

@@ -544,11 +544,12 @@ object Similarity {
     val bd = dim / m
     val sample = corpus.select(col(key).as("sid"), col(vec).as("sv"))
       .orderBy(md5(col("sid").cast("string")), col("sid")).limit(k)
-    // partitionBy(lit(0)) plans identically to an unpartitioned window (the
-    // input is a <= k-row sample) but avoids WindowExec's "no partition
-    // defined" warning flooding every bench/test log.
-    val w = Window.partitionBy(lit(0))
-      .orderBy(md5(col("sid").cast("string")), col("sid"))
+    // unpartitioned by design: the input is a <= k-row sample, so the
+    // single-partition WindowExec is bounded. (A partitionBy(lit(0)) decoy
+    // does NOT silence the WindowExec warning — the optimizer strips
+    // foldable partition keys, verified on the executed plan — so the
+    // entry points instead raise that logger to ERROR: Api.quietBoundedWindowLogs.)
+    val w = Window.orderBy(md5(col("sid").cast("string")), col("sid"))
     sample.withColumn("code", (row_number().over(w) - 1).cast("int"))
       .select(explode(transform(sequence(lit(0), lit(m - 1)), j =>
         struct(j.cast("int").as("j"), col("code"),
@@ -679,11 +680,12 @@ object Similarity {
       .select(col("sid"),
         residualExpr(col("v"), cvecOfCid(col("cid"))).as("sv"))
     val sample = resid.orderBy(md5(col("sid").cast("string")), col("sid")).limit(k)
-    // partitionBy(lit(0)) plans identically to an unpartitioned window (the
-    // input is a <= k-row sample) but avoids WindowExec's "no partition
-    // defined" warning flooding every bench/test log.
-    val w = Window.partitionBy(lit(0))
-      .orderBy(md5(col("sid").cast("string")), col("sid"))
+    // unpartitioned by design: the input is a <= k-row sample, so the
+    // single-partition WindowExec is bounded. (A partitionBy(lit(0)) decoy
+    // does NOT silence the WindowExec warning — the optimizer strips
+    // foldable partition keys, verified on the executed plan — so the
+    // entry points instead raise that logger to ERROR: Api.quietBoundedWindowLogs.)
+    val w = Window.orderBy(md5(col("sid").cast("string")), col("sid"))
     sample.withColumn("code", (row_number().over(w) - 1).cast("int"))
       .select(explode(transform(sequence(lit(0), lit(m - 1)), j =>
         struct(j.cast("int").as("j"), col("code"),

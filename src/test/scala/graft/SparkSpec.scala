@@ -39,6 +39,7 @@ object SparkSpec {
       .config("spark.ui.enabled", false)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.Api.quietBoundedWindowLogs()
     s
   }
 }
