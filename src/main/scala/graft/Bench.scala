@@ -92,6 +92,10 @@ object Bench {
     // IVFADC+R exact re-rank against the durable indexes (build paid by the
     // FIRST run via buildTableOnce; warm runs time the probe + refine)
     "ann_pq_ivf_trained_refined_topk",
+    // round-14: the heaviest video-family op — per-frame hashes through the
+    // generic Hamming banding (decode + banded join + 25M-pair output at
+    // sf0.1) — so the new modality has a tracked per-round number
+    "mm_y4m_seg_neardup_docs",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): three pinned queries — one

@@ -982,6 +982,49 @@ WHERE a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming"""
   def mmY4mKeep(table: String, key: String, maxHamming: Int): String =
     hammingKeepSql(y4mHashCtes(table, key), "vh", "vhash", maxHamming)
 
+  /** Mirrors Multimodal.y4mScenes ∘ synthY4m: consecutive-frame luma-dHash
+    * Hamming deltas above the threshold (frame f vs f−1, f >= 1) — the
+    * shot-boundary signal, entirely in closed form. */
+  def mmY4mScenes(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${y4mDims(table, key)},
+fg AS (
+  SELECT id, f, x, y,
+    (id + 3*((x*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l1,
+    (id + 3*(((x+1)*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l2
+  FROM vdims, range(0,4) tf(f), range(0,8) tx(x), range(0,8) ty(y)
+  WHERE f < nf),
+fh AS (
+  SELECT id, f,
+    CAST(SUM(CASE WHEN l2 > l1 THEN
+        CASE WHEN y*8+x = 63 THEN -9223372036854775808
+             ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+      ELSE 0 END) AS BIGINT) AS fhash
+  FROM fg GROUP BY id, f)
+SELECT a.id AS id, CAST(a.f AS BIGINT) AS frame_idx,
+  CAST(bit_count(xor(a.fhash, b.fhash)) AS BIGINT) AS hamming_prev
+FROM fh a JOIN fh b ON b.id = a.id AND b.f = a.f - 1
+WHERE bit_count(xor(a.fhash, b.fhash)) > $maxHamming"""
+
+  /** Mirrors dHash ∘ y4mKeyframes ∘ synthY4m: the extracted keyframes'
+    * downstream IMAGE dHash under the composite key id·10 + f. The gray
+    * re-encode makes BT.601 luma 1000·l (order-preserving), so the image
+    * dHash of a keyframe equals the frame's luma dHash — the whole
+    * video→PNG→image-pipeline composition stays closed-form. */
+  def mmY4mKeyframeDHash(table: String, key: String, every: Int): String =
+    s"""WITH ${y4mDims(table, key)},
+fg AS (
+  SELECT id, f, x, y,
+    (id + 3*((x*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l1,
+    (id + 3*(((x+1)*w)//9) + 7*((y*h)//8) + 11*f) % 256 AS l2
+  FROM vdims, range(0,4) tf(f), range(0,8) tx(x), range(0,8) ty(y)
+  WHERE f < nf AND f % $every = 0)
+SELECT id*10 + f AS id,
+  CAST(SUM(CASE WHEN l2 > l1 THEN
+      CASE WHEN y*8+x = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+    ELSE 0 END) AS BIGINT) AS dhash
+FROM fg GROUP BY id, f"""
+
   /** Mirrors Dedup.hammingPairs64 over PER-FRAME video hashes keyed by the
     * composite segment id (id·10 + frame_idx): every segment pair within
     * Hamming `maxHamming`, lseg < rseg — temporal near-dup, same-video

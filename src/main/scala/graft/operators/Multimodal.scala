@@ -52,6 +52,10 @@ final case class Y4mFrameHashed(id: Long, frame_idx: Long, fhash: Long)
 /** A video-level 64-bit signature: the middle frame's luma dHash. */
 final case class Y4mHashed(id: Long, vhash: Long)
 
+/** A detected scene cut: frame whose luma dHash differs from the previous
+  * frame's by more than the threshold. */
+final case class Y4mScene(id: Long, frame_idx: Long, hamming_prev: Long)
+
 /** A synthesized media payload (real encoded bytes). */
 final case class MediaPayload(id: Long, payload: Array[Byte])
 
@@ -708,6 +712,79 @@ object Multimodal {
    * [[dHash]] does for images and [[wavHash]] for audio — completing the
    * image/audio/video symmetry. Unparseable payloads emit nothing.
    */
+  /**
+   * Scene-cut detection: emit every frame (f >= 1) whose luma dHash differs
+   * from the PREVIOUS frame's by more than `maxHamming` bits — the standard
+   * cheap shot-boundary signal a keyframe extractor or per-scene dedup
+   * consumes. Computed inside the single decode pass (consecutive frames
+   * live in one payload), so there is no window, no shuffle, no state —
+   * per-row work only, the 100 TB shape by construction. Unparseable
+   * payloads emit nothing.
+   */
+  def y4mScenes(df: DataFrame, key: String, maxHamming: Int,
+                payloadCol: String = "payload"): Dataset[Y4mScene] =
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      try {
+        val s = parseY4mHeader(b)
+        val out = scala.collection.mutable.ArrayBuffer.empty[Y4mScene]
+        var prev = 0L
+        walkY4mFrames(b, s) { (f, off) =>
+          val h = lumaDHash(b, off, s.w, s.h)
+          if (f > 0) {
+            val d = java.lang.Long.bitCount(prev ^ h)
+            if (d > maxHamming) out += Y4mScene(id, f.toLong, d.toLong)
+          }
+          prev = h
+        }
+        out
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }(Encoders.product[Y4mScene])
+
+  /**
+   * Keyframe extraction: every `every`-th frame re-encoded as a REAL
+   * grayscale PNG payload under the composite key id·10 + frame_idx — the
+   * video→image bridge: the output feeds [[decodeImage]]/[[resizeImage]]/
+   * [[dHash]] and therefore the whole image half of the dedup lifecycle.
+   * PNG is lossless and the luma byte becomes the (l, l, l) gray pixel, so
+   * the downstream [[dHash]] of a keyframe equals the frame's luma dHash
+   * exactly (BT.601 on (l,l,l) is 1000·l — order-preserving), which keeps
+   * the whole composition closed-form oracle-able. Unparseable payloads
+   * emit nothing.
+   */
+  def y4mKeyframes(df: DataFrame, key: String, every: Int,
+                   payloadCol: String = "payload"): Dataset[MediaPayload] = {
+    require(every > 0, s"every must be positive, got $every")
+    df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
+      val id = r.getLong(0)
+      val b = r.getAs[Array[Byte]](1)
+      try {
+        val s = parseY4mHeader(b)
+        val out = scala.collection.mutable.ArrayBuffer.empty[MediaPayload]
+        walkY4mFrames(b, s) { (f, off) =>
+          if (f % every == 0) {
+            val img = new BufferedImage(s.w, s.h, BufferedImage.TYPE_INT_RGB)
+            var y = 0
+            while (y < s.h) {
+              var x = 0
+              while (x < s.w) {
+                val l = b(off + y * s.w + x) & 255
+                img.setRGB(x, y, (l << 16) | (l << 8) | l)
+                x += 1
+              }
+              y += 1
+            }
+            val bos = new ByteArrayOutputStream()
+            ImageIO.write(img, "png", bos)
+            out += MediaPayload(id * 10 + f, bos.toByteArray)
+          }
+        }
+        out
+      } catch { case scala.util.control.NonFatal(_) => Nil }
+    }(Encoders.product[MediaPayload])
+  }
+
   def y4mHash(df: DataFrame, key: String,
               payloadCol: String = "payload"): Dataset[Y4mHashed] =
     df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>

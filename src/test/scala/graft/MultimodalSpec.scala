@@ -383,6 +383,56 @@ class MultimodalSpec extends SparkSpec {
     assert(indexed.sorted.toSeq === direct.sorted.toSeq, "indexed != direct")
   }
 
+  test("y4mScenes: cuts match the closed-form consecutive-frame deltas") {
+    // ids 0..500 include multi-frame videos with both cut and non-cut
+    // transitions at threshold 3 (verified against the closed form)
+    val many = (0L until 500L).toDF("id")
+    val expect = (for {
+      id <- 0L until 500L
+      (_, _, nf) = vdims(id)
+      f <- 1 until nf
+      d = java.lang.Long.bitCount(refFrameHash(id, f) ^ refFrameHash(id, f - 1))
+      if d > 3
+    } yield (id, f.toLong, d.toLong)).toSet
+    assert(expect.nonEmpty, "fixture has no cuts at threshold 3")
+    val got = Multimodal.y4mScenes(
+        Multimodal.synthY4m(many, "id").toDF(), "id", 3)
+      .collect().map(s => (s.id, s.frame_idx, s.hamming_prev)).toSet
+    assert(got === expect)
+    // and some multi-frame transition must be BELOW threshold too
+    val all = (for {
+      id <- 0L until 500L
+      (_, _, nf) = vdims(id)
+      f <- 1 until nf
+    } yield (id, f)).size
+    assert(expect.size < all, "every transition was a cut — threshold untested")
+  }
+
+  test("y4mKeyframes: real gray PNGs whose image dHash equals the frame's luma hash") {
+    val kf = Multimodal.y4mKeyframes(Multimodal.synthY4m(ids, "id").toDF(), "id", 2)
+    // payloads are REAL PNGs (magic) decodable by the image pipeline
+    val magics = Multimodal.extractMeta(kf.toDF(), "id")
+      .select("magic").distinct().collect().map(_.getString(0)).toSet
+    assert(magics === Set("89504e47"))
+    // the video→image bridge: downstream IMAGE dHash == the frame's luma
+    // dHash (BT.601 of (l,l,l) is 1000·l, order-preserving)
+    val got = Multimodal.dHash(kf.toDF(), "id")
+      .collect().map(d => d.id -> d.dhash).toMap
+    val expect = (for {
+      id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)
+      (_, _, nf) = vdims(id)
+      f <- 0 until nf if f % 2 == 0
+    } yield (id * 10 + f) -> refFrameHash(id, f)).toMap
+    assert(got === expect)
+    // decode witnesses: keyframe dims match the video's geometry
+    val dec = Multimodal.decodeImage(kf.toDF(), "id").collect()
+    assert(dec.forall(_.format === "png"))
+    dec.foreach { d =>
+      val (w, h, _) = vdims(d.id / 10)
+      assert(d.width === w.toLong && d.height === h.toLong)
+    }
+  }
+
   test("decodeY4m: non-mono colorspaces walk chroma planes correctly") {
     // hand-built C420 stream (the spec default when no C param is present):
     // 4x4 luma plane = bytes 0..15 per frame, then 2x2 U + 2x2 V planes of
