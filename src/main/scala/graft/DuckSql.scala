@@ -786,6 +786,56 @@ SELECT a.id AS lid, b.id AS rid,
 FROM dh a, dh b
 WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
 
+  /** Closed-form witnesses of decodeImage ∘ synthJpeg: block-constant gray
+    * raster, w = 8·(2+id%5), h = 8·(2+id%3), block (bx,by) luma
+    * (id + 5·bx + 9·by) % 256 — the Spark side must decode REAL
+    * entropy-coded JPEG bytes to reproduce them (the fixture is built so
+    * the lossy codec round-trips exactly; Multimodal.synthJpeg). */
+  def mmJpegDecode(table: String, key: String): String =
+    s"""SELECT id, 'jpeg' AS format, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  printf('%02x%02x%02x', CAST(id % 256 AS INT), CAST(id % 256 AS INT),
+         CAST(id % 256 AS INT)) AS px00,
+  printf('%02x%02x%02x', CAST((id + 5*(w//8 - 1) + 9*(h//8 - 1)) % 256 AS INT),
+         CAST((id + 5*(w//8 - 1) + 9*(h//8 - 1)) % 256 AS INT),
+         CAST((id + 5*(w//8 - 1) + 9*(h//8 - 1)) % 256 AS INT)) AS pxc,
+  CAST((SELECT SUM(3 * 64 * ((id + 5*bx + 9*by) % 256))
+          FROM range(0,6) tbx(bx), range(0,4) tby(by)
+          WHERE bx < w//8 AND by < h//8)
+       AS BIGINT) AS px_sum
+FROM (SELECT $key AS id, 8*(2 + $key % 5) AS w, 8*(2 + $key % 3) AS h FROM $table)"""
+
+  /** The closed-form dHash CTE chain over the synthJpeg fixture: sampled
+    * pixel (x·w//9, y·h//8) falls in block (sx//8, sy//8) whose luma is
+    * (id + 5·bx + 9·by) % 256; gray = 1000·luma (BT.601 on (l,l,l)), so the
+    * bit comparisons reduce to the luma values themselves. */
+  private def jpegDHashCtes(table: String, key: String): String =
+    s"""dims AS (SELECT $key AS id, 8*(2 + $key % 5) AS w, 8*(2 + $key % 3) AS h FROM $table),
+g AS (
+  SELECT id, x, y,
+    ((id + 5*(((x*w)//9)//8) + 9*(((y*h)//8)//8)) % 256) AS l1,
+    ((id + 5*((((x+1)*w)//9)//8) + 9*(((y*h)//8)//8)) % 256) AS l2
+  FROM dims, range(0,8) tx(x), range(0,8) ty(y)),
+dh AS (
+  SELECT id, CAST(SUM(CASE WHEN l2 > l1 THEN
+      CASE WHEN y*8+x = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+    ELSE 0 END) AS BIGINT) AS dhash
+  FROM g GROUP BY id)"""
+
+  /** Mirrors Multimodal.dHash over the synth JPEG fixture. */
+  def mmJpegDHash(table: String, key: String): String =
+    s"""WITH ${jpegDHashCtes(table, key)}
+SELECT id, dhash FROM dh"""
+
+  /** Mirrors Dedup.hammingPairs64 ∘ dHash ∘ synthJpeg (the [[mmDHashPairs]]
+    * convention: oracle verifies all pairs directly at oracle scale). */
+  def mmJpegDHashPairs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${jpegDHashCtes(table, key)}
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+FROM dh a, dh b
+WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
+
   /** Mirrors Dedup.incrementalKeepIdsHamming64Indexed over wavHash
     * signatures (corpus = id%10 != 0, incoming = id%10 = 0): drop incoming
     * within Hamming `maxHamming` of a corpus item, then collapse the

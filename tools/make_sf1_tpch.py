@@ -9,11 +9,18 @@ prefixed copy of a name SHARES almost all its 3-grams with the original —
 replicas would cross-match and the pair graph would grow superlinearly by
 construction. A character bijection instead (a) preserves every within-
 replica qgram equality, so each replica's candidate/pair structure is
-EXACTLY the source's, and (b) makes cross-replica qgram spaces disjoint,
-because every 3-gram of a TPC-H name ('Customer#000000001') contains at
-least one shifted letter or digit. Work on the banded/prefix-filtered paths
-therefore grows linearly by construction — the same property that makes the
-documents sf1 ratio a clean scaling-exponent measurement.
+EXACTLY the source's, and (b) makes cross-replica qgram spaces disjoint for
+every 3-gram CONTAINING A LETTER (letters shift within a 26-cycle, digits
+within a 10-cycle, so a letter-bearing 3-gram never maps onto another
+replica's). Pure-digit 3-grams are NOT disjoint — the digit Caesar maps
+'000' of replica 1 to '111', which replica 0 already contains — so the
+numeric key tails still produce SOME cross-replica candidates; those share
+only digit trigrams out of a ~18-token name and die at the length/overlap
+filters for t >= 0.3 (zero cross-replica pairs observed in the sf1 gate
+outputs). Candidate work on the banded/prefix-filtered paths is therefore
+linear-dominated rather than linear by construction; the measured sf1
+decade ratios (8.5x/decade R x S) are the evidence the residual
+digit-trigram fan-out stays negligible.
 
 Keys: replica r offsets keys by r*10_000_000, preserving key % 10 (the
 corpus/incoming split convention) and keeping replica key ranges disjoint.

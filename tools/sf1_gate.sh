@@ -6,9 +6,11 @@
 # ann_pq_ivf_trained_refined_topk (ANN/PQ), jac_rs_cust_supp_q3_t03 (R×S
 # jaccard — needs the sf1 customer/supplier fixtures from
 # tools/make_sf1_tpch.py), mm_wav_keep_docs (multimodal + generic Hamming
-# lifecycle), dedup_simhash_docs (SimHash banding). Calibration trio forced
-# in-session (SPARK_GRAFT_CALIBRATE=1), normalized by the pinned sf1 epoch
-# (Bench.calibrationRefSec: 3.387 s, the round-11 matched-window pin).
+# lifecycle), dedup_simhash_docs (SimHash banding). Calibration QUARTET
+# (trio + calib_jac_docs_slice since r15) forced in-session
+# (SPARK_GRAFT_CALIBRATE=1), normalized by the pinned sf1 quartet epoch
+# (Bench.calibrationRefSec — r15 re-pin, chained to the round-11 trio pin
+# via the per-probe times; see BENCH_NOTES round 15).
 # Scale regressions (e.g. the sf1 broadcast->SMJ shift at the 64 MB
 # value-table threshold) become a tracked per-round number instead of an
 # archaeology exercise: record the calibrated walls in BENCH_NOTES'
