@@ -96,6 +96,9 @@ object Bench {
     // generic Hamming banding (decode + banded join + 25M-pair output at
     // sf0.1) — so the new modality has a tracked per-round number
     "mm_y4m_seg_neardup_docs",
+    // round-15: the compressed-codec path — real JPEG encode+decode per row
+    // through the JDK codec into dHash; tracks the codec seam's throughput
+    "mm_jpeg_dhash_docs",
   )
 
   /** CALIBRATION probe (round-9 verdict #4): pinned queries — one
