@@ -112,6 +112,31 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
   }
 
+  test("bag-token R×S join plans no cartesian or nested-loop join") {
+    // the r15 combination: multiset tokens through the widow/df-product
+    // R×S path — the candidate join must stay an equi-join on (token, salt)
+    // exactly as the set form does; bag duplicates change row counts, not
+    // the join shape
+    val l = Seq(1L -> "alpha beta alpha gamma", 2L -> "alpha beta delta").toDF("id", "txt")
+    val r = Seq(10L -> "alpha alpha beta", 11L -> "zeta eta eta").toDF("id", "txt")
+    val plan = finalPlan(JaccardJoin.rsJoin(
+      l, "id", "txt", r, "id", "txt", WhitespaceTokenizer(returnSet = false), 0.3))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+
+  test("JPEG near-dup: banded Hamming equi-join, no cartesian, no window") {
+    // the compressed-codec family rides the generic 4-band pigeonhole join;
+    // the pairs plan must be band-bucket equi-keyed like every other
+    // signature family (all-pairs would be quadratic in the corpus)
+    val sigs = Multimodal.dHash(
+      Multimodal.synthJpeg((0L until 30L).toDF("id"), "id").toDF(), "id").toDF()
+    val plan = finalPlan(Dedup.hammingPairs64(sigs, "id", "dhash", 3))
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("incremental R×S minhash join: equi-join on buckets, no cartesian") {
     val corpus = (0L until 40L).map(i => (i, s"w$i x$i y$i z$i a b")).toDF("id", "txt")
     val incoming = (100L until 110L).map(i => (i, s"w$i x$i y$i z$i a b")).toDF("id", "txt")
