@@ -836,6 +836,62 @@ SELECT a.id AS lid, b.id AS rid,
 FROM dh a, dh b
 WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
 
+  /** Shared dims CTE of the MJPEG/AVI fixture (Multimodal.synthAvi):
+    * w = 8·(2+id%5), h = 8·(2+id%3), nf = 1+id%4, frame f block (bx,by)
+    * luma (id + 5·bx + 9·by + 17·f) % 256. */
+  private def aviDims(table: String, key: String): String =
+    s"""avidims AS (SELECT $key AS id, 8*(2 + $key % 5) AS w,
+  8*(2 + $key % 3) AS h, 1 + $key % 4 AS nf FROM $table)"""
+
+  /** Closed-form witnesses of decodeAvi ∘ synthAvi — the Spark side must
+    * parse the real RIFF chunk walk AND run the JPEG entropy decoder per
+    * frame to reproduce them. */
+  def mmAviDecode(table: String, key: String): String =
+    s"""WITH ${aviDims(table, key)}
+SELECT id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+  CAST(25 AS BIGINT) AS fps_num, CAST(1 AS BIGINT) AS fps_den,
+  CAST(nf AS BIGINT) AS n_frames, 'MJPG' AS codec,
+  CAST(id % 256 AS BIGINT) AS px00,
+  CAST((SELECT SUM(64 * ((id + 5*bx + 9*by + 17*f) % 256))
+          FROM range(0,4) tf(f), range(0,6) tbx(bx), range(0,4) tby(by)
+          WHERE f < nf AND bx < w//8 AND by < h//8)
+       AS BIGINT) AS y_sum
+FROM avidims"""
+
+  /** Per-frame dHash CTE chain over the AVI fixture (sampled pixel
+    * (x·w//9, y·h//8) falls in block (sx//8, sy//8); gray = 1000·luma). */
+  private def aviFrameHashCtes(table: String, key: String): String =
+    s"""${aviDims(table, key)},
+avig AS (
+  SELECT id, f, x, y,
+    ((id + 5*(((x*w)//9)//8) + 9*(((y*h)//8)//8) + 17*f) % 256) AS l1,
+    ((id + 5*((((x+1)*w)//9)//8) + 9*(((y*h)//8)//8) + 17*f) % 256) AS l2
+  FROM avidims, range(0,4) tf(f), range(0,8) tx(x), range(0,8) ty(y)
+  WHERE f < nf),
+avifh AS (
+  SELECT id, f, CAST(SUM(CASE WHEN l2 > l1 THEN
+      CASE WHEN y*8+x = 63 THEN -9223372036854775808
+           ELSE (CAST(1 AS BIGINT) << (y*8+x)) END
+    ELSE 0 END) AS BIGINT) AS fhash
+  FROM avig GROUP BY id, f)"""
+
+  /** Mirrors aviFrameHashes ∘ synthAvi. */
+  def mmAviFrameHash(table: String, key: String): String =
+    s"""WITH ${aviFrameHashCtes(table, key)}
+SELECT id, CAST(f AS BIGINT) AS frame_idx, fhash FROM avifh"""
+
+  /** Mirrors Dedup.hammingPairs64 ∘ aviHash ∘ synthAvi (vhash = frame
+    * nf/2's hash; oracle verifies all pairs directly at oracle scale). */
+  def mmAviHashPairs(table: String, key: String, maxHamming: Int): String =
+    s"""WITH ${aviFrameHashCtes(table, key)},
+avivh AS (
+  SELECT avifh.id, fhash AS vhash FROM avifh, avidims
+  WHERE avifh.id = avidims.id AND avifh.f = avidims.nf // 2)
+SELECT a.id AS lid, b.id AS rid,
+  CAST(bit_count(xor(a.vhash, b.vhash)) AS BIGINT) AS hamming
+FROM avivh a, avivh b
+WHERE a.id < b.id AND bit_count(xor(a.vhash, b.vhash)) <= $maxHamming"""
+
   /** Mirrors Dedup.incrementalKeepIdsHamming64Indexed over wavHash
     * signatures (corpus = id%10 != 0, incoming = id%10 = 0): drop incoming
     * within Hamming `maxHamming` of a corpus item, then collapse the

@@ -437,6 +437,81 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // closed-form reference of the AVI fixture's frame rasters
+  private def aviDims(id: Long): (Int, Int, Int) =
+    ((8 * (2 + id % 5)).toInt, (8 * (2 + id % 3)).toInt, (1 + id % 4).toInt)
+  private def aviLuma(id: Long, f: Int)(sx: Long, sy: Long): Long =
+    (id + 5 * (sx / 8) + 9 * (sy / 8) + 17 * f) % 256
+  private def refAviFrameHash(id: Long, f: Int): Long = {
+    val (w, h, _) = aviDims(id)
+    val luma = aviLuma(id, f) _
+    var hash = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (luma((x + 1) * w / 9, y * h / 8) > luma(x * w / 9, y * h / 8))
+        hash |= 1L << (y * 8 + x)
+    hash
+  }
+
+  test("synthAvi -> decodeAvi: real RIFF/MJPEG container round trip matches closed form") {
+    val avi = Multimodal.synthAvi(ids, "id")
+    // payloads are REAL RIFF containers
+    val magics = Multimodal.extractMeta(avi.toDF(), "id")
+      .select("magic").distinct().collect().map(_.getString(0)).toSet
+    assert(magics === Set("52494646")) // 'RIFF'
+    val dec = Multimodal.decodeAvi(avi.toDF(), "id").collect().map(d => d.id -> d).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)) {
+      val (w, h, nf) = aviDims(id)
+      val d = dec(id)
+      assert(d.width === w.toLong && d.height === h.toLong, s"dims id=$id")
+      assert(d.fps_num === 25L && d.fps_den === 1L && d.codec === "MJPG")
+      assert(d.n_frames === nf.toLong)
+      assert(d.px00 === id % 256)
+      val ySum = (for { f <- 0 until nf; bx <- 0L until w / 8; by <- 0L until h / 8 }
+        yield 64 * ((id + 5 * bx + 9 * by + 17 * f) % 256)).sum
+      assert(d.y_sum === ySum, s"luma sum id=$id")
+    }
+    // malformed containers flag, not fail
+    val bad = Multimodal.decodeAvi(
+      Seq((9L, "RIFFxxxxJUNK".getBytes("US-ASCII"))).toDF("id", "payload"), "id")
+      .collect().head
+    assert(bad.codec === "unreadable" && bad.n_frames === 0L)
+    // a TRUNCATED movi chunk (frame bytes cut mid-JPEG) is malformed too
+    val whole = avi.collect().head
+    val cut = Multimodal.decodeAvi(
+      Seq((whole.id, whole.payload.dropRight(10))).toDF("id", "payload"), "id")
+      .collect().head
+    assert(cut.codec === "unreadable")
+  }
+
+  test("aviFrameHashes + aviHash: per-frame closed form; middle-frame signature") {
+    val avi = Multimodal.synthAvi(ids, "id")
+    val got = Multimodal.aviFrameHashes(avi.toDF(), "id")
+      .collect().map(f => (f.id, f.frame_idx) -> f.fhash).toMap
+    val expect = (for {
+      id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)
+      (_, _, nf) = aviDims(id)
+      f <- 0 until nf
+    } yield (id, f.toLong) -> refAviFrameHash(id, f)).toMap
+    assert(got === expect)
+    val vh = Multimodal.aviHash(avi.toDF(), "id")
+      .collect().map(v => v.id -> v.vhash).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)) {
+      val (_, _, nf) = aviDims(id)
+      assert(vh(id) === refAviFrameHash(id, nf / 2), s"video hash id=$id")
+    }
+    // the mod-15 geometry classes carry constant luma shifts: near-dup
+    // structure exists (some same-class pair within hamming 3) without
+    // being universal
+    val sweep = Multimodal.aviHash(
+      Multimodal.synthAvi((0L until 120L).toDF("id"), "id").toDF(), "id")
+      .collect().map(v => v.id -> v.vhash).toMap
+    val dists = for {
+      a <- 0L until 120L; b <- (a + 1) until 120L
+    } yield java.lang.Long.bitCount(sweep(a) ^ sweep(b))
+    assert(dists.exists(_ <= 3) && dists.exists(_ > 3),
+      "fixture must have both near-dup and far pairs")
+  }
+
   test("synthJpeg: real entropy-coded JPEGs that decode back bit-exactly") {
     val jp = Multimodal.synthJpeg(ids, "id")
     // payloads are REAL JPEGs: JFIF SOI marker, and SMALLER than raw (the
