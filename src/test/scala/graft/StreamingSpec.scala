@@ -850,6 +850,49 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("ingestHamming64: COMPRESSED-container signatures (aviHash) — stream == batch") {
+    // the MJPEG/AVI twin of the y4m admission pin: signatures that only
+    // exist after a real RIFF walk + JPEG entropy decode, streamed through
+    // the same generic loop and pinned against sequential batch admission.
+    // aviHash's mod-15 geometry classes carry constant luma shifts, so the
+    // corpus/incoming structure mirrors the y4m decade fixture.
+    implicit val sqlCtx = spark.sqlContext
+    import graft.sources.Stages
+    def vsigs(ids: Seq[Long]) =
+      Multimodal.aviHash(
+        Multimodal.synthAvi(ids.toDF("doc_id"), "doc_id").toDF(), "id").toDF()
+    val corpusIds = (0L until 120L).filter(_ % 15 != 0)
+    val days: Seq[Seq[Long]] = Seq(Seq(0L, 15L, 30L), Seq(45L, 60L, 75L), Seq(90L, 105L))
+    try {
+      for (t <- Seq("graft_si_avi", "graft_si_avib"))
+        Stages.writeBucketed(
+          Dedup.hammingIndex64(vsigs(corpusIds), "id", "vhash"), t, "bucket", 8)
+      val streamKeeps = scala.collection.mutable.Map[Long, Set[Long]]()
+      val in = MemoryStream[Long]
+      val sigStream = Multimodal.aviHash(
+        Multimodal.synthAvi(in.toDF().toDF("doc_id"), "doc_id").toDF(), "id").toDF()
+      val q = Streaming.ingestHamming64(sigStream, "graft_si_avi", "id", "vhash", 3,
+        onBatch = (kept, bid) => streamKeeps(bid) = kept.collect().map(_.getLong(0)).toSet)
+      try {
+        for (day <- days) { in.addData(day: _*); q.processAllAvailable() }
+      } finally q.stop()
+      val batchKeeps = days.map { day =>
+        Dedup.incrementalKeepIdsHamming64Indexed(
+          spark.table("graft_si_avib"), vsigs(day), "id", "vhash", 3,
+          admitTo = Some("graft_si_avib"), admitBuckets = 8)
+          .collect().map(_.getLong(0)).toSet
+      }
+      for (d <- days.indices)
+        assert(streamKeeps(d.toLong) === batchKeeps(d), s"day $d stream == batch keep-set")
+      val idsOf = (t: String) =>
+        spark.table(t).select("id").distinct().collect().map(_.getLong(0)).toSet
+      assert(idsOf("graft_si_avi") === idsOf("graft_si_avib"))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_si_avi")
+      spark.sql("DROP TABLE IF EXISTS graft_si_avib")
+    }
+  }
+
   test("ingestDedupSimHash: Hamming-side admission loop across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import graft.sources.Stages

@@ -90,13 +90,23 @@ def main():
             continue
         sec, err = time_one(sfdir, sql, timeout)
         entry = {"spark_sec": round(spark_sec, 3), "duck_sec": round(sec, 3)}
+        # multimodal DECODE-witness oracles recompute a closed form — DuckDB
+        # never runs a codec there, so the ratio compares decoding against
+        # arithmetic. Flag those entries so readers (and future notes) can't
+        # mistake them for head-to-heads; the pair/join-side mm_* entries
+        # (neardup/keep/seg: DuckDB does the same n^2 Hamming work) stay
+        # comparable.
+        if name.startswith("mm_") and not any(
+                t in name for t in ("neardup", "keep", "seg")):
+            entry["codec_vs_formula"] = True
         if err:
             entry["note"] = err
             print(f"[duck_ratio] {name:28s} spark {spark_sec:7.2f} s  duck {err}")
         else:
             entry["ratio"] = round(spark_sec / sec, 3) if sec > 0 else None
+            flag = "  [codec-vs-formula]" if entry.get("codec_vs_formula") else ""
             print(f"[duck_ratio] {name:28s} spark {spark_sec:7.2f} s  "
-                  f"duck {sec:7.2f} s  ratio {entry['ratio']}")
+                  f"duck {sec:7.2f} s  ratio {entry['ratio']}{flag}")
         duck[name] = entry
         sys.stdout.flush()
 
