@@ -836,6 +836,30 @@ SELECT a.id AS lid, b.id AS rid,
 FROM dh a, dh b
 WHERE a.id < b.id AND bit_count(xor(a.dhash, b.dhash)) <= $maxHamming"""
 
+  /** Mirrors decodeUlaw ∘ synthUlawWav: CCITT G.711 µ-law encode∘decode in
+    * closed form over the synth PCM (sample i = (id·31+i·17)%20001−10000).
+    * The Spark side must run the JDK's REAL companding codec both ways to
+    * reproduce the quantized sample sum — the fixture's ±10000 range stays
+    * inside the domain where the JDK encoder equals spec arithmetic
+    * (verified exhaustively; Multimodal.synthUlawWav's doc). */
+  def mmUlawDecode(table: String, key: String): String =
+    s"""WITH uw AS (SELECT $key AS id, 100 + $key % 50 AS ns FROM $table),
+us AS (SELECT id, ns, (id*31 + i*17) % 20001 - 10000 AS v
+      FROM uw, range(0,150) t(i) WHERE i < ns),
+ue AS (SELECT id, ns, CASE WHEN v < 0 THEN 1 ELSE 0 END AS sgn,
+        LEAST(abs(v), 32635) + 132 AS m FROM us),
+ux AS (SELECT id, ns, sgn, m,
+        CASE WHEN m >= 16384 THEN 7 WHEN m >= 8192 THEN 6 WHEN m >= 4096 THEN 5
+             WHEN m >= 2048 THEN 4 WHEN m >= 1024 THEN 3 WHEN m >= 512 THEN 2
+             WHEN m >= 256 THEN 1 ELSE 0 END AS ex FROM ue),
+ud AS (SELECT id, ns,
+        (CASE WHEN sgn = 1 THEN -1 ELSE 1 END) *
+        ((((m >> (ex+3)) & 15) * 8 + 132) * (1 << ex) - 132) AS dv FROM ux)
+SELECT id, CAST(8000 AS BIGINT) AS sample_rate, CAST(1 AS BIGINT) AS channels,
+  CAST(8 AS BIGINT) AS bits, CAST(min(ns) AS BIGINT) AS n_frames,
+  CAST(SUM(dv) AS BIGINT) AS sample_sum
+FROM ud GROUP BY id"""
+
   /** Shared dims CTE of the MJPEG/AVI fixture (Multimodal.synthAvi):
     * w = 8·(2+id%5), h = 8·(2+id%3), nf = 1+id%4, frame f block (bx,by)
     * luma (id + 5·bx + 9·by + 17·f) % 256. */

@@ -64,6 +64,11 @@ final case class MediaPayload(id: Long, payload: Array[Byte])
   * that need a single key build their own composite (and own its bounds). */
 final case class Keyframe(id: Long, frame_idx: Long, payload: Array[Byte])
 
+/** Decoded G.711 µ-law audio: container header fields + the exact sample
+  * sum AFTER the lossy companding round trip (8-bit µ-law → 16-bit PCM). */
+final case class UlawDecoded(id: Long, sample_rate: Long, channels: Long,
+                             bits: Long, n_frames: Long, sample_sum: Long)
+
 /** A decoded MJPEG/AVI stream: geometry + codec from the RIFF headers,
   * frame count/rate from the container walk, pixel witnesses from decoding
   * the actual per-frame JPEGs. */
@@ -880,6 +885,91 @@ object Multimodal {
         else Some(Y4mHashed(id, lumaDHash(b, offs(offs.length / 2), s.w, s.h)))
       } catch { case scala.util.control.NonFatal(_) => None }
     }(Encoders.product[Y4mHashed])
+
+  // ---------------------------------------------------------------------
+  // Audio: G.711 µ-law — a COMPRESSED (companded) codec through the JDK's
+  // javax.sound converters
+  // ---------------------------------------------------------------------
+
+  /**
+   * Render the [[synthWav]] PCM (sample i = (id·31 + i·17) % 20001 − 10000,
+   * ns = 100 + id%50 at 8 kHz) COMPRESSED through the JDK's real G.711
+   * µ-law encoder (`AudioSystem.getAudioInputStream` format conversion —
+   * 2:1 lossy companding) and wrap it as a real µ-law WAV container
+   * (format tag 7). The audio leg of the compressed-codec symmetry
+   * (images: [[synthJpeg]], video: [[synthAvi]]).
+   *
+   * Exactness domain: the JDK encoder matches CCITT G.711 spec arithmetic
+   * for every sample in [−32503, 32767] (verified exhaustively over all
+   * 65536 values; the 265 deep negatives where the JDK's clamp diverges
+   * are outside this fixture's ±10000 range), so an SQL oracle can
+   * recompute the decoded samples from the spec formulas alone.
+   */
+  def synthUlawWav(df: DataFrame, key: String): Dataset[MediaPayload] =
+    df.select(col(key).cast("long")).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val ns = (100 + id % 50).toInt
+        val pcm = new Array[Byte](ns * 2)
+        var i = 0
+        while (i < ns) {
+          val s = ((id * 31 + i * 17L) % 20001 - 10000).toShort
+          pcm(2 * i) = (s & 255).toByte
+          pcm(2 * i + 1) = ((s >> 8) & 255).toByte
+          i += 1
+        }
+        val pcmFmt = new AudioFormat(8000f, 16, 1, true, false)
+        val ulawFmt = new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false)
+        // REAL codec pass: the JDK's µ-law encoder compands 16→8 bits
+        val enc = AudioSystem.getAudioInputStream(ulawFmt,
+          new AudioInputStream(new ByteArrayInputStream(pcm), pcmFmt, ns.toLong))
+        val bos = new ByteArrayOutputStream()
+        AudioSystem.write(enc, AudioFileFormat.Type.WAVE, bos)
+        MediaPayload(id, bos.toByteArray)
+      }
+    }(Encoders.product[MediaPayload])
+
+  /**
+   * REAL compressed-audio decode: parse the µ-law WAV container, run the
+   * JDK's G.711 DECODER (8-bit µ-law → 16-bit linear PCM — no sample
+   * exists until the expander runs), and fold the decoded samples into an
+   * exact sum. The sum differs from the original PCM's ([[decodeWav]]'s
+   * witness) by exactly the companding quantization, which is what makes
+   * it a codec witness: matching it requires both G.711 transforms.
+   * Non-µ-law or unparseable payloads yield an all-zero row with
+   * sample_rate 0 (filter downstream) — same guard discipline as
+   * [[decodeWav]]'s format check.
+   */
+  def decodeUlaw(df: DataFrame, key: String,
+                 payloadCol: String = "payload"): Dataset[UlawDecoded] =
+    df.select(col(key).cast("long"), col(payloadCol)).mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val b = r.getAs[Array[Byte]](1)
+        try {
+          val src = AudioSystem.getAudioInputStream(new ByteArrayInputStream(b))
+          val f = src.getFormat
+          if (f.getEncoding != AudioFormat.Encoding.ULAW)
+            UlawDecoded(id, 0L, 0L, 0L, 0L, 0L)
+          else {
+            val n = src.getFrameLength
+            val pcmFmt = new AudioFormat(f.getSampleRate, 16, f.getChannels, true, false)
+            val dec = AudioSystem.getAudioInputStream(pcmFmt, src)
+            val bytes = dec.readAllBytes()
+            var sum = 0L
+            var i = 0
+            while (i + 1 < bytes.length) {
+              sum += ((bytes(i) & 255) | (bytes(i + 1) << 8)).toShort
+              i += 2
+            }
+            UlawDecoded(id, f.getSampleRate.toLong, f.getChannels.toLong,
+              f.getSampleSizeInBits.toLong, n, sum)
+          }
+        } catch {
+          case scala.util.control.NonFatal(_) => UlawDecoded(id, 0L, 0L, 0L, 0L, 0L)
+        }
+      }
+    }(Encoders.product[UlawDecoded])
 
   // ---------------------------------------------------------------------
   // Video: MJPEG-in-AVI — a COMPRESSED container (RIFF structure from spec,

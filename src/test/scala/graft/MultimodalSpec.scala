@@ -437,6 +437,48 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  // CCITT G.711 µ-law from spec (exact vs the JDK codec on [−32503, 32767])
+  private def ulawEncode(v: Int): Int = {
+    val sign = if (v < 0) 0x80 else 0
+    var m = math.min(math.abs(v), 32635) + 132
+    var ex = 7
+    var mask = 0x4000
+    while ((m & mask) == 0 && ex > 0) { ex -= 1; mask >>= 1 }
+    val man = (m >> (ex + 3)) & 0x0F
+    (~(sign | (ex << 4) | man)) & 0xFF
+  }
+  private def ulawDecode(u0: Int): Int = {
+    val u = (~u0) & 0xFF
+    val s = ((((u & 0x0F) << 3) + 0x84) << ((u >> 4) & 7)) - 0x84
+    if ((u & 0x80) != 0) -s else s
+  }
+
+  test("synthUlawWav -> decodeUlaw: real G.711 companding round trip matches spec arithmetic") {
+    val out = Multimodal.decodeUlaw(
+      Multimodal.synthUlawWav(ids, "id").toDF(), "id")
+      .collect().map(d => d.id -> d).toMap
+    for (id <- Seq(0L, 1L, 7L, 254L, 255L, 256L, 4242L)) {
+      val d = out(id)
+      val ns = (100 + id % 50).toInt
+      assert(d.sample_rate === 8000L && d.channels === 1L && d.bits === 8L)
+      assert(d.n_frames === ns.toLong)
+      val samples = (0 until ns).map(i => ((id * 31 + i * 17L) % 20001 - 10000).toInt)
+      val expect = samples.map(s => ulawDecode(ulawEncode(s)).toLong).sum
+      assert(d.sample_sum === expect, s"companded sum id=$id")
+      // the codec is genuinely LOSSY on this fixture: the companded sum
+      // must differ from the raw PCM sum, or the witness proves nothing
+      assert(d.sample_sum !== samples.map(_.toLong).sum, s"lossless?! id=$id")
+    }
+    // a plain PCM WAV is NOT µ-law: flagged, not decoded
+    val pcm = Multimodal.decodeUlaw(
+      Multimodal.synthWav(ids, "id").toDF(), "id").collect()
+    assert(pcm.forall(_.sample_rate === 0L))
+    // garbage payloads flag too
+    val bad = Multimodal.decodeUlaw(
+      Seq((3L, Array[Byte](1, 2, 3))).toDF("id", "payload"), "id").collect().head
+    assert(bad.sample_rate === 0L)
+  }
+
   // closed-form reference of the AVI fixture's frame rasters
   private def aviDims(id: Long): (Int, Int, Int) =
     ((8 * (2 + id % 5)).toInt, (8 * (2 + id % 3)).toInt, (1 + id % 4).toInt)
