@@ -52,13 +52,20 @@ object Profile {
     // instead of throwing or silently skipping the timing loop
     val runs = scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_PROFILE_RUNS", "1").trim.toInt)
       .toOption.filter(_ >= 1).getOrElse(1)
-    val df = fn(spark, sfDir)
-    df.explain("formatted")
+    fn(spark, sfDir).explain("formatted")
+    // BENCH PARITY (optimization rounds): each run re-invokes the registered
+    // query and drives the full physical plan via toRdd.foreach — exactly
+    // Bench.timeOnce — so warm runs re-execute every internal action of the
+    // composition (iterative loops, two-pass ranks, index probes) and the
+    // event log's job/stage timeline is the benched workload, not a cached
+    // tail. (The old df.count() over a once-constructed frame timed only the
+    // final aggregate of operators whose work happens at construction.)
     for (i <- 1 to runs) {
+      spark.sparkContext.setJobDescription(s"profile:$name run=$i")
       val t0 = System.nanoTime()
-      val n = df.count()
+      fn(spark, sfDir).queryExecution.toRdd.foreach(_ => ())
       val secs = (System.nanoTime() - t0) / 1e9
-      println(f"[profile] $name run=$i rows=$n time=$secs%.3f s appId=${spark.sparkContext.applicationId}")
+      println(f"[profile] $name run=$i time=$secs%.3f s appId=${spark.sparkContext.applicationId}")
     }
     spark.stop()
   }

@@ -42,6 +42,34 @@ private[graft] object Checkpoints {
   }
 
   /**
+   * [[cut]] that PRESERVES an exact hash-partitioning + sort order through
+   * the lineage cut (local mode: the
+   * [[org.apache.spark.sql.GraftCheckpointBridge]] LogicalRDD path — under
+   * AQE a plain localCheckpoint comes back UnknownPartitioning and every
+   * later join/agg on the leaf re-shuffles it; guide §2.4). The iterative
+   * operators cut their loop state every round, so a lost partitioning is
+   * paid once per round — [[graft.operators.Dedup.clusterIds]]'s edge list
+   * re-exchanged EVERY round before this. Reliable mode keeps the stock
+   * `checkpoint(eager)` on the repartitioned frame: correct, durable, just
+   * without the metadata (the loop then re-shuffles as before — availability
+   * over speed on a cluster is the existing [[cut]] trade).
+   */
+  def cutPartitioned(df: DataFrame, keys: Seq[String], numPartitions: Int): DataFrame = {
+    val spark = df.sparkSession
+    val reliable =
+      try spark.conf.get(ReliableKey, "false").toBoolean
+      catch { case _: IllegalArgumentException => false }
+    if (reliable) {
+      require(spark.sparkContext.getCheckpointDir.isDefined,
+        s"$ReliableKey=true requires spark.sparkContext.setCheckpointDir(...) " +
+          "to point at cluster-durable storage")
+      df.repartition(numPartitions, keys.map(df.col): _*).checkpoint(true)
+    } else
+      org.apache.spark.sql.GraftCheckpointBridge
+        .localCheckpointHashPartitioned(df, keys, numPartitions)
+  }
+
+  /**
    * Cut `df`'s lineage to a COMPRESSED PARQUET leaf under the warehouse dir —
    * the bounded-scratch strategy for results that must ACCUMULATE across a
    * multi-pass operator ([[JaccardJoin]]'s `passes` mode). [[cut]]'s

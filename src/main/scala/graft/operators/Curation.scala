@@ -603,7 +603,9 @@ object Curation {
     val docs = TextAnalysis.wsDocsLower(df, key, text)
     val bg = TextAnalysis.bigramStream(docs).persistTracked
     val tdocs = TextAnalysis.wsDocsLower(df.where(targetPred), key, text)
-    val bgT = TextAnalysis.bigramStream(tdocs)
+    // persisted like `bg`: the target stream feeds both target-model
+    // aggregations, which otherwise each re-tokenize the target slice
+    val bgT = TextAnalysis.bigramStream(tdocs).persistTracked
     val bgcP = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12p"))
     val ctxP = bgcP.groupBy("w1").agg(sum(col("c12p")).as("c1p"))
     val vP = broadcast(docs.select(explode(col("tks")).as("w"))

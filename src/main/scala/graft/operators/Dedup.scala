@@ -570,20 +570,36 @@ object Dedup {
    * `label → label's own label` (path halving), so convergence needs
    * O(log diameter) rounds instead of O(diameter) (long near-dup CHAINS are
    * real: version sequences of a document pairwise-match only adjacently).
-   * The driver-side convergence loop is the standard shape for iterative
-   * graph algorithms on DataFrames; each round is two hash joins. The
-   * fixpoint is unique, so results are deterministic and SQL-oracle-checked
-   * against a recursive-CTE transitive closure.
+   * The fixpoint is unique, so results are deterministic and
+   * SQL-oracle-checked against a recursive-CTE transitive closure.
    *
    * Each round's frame is CHECKPOINTED, not merely persisted: persist()
    * keeps the physical work linear but the LOGICAL plan still doubles per
    * round (`prop` feeds both sides of the jump join), so analyzer/optimizer
    * time goes exponential around iteration ~15 — the classic iterative-
-   * DataFrame trap. `localCheckpoint(eager=true)` cuts the lineage to a
-   * cached-RDD leaf each round. On a real cluster set
+   * DataFrame trap. On a real cluster set
    * `spark.graft.checkpoint.reliable=true` + `sc.setCheckpointDir` to cut
    * with reliable `.checkpoint()` instead (survives executor loss) — the
-   * strategy switch lives in [[Checkpoints.cut]].
+   * strategy switch lives in [[Checkpoints]].
+   *
+   * LOOP STATE IS CUT WITH PARTITIONING-PRESERVING CHECKPOINTS (optimization
+   * round 15, [[Checkpoints.cutPartitioned]]): a plain localCheckpoint leaf
+   * comes back UnknownPartitioning under AQE, so every round re-exchanged
+   * the EDGE LIST and the label table — at 100 TB the per-round edge
+   * re-shuffle is the dominant CC cost (guide §2.4: operations keyed the
+   * same way should share one exchange). With `edges` cut hash-partitioned
+   * (and sorted) on the neighbor key ONCE and each round's labels cut on
+   * `id`, the propagation join plans with NO Exchange and NO Sort on either
+   * side; the only per-round shuffles left are the neighbor-min aggregation
+   * (map-side combined, ∝ nodes not edges), the pointer-jump lookup stream,
+   * and the next checkpoint's layout repartition — all label-table-sized.
+   * (An RDD pointer-jumping loop was tried first and REVERTED: co-partition
+   * it does, but each round re-scans the full edge list through boxed
+   * Iterator[Tuple2] cogroups — measured ~600 ms CPU per task per round on
+   * 1.13 M edges at sf0.1 vs the codegen'd DataFrame join's ~tens of ms.
+   * Whole-stage codegen over UnsafeRows is the per-row win the guide's §4
+   * "prefer built-ins" rule predicts; the shuffle win had to come from
+   * partitioning metadata, not from leaving the SQL engine.)
    *
    * Output: (id, cluster_id) for every id appearing in `pairs`, where
    * cluster_id = min id of the component = the kept representative.
@@ -607,13 +623,19 @@ object Dedup {
     // calls) by skipping the expensive candidate join; the edge list itself
     // is small (distinct long pairs), so the second copy is cheap. Callers
     // who disagree release it via Api.clearCache.
-    val edges = Checkpoints.cut(pairs
+    // partition count tracks the session's shuffle parallelism — scale-adaptive
+    // like every other operator (local bench: core count; cluster: data-sized)
+    val nPart = pairs.sparkSession.sessionState.conf.numShufflePartitions
+    // cut hash-partitioned + sorted on the NEIGHBOR key `b` — the side every
+    // round's propagation joins on — so the edge list never re-exchanges and
+    // never re-sorts inside the loop
+    val edges = Checkpoints.cutPartitioned(pairs
       .select(explode(array(
         struct(col(lCol).cast("long").as("a"), col(rCol).cast("long").as("b")),
         struct(col(rCol).cast("long").as("a"), col(lCol).cast("long").as("b")))).as("e"))
       .select(col("e.a").as("a"), col("e.b").as("b"))
       .distinct()
-      .persistTracked)
+      .persistTracked, Seq("b"), nPart)
     // labels only ever decrease, so the label-sum is a monotone convergence
     // witness: fixpoint reached exactly when the sum stops changing. One
     // aggregate per round, instead of a change-count join.
@@ -623,29 +645,45 @@ object Dedup {
     // seed with round 1's propagation fused in: label = min(id, min neighbor)
     // directly from the edge list — one aggregation replaces a whole loop
     // round (two joins + checkpoint + sum)
-    var labels = Checkpoints.cut(edges.groupBy("a")
+    var labels = Checkpoints.cutPartitioned(edges.groupBy("a")
       .agg(least(col("a"), min(col("b"))).as("label"))
-      .select(col("a").as("id"), col("label")))
+      .select(col("a").as("id"), col("label")), Seq("id"), nPart)
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // labels arrives hash(id)-partitioned; the alias to `b` keeps the
+      // partitioning attribution, so this join needs NO exchange and NO sort
+      // on either side (edges is cut sorted on b, labels sorted on id)
       val neighborMin = edges
         .join(labels.select(col("id").as("b"), col("label").as("nlabel")), "b")
         .groupBy(col("a").as("id")).agg(min("nlabel").as("nmin"))
-      // NOT checkpointed: with `labels` a checkpoint leaf, `prop` appearing on
-      // both jump sides only doubles a two-join subtree (bounded — the
-      // exponential blowup needs the doubling to COMPOUND across rounds), and
-      // recomputing one cheap hash join beats a full materialization + job
-      // per round (measured: 7.3 s -> 5.2 s on the sf0.001 bench entry)
-      val prop = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // CHECKPOINTED (changed this round): `prop` feeds BOTH sides of the
+      // jump join, and the duplicated subtree contains the heavy edge join —
+      // measured (event log, sf0.1): AQE materialized the neighbor-min map
+      // stage TWICE per round, each pass re-joining the full 1.13 M-row edge
+      // list (stages 290/291, identical 63 k shuffle records written). The
+      // pre-r15 note that skipping prop's checkpoint was faster predates the
+      // partitioned cut: back then EVERY cut lost its partitioning and cost
+      // re-exchanges, so fewer cuts won; now the cut is a no-move layout
+      // repartition of node-count rows (hash(id) in → hash(id) out) and
+      // halving the edge-join work dominates. neighborMin's aggregate output
+      // is hash(id)-clustered, so this join is exchange-free.
+      val prop = Checkpoints.cutPartitioned(
+        labels.join(neighborMin, Seq("id"), "left")
+          .select(col("id"), least(col("label"), coalesce(col("nmin"), col("label"))).as("label")),
+        Seq("id"), nPart)
       // pointer jump: label <- min(label, label(label)). Every label value is
       // itself a node id, so the self-join always resolves (left for safety).
-      val next = Checkpoints.cut(prop.alias("x")
+      // Both sides are now the prop LEAF (node-count rows): the lookup side
+      // (y) is keyed by prop's own id → exchange-free; only the tiny
+      // (label, id) probe stream shuffles. The cut re-lays `next` out
+      // hash(id) for the next round — the one layout shuffle per round.
+      val next = Checkpoints.cutPartitioned(prop.alias("x")
         .join(prop.select(col("id").as("label"), col("label").as("ll")).alias("y"),
           Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label")))
+        .select(col("id"), least(col("label"), coalesce(col("ll"), col("label"))).as("label")),
+        Seq("id"), nPart)
       val s = labelSum(next)
       converged = s.compareTo(prevSum) == 0
       prevSum = s

@@ -284,8 +284,14 @@ object TextAnalysis {
 
   def bigramLmScore(df: DataFrame, key: String, text: String,
                     k: Double = 1.0): DataFrame = {
+    import graft.operators.PersistTracker.TrackedPersist
     val docs = wsDocsLower(df, key, text)
-    val bg = bigramStream(docs)
+    // persisted: the bigram stream feeds the scoring join AND both model
+    // aggregations — unpersisted, the optimizer re-derived it from the
+    // parquet scan three times, re-paying the tokenize + posexplode that IS
+    // this operator's CPU (plan audit, optimization r15; released via
+    // Api.clearCache like every operator intermediate)
+    val bg = bigramStream(docs).persistTracked
     val bgCounts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctxCounts = bgCounts.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = broadcast(docs.select(explode(col("tks")).as("w"))
